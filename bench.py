@@ -1,0 +1,68 @@
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "pages_per_sec": ..., "spans_per_sec": ...}.
+
+Rows are fully materialized through the `noop` sink (no driver collect,
+no Python serde) so timings measure the JVM plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from pero_ocr_spark import queries as Q
+    from pero_ocr_spark.session import get_spark
+
+    spark = get_spark("pero_ocr_spark_bench", cores=int(cpus))
+
+    # warm-up: JVM + parquet footer caches, not counted
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_pages = 0
+    n_spans = 0
+    for name, fn in Q.queries().items():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "extract_spans":
+            from pyspark.sql import functions as F
+
+            row = df.agg(
+                F.count("*").alias("spans"),
+                F.approx_count_distinct("doc_id").alias("pages"),
+            ).collect()[0]
+            n_spans, n_pages = int(row["spans"]), int(row["pages"])
+
+    extract_sec = timings.get("extract_spans", 0.0) or 1e-9
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "end-to-end extraction + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "pages": n_pages,
+        "spans": n_spans,
+        "pages_per_sec": round(n_pages / extract_sec, 1),
+        "spans_per_sec": round(n_spans / extract_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
