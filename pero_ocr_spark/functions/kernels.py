@@ -1,0 +1,333 @@
+"""Pure numpy compute kernels (no Spark imports).
+
+These are the engine's "expensive scalar functions" — the analogs of
+pero-ocr's decoding/confidence/alignment kernels, re-implemented from
+the published CTC prefix-beam-search algorithm (Hannun et al. 2014;
+the blog derivation referenced by the reference itself at
+``decoding/decoders.py:222``) and standard DP edit distance. They run
+inside Arrow-batched UDFs; Spark never sees individual rows.
+
+Reference parity targets (semantics, not code):
+  * greedy decode       — ``ocr_engine/pytorch_ocr_engine.py:13-34``,
+                          ``decoding/decoders.py:42-62``
+  * prefix beam search  — ``decoding/decoders.py:170-299`` (dict-based
+                          formulation here; prefix joining is inherent)
+  * line confidence     — ``document_ocr/page_parser.py:437-450``
+                          (worst best-run probability)
+  * letter confidence   — ``core/confidence_estimation.py:8-30``
+  * edit stats          — ``sequence_alignment.py`` / ``error_summary.py``
+  * sparse logits codec — ``ocr_engine/line_ocr_engine.py:168-171`` /
+                          ``core/layout.py:65-72`` (csc as plain arrays)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+BLANK = "<BLANK>"
+LOG_ZERO = -np.inf
+
+
+# ---------------------------------------------------------------- softmax
+
+def log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    m = np.max(x, axis=axis, keepdims=True)
+    s = x - m
+    return s - np.log(np.sum(np.exp(s), axis=axis, keepdims=True))
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    return np.exp(log_softmax(x, axis=axis))
+
+
+def logprobs_deviation(log_probs: np.ndarray) -> float:
+    return float(np.max(np.abs(np.sum(np.exp(log_probs), axis=1) - 1.0)))
+
+
+# ------------------------------------------------------------ greedy CTC
+
+def greedy_decode(
+    log_probs: np.ndarray, charset: list[str], max_deviation: float = 1e-5
+) -> tuple[str, float]:
+    """Argmax per frame → collapse repeats → drop blanks (blank = last class).
+
+    Returns (transcript, logsumexp of per-frame maxima) — the same
+    score definition the reference's GreedyDecoder reports.
+    """
+    if logprobs_deviation(log_probs) > max_deviation:
+        raise ValueError("expected normalized log-probs")
+    blank = len(charset) - 1
+    ids = np.argmax(log_probs, axis=1)
+    maxes = np.max(log_probs, axis=1)
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    collapsed = ids[keep]
+    text = "".join(charset[i] for i in collapsed if i != blank)
+    m = float(np.max(maxes))
+    score = m + math.log(float(np.sum(np.exp(maxes - m))))
+    return text, score
+
+
+def line_confidence(log_probs: np.ndarray) -> float:
+    """Worst best-run probability (page_parser.py:437-450 semantics):
+    group frames into runs of identical argmax id; within a run take the
+    max best-frame probability; return the min over runs."""
+    lp = log_probs - np.logaddexp.reduce(log_probs, axis=1)[:, None]
+    ids = np.argmax(lp, axis=1)
+    best = np.exp(np.max(lp, axis=1))
+    # run boundaries
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    run_max = np.maximum.reduceat(best, starts)
+    return float(np.min(run_max))
+
+
+def letter_confidences(
+    log_probs: np.ndarray, alignment: np.ndarray, blank_ind: int
+) -> list[float]:
+    """Max aligned log-prob per non-blank run of the alignment
+    (confidence_estimation.py:8-30 semantics)."""
+    lp = log_probs - np.logaddexp.reduce(log_probs, axis=1)[:, None]
+    per_frame = lp[np.arange(lp.shape[0]), alignment]
+    out: list[float] = []
+    i = 0
+    n = len(alignment)
+    while i < n:
+        j = i
+        while j < n and alignment[j] == alignment[i]:
+            j += 1
+        if alignment[i] != blank_ind:
+            out.append(float(np.max(per_frame[i:j])))
+        i = j
+    return out
+
+
+# --------------------------------------------------- prefix beam search
+
+class NGramLM:
+    """Minimal deterministic char-LM for tests and the LM-fusion path —
+    the functional stand-in for the reference's torch RNN LM
+    (``decoding/lm_wrapper.py``). State = last char index (order-2).
+
+    log-prob table is derived from a fixed bigram preference matrix so
+    tests are reproducible without any model weights.
+    """
+
+    def __init__(self, charset: list[str], boost: dict[tuple[str, str], float] | None = None):
+        self.charset = charset[:-1] if charset[-1] == BLANK else list(charset)
+        self.n = len(self.charset)
+        base = np.full((self.n + 1, self.n), -math.log(self.n))
+        if boost:
+            idx = {c: i for i, c in enumerate(self.charset)}
+            for (prev, nxt), logit in boost.items():
+                p = idx[prev] + 1 if prev else 0
+                base[p, idx[nxt]] += logit
+        self.table = base - np.logaddexp.reduce(base, axis=1)[:, None]
+
+    def initial_state(self) -> int:
+        return 0
+
+    def advance(self, state: int, char_ind: int) -> int:
+        return char_ind + 1
+
+    def log_probs(self, state: int) -> np.ndarray:
+        return self.table[state]
+
+    def eos_score(self, state: int) -> float:
+        return 0.0
+
+
+def ctc_beam_search(
+    log_probs: np.ndarray,
+    charset: list[str],
+    beam_size: int = 8,
+    prune_logit: float = -10.0,
+    lm=None,
+    lm_scale: float = 1.0,
+    insertion_bonus: float = 0.0,
+    max_deviation: float = 1e-5,
+    init_lm_state=None,
+    model_eos: bool = False,
+):
+    """CTC prefix beam search, dict-keyed on the prefix.
+
+    Standard Pb/Pnb log-space recursion; keying beams by prefix makes
+    prefix joining (merging mass of identical prefixes) automatic.
+    Per-frame pruning keeps only non-blank chars with log-prob >
+    ``prune_logit`` (blank is always advanced), matching the
+    reference's relevant-logit selection semantics.
+
+    Returns (hypotheses, best_lm_state) where hypotheses is a list of
+    (text, vis_score, lm_score) sorted by vis + lm_scale*lm desc with
+    deterministic text tiebreak.
+    """
+    if logprobs_deviation(log_probs) > max_deviation:
+        raise ValueError("expected normalized log-probs")
+    blank = len(charset) - 1
+
+    # beams: prefix(tuple of char inds) -> [Pb, Pnb, Plm, lm_state]
+    s0 = (lm.initial_state() if init_lm_state is None else init_lm_state) if lm else None
+    beams: dict[tuple, list] = {(): [0.0, LOG_ZERO, 0.0, s0]}
+
+    for frame in log_probs:
+        p_blank = float(frame[blank])
+        chars = np.flatnonzero(frame[:-1] > prune_logit)
+        nxt: dict[tuple, list] = {}
+
+        def bucket(prefix, state):
+            b = nxt.get(prefix)
+            if b is None:
+                b = [LOG_ZERO, LOG_ZERO, 0.0, state]
+                nxt[prefix] = b
+            return b
+
+        for prefix, (pb, pnb, plm, st) in beams.items():
+            total = np.logaddexp(pb, pnb)
+            # blank extends: prefix unchanged
+            b = bucket(prefix, st)
+            b[0] = np.logaddexp(b[0], total + p_blank)
+            b[2] = plm
+            last = prefix[-1] if prefix else None
+            for c in chars:
+                pc = float(frame[c])
+                if c == last:
+                    # same char: repeat-collapse (from Pnb) stays, via
+                    # blank (from Pb) extends
+                    b2 = bucket(prefix, st)
+                    b2[1] = np.logaddexp(b2[1], pnb + pc)
+                    b2[2] = plm
+                    new_prefix = prefix + (c,)
+                    from_pb = pb + pc
+                else:
+                    new_prefix = prefix + (c,)
+                    from_pb = total + pc
+                nb = nxt.get(new_prefix)
+                if lm:
+                    new_plm = plm + float(lm.log_probs(st)[c]) + insertion_bonus
+                    new_st = lm.advance(st, int(c))
+                else:
+                    new_plm, new_st = 0.0, None
+                if nb is None:
+                    nxt[new_prefix] = [LOG_ZERO, from_pb, new_plm, new_st]
+                else:
+                    nb[1] = np.logaddexp(nb[1], from_pb)
+                    nb[2] = new_plm
+                    nb[3] = new_st
+
+        # prune to beam_size by vis + lm_scale*lm, deterministic tiebreak
+        scored = sorted(
+            nxt.items(),
+            key=lambda kv: (
+                -(np.logaddexp(kv[1][0], kv[1][1]) + lm_scale * kv[1][2]),
+                kv[0],
+            ),
+        )
+        beams = dict(scored[:beam_size])
+
+    out = []
+    best_state = None
+    best_total = -np.inf
+    for prefix, (pb, pnb, plm, st) in beams.items():
+        vis = float(np.logaddexp(pb, pnb))
+        lm_sc = plm + (lm.eos_score(st) if (lm and model_eos) else 0.0)
+        text = "".join(charset[i] for i in prefix)
+        out.append((text, vis, float(lm_sc)))
+        if vis + lm_scale * lm_sc > best_total:
+            best_total = vis + lm_scale * lm_sc
+            best_state = st
+    out.sort(key=lambda h: (-(h[1] + lm_scale * h[2]), h[0]))
+    return out, best_state
+
+
+# ------------------------------------------------------- sparse codec
+
+def dense_to_sparse(dense: np.ndarray, logit_threshold: float = -9.21):
+    """CSC-encode a (T, C) logit matrix keeping entries above threshold
+    (the analog of the p<1e-4 sparsification in line_ocr_engine.py:168-171;
+    ln(1e-4) ≈ -9.21). Returns (data, row_indices, indptr) plain lists."""
+    t, c = dense.shape
+    rows, cols = np.nonzero(dense > logit_threshold)
+    order = np.argsort(cols, kind="stable")  # csc order: by col, then row
+    data = dense[rows[order], cols[order]].astype(np.float64)
+    indices = rows[order].astype(np.int64)
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(cols, minlength=c)))
+    ).astype(np.int64)
+    return data, indices, indptr
+
+
+def sparse_to_dense(
+    data, indices, indptr, t: int, c: int, fill: float = -80.0
+) -> np.ndarray:
+    """Inverse of dense_to_sparse; absent entries get a floor logit
+    (layout.py:65-72 reconstructs with a constant small value)."""
+    dense = np.full((t, c), fill, dtype=np.float64)
+    data = np.asarray(data, dtype=np.float64)
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    cols = np.repeat(np.arange(c, dtype=np.int64), np.diff(indptr))
+    dense[indices, cols] = data
+    return dense
+
+
+# ----------------------------------------------------- edit distance
+
+def edit_stats(ref: str, hyp: str) -> tuple[int, int, int, int]:
+    """Levenshtein DP with operation counts.
+
+    Returns (distance, substitutions, insertions, deletions) where
+    insertions are chars present in hyp but not ref (error_summary.py
+    convention: errors transforming ref into hyp).
+    """
+    n, m = len(ref), len(hyp)
+    # dp[i][j] = (dist, subs, ins, dels)
+    prev = [(j, 0, j, 0) for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [(i, 0, 0, i)]
+        for j in range(1, m + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                cur.append(prev[j - 1])
+                continue
+            sub = prev[j - 1]
+            ins = cur[j - 1]
+            dele = prev[j]
+            best = min(sub[0], ins[0], dele[0])
+            if sub[0] == best:
+                cur.append((sub[0] + 1, sub[1] + 1, sub[2], sub[3]))
+            elif ins[0] == best:
+                cur.append((ins[0] + 1, ins[1], ins[2] + 1, ins[3]))
+            else:
+                cur.append((dele[0] + 1, dele[1], dele[2], dele[3] + 1))
+        prev = cur
+    return prev[m]
+
+
+def align_strings(ref: str, hyp: str) -> list[tuple[str | None, str | None]]:
+    """Alignment path (ref_char, hyp_char) pairs; None marks a gap.
+    Backtrace order prefers substitution, then insertion, then deletion
+    — deterministic."""
+    n, m = len(ref), len(hyp)
+    dp = np.zeros((n + 1, m + 1), dtype=np.int64)
+    dp[:, 0] = np.arange(n + 1)
+    dp[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if ref[i - 1] == hyp[j - 1] else 1
+            dp[i, j] = min(dp[i - 1, j - 1] + cost, dp[i, j - 1] + 1, dp[i - 1, j] + 1)
+    path: list[tuple[str | None, str | None]] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (
+            0 if ref[i - 1] == hyp[j - 1] else 1
+        ):
+            path.append((ref[i - 1], hyp[j - 1]))
+            i, j = i - 1, j - 1
+        elif j > 0 and dp[i, j] == dp[i, j - 1] + 1:
+            path.append((None, hyp[j - 1]))
+            j -= 1
+        else:
+            path.append((ref[i - 1], None))
+            i -= 1
+    path.reverse()
+    return path

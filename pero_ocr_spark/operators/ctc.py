@@ -1,0 +1,211 @@
+"""CTC recognition stages — batched decode over a sparse-logits table.
+
+The Spark analog of the OCR/decoding chain (R2/R3/R5/R7/R8 in SURVEY
+§2.6): a ``logits`` table (one row per text line, csc-encoded logit
+matrix — ``ocr_engine/line_ocr_engine.py:168-171`` stores scipy csc,
+we store plain arrays) flows through a ``mapInPandas`` stage that
+reconstructs dense matrices and decodes them vectorized per Arrow
+batch. There is NO per-row Python UDF; Spark sees only columnar
+batches.
+
+In the sandbox there are no model weights, so the logits table itself
+is synthesized deterministically from span text (near-one-hot rows at
+0/−80 in the style of the reference's decoder unit fixtures,
+``test/test_decoding/test_decoders.py:24-31``) — decode(synth(text))
+== text, which makes end-to-end OCR semantics exactly testable.
+
+Scale notes: the logits table at 10^12 docs is the checkpoint between
+inference and decoding (reference's store-then-decode path,
+``decoding/decoding_itf.py:96-104``); partition by hash(doc_id).
+Decode cost is proportional to total frames, so skew = long lines;
+``repartitionByRange(t)`` + sortWithinPartitions before the UDF packs
+similar-length lines per batch (the analog of width-sorted batch
+packing, ``line_ocr_engine.py:79-91``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.functions import kernels
+
+# Fixed charset: lowercase + digits + blank (last, per
+# decoders.py:31-33's "blank must be last" contract).
+CHARSET = list("abcdefghijklmnopqrstuvwxyz0123456789") + [kernels.BLANK]
+_CHAR_IDX = {c: i for i, c in enumerate(CHARSET[:-1])}
+
+
+# ------------------------------------------------------- synth logits
+
+def synth_line_logits(text: str) -> np.ndarray:
+    """Deterministic (T, C) near-one-hot log-prob matrix whose greedy
+    and beam decodes equal ``text``. Repeated chars get a blank frame
+    between them; every (doc position % 2) char gets a doubled frame
+    (exercises repeat collapsing)."""
+    c = len(CHARSET)
+    rows: list[int] = []
+    prev = None
+    for i, ch in enumerate(text):
+        ind = _CHAR_IDX.get(ch)
+        if ind is None:
+            continue
+        if prev == ind:
+            rows.append(c - 1)  # blank separator for double letters
+        rows.append(ind)
+        if i % 2 == 1:
+            rows.append(ind)  # continued symbol frame
+        prev = ind
+    if not rows:
+        rows = [c - 1]
+    mat = np.full((len(rows), c), -80.0)
+    mat[np.arange(len(rows)), rows] = 0.0
+    return mat
+
+
+def logits_table(spark: SparkSession, sf_dir: str, max_lines: int | None = None) -> DataFrame:
+    """Build the sparse logits table from extracted text spans.
+
+    Each text span = one line; logits synthesized in a mapInPandas
+    stage (vectorized per batch), csc-encoded. Output schema =
+    schemas.LOGITS.
+    """
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    lines = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        F.concat(F.lit("l"), F.col("ord").cast("string")).alias("line_id"),
+        F.col("text"),
+    )
+    if max_lines is not None:
+        lines = lines.limit(max_lines)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "line_id": pdf["line_id"],
+                "t": [],
+                "c": [],
+                "data": [],
+                "indices": [],
+                "indptr": [],
+            }
+            for text in pdf["text"]:
+                dense = synth_line_logits(text)
+                data, indices, indptr = kernels.dense_to_sparse(dense)
+                out["t"].append(dense.shape[0])
+                out["c"].append(dense.shape[1])
+                out["data"].append(np.asarray(data, dtype=np.float32))
+                out["indices"].append(np.asarray(indices, dtype=np.int32))
+                out["indptr"].append(np.asarray(indptr, dtype=np.int32))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, line_id string, t int, c int, data array<float>, "
+        "indices array<int>, indptr array<int>"
+    )
+    return lines.mapInPandas(gen, schema=schema)
+
+
+# ----------------------------------------------------------- decode
+
+_DECODE_SCHEMA = (
+    "doc_id long, line_id string, transcription string, "
+    "confidence double, score double"
+)
+
+
+def decode_greedy(logits_df: DataFrame) -> DataFrame:
+    """Greedy CTC decode + worst-best-run confidence, Arrow-batched.
+
+    The fast path (R3/R7): pure numpy per batch, no model state.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, confs, scores = [], [], []
+            for t, c, data, indices, indptr in zip(
+                pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
+            ):
+                dense = kernels.sparse_to_dense(data, indices, indptr, int(t), int(c))
+                text, score = kernels.greedy_decode(dense, CHARSET)
+                texts.append(text)
+                confs.append(kernels.line_confidence(dense))
+                scores.append(score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_id": pdf["line_id"],
+                    "transcription": texts,
+                    "confidence": confs,
+                    "score": scores,
+                }
+            )
+
+    return logits_df.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def decode_beam(
+    logits_df: DataFrame,
+    beam_size: int = 4,
+    confidence_gate: float | None = None,
+) -> DataFrame:
+    """Prefix-beam-search decode with the reference's confidence-gated
+    skip (``page_parser.py:96-156``): lines whose greedy confidence
+    clears the gate keep the greedy transcript; only uncertain lines
+    pay for beam search. Expressed as a per-batch branch inside the
+    UDF (cheap vectorized gate, expensive kernel only on the residue).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, confs, scores = [], [], []
+            for t, c, data, indices, indptr in zip(
+                pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
+            ):
+                dense = kernels.sparse_to_dense(data, indices, indptr, int(t), int(c))
+                conf = kernels.line_confidence(dense)
+                if confidence_gate is not None and conf > confidence_gate:
+                    text, score = kernels.greedy_decode(dense, CHARSET)
+                else:
+                    hyps, _ = kernels.ctc_beam_search(
+                        dense, CHARSET, beam_size=beam_size
+                    )
+                    text, score, _lm = hyps[0][0], hyps[0][1], hyps[0][2]
+                texts.append(text)
+                confs.append(conf)
+                scores.append(score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_id": pdf["line_id"],
+                    "transcription": texts,
+                    "confidence": confs,
+                    "score": scores,
+                }
+            )
+
+    return logits_df.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def pack_by_length(logits_df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort lines by frame count so each Arrow batch
+    holds similar-length lines — the table-scale analog of the
+    reference's width-sorted pixel-budget batch packing
+    (``line_ocr_engine.py:54-55,79-91``), which is its skew handling."""
+    n = partitions or logits_df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    return logits_df.repartitionByRange(int(n), "t").sortWithinPartitions("t")
+
+
+def filter_confident_lines(decoded: DataFrame, threshold: float) -> DataFrame:
+    """R13: Catalyst-visible confidence predicate (page_parser.py:510-513)."""
+    return decoded.filter(F.col("confidence") > threshold)

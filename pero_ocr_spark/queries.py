@@ -63,6 +63,45 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R2/R3/R5/R7 — CTC recognition: synthetic sparse logits → batched greedy
+# decode in mapInPandas. decode(synth(text)) == text, so the oracle is the
+# text spans themselves (strings only; float confidence is pytest-covered).
+# ---------------------------------------------------------------------------
+
+_DECODE_ORACLE = f"""
+{corpus.SPANS_CTE}
+, extracted AS (
+  SELECT doc_id, kind, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
+              AS BIGINT) AS ord
+  FROM spans
+  WHERE kind = 'media'
+     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
+)
+SELECT doc_id, 'l' || CAST(ord AS VARCHAR) AS line_id, text AS transcription
+FROM extracted WHERE kind = 'text'
+"""
+
+
+@register("ctc_decode_greedy", _DECODE_ORACLE)
+def q_ctc_decode_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import ctc
+
+    logits = ctc.pack_by_length(ctc.logits_table(spark, sf_dir))
+    return ctc.decode_greedy(logits).select("doc_id", "line_id", "transcription")
+
+
+@register("ctc_decode_beam", _DECODE_ORACLE)
+def q_ctc_decode_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import ctc
+
+    logits = ctc.pack_by_length(ctc.logits_table(spark, sf_dir))
+    return ctc.decode_beam(logits, beam_size=4, confidence_gate=0.9).select(
+        "doc_id", "line_id", "transcription"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------
