@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all Spark-first (JVM expressions end-to-end; no Python in
+the hot path):
+
+  * exact        — hash groupBy on the full text.
+  * ngram-jaccard — EXACT word-3-gram Jaccard via an inverted-index
+                    self-join (shingle → doc). The candidate join only
+                    touches docs sharing a shingle; with n=3 over a
+                    realistic vocabulary, random pairs share almost
+                    nothing, so the join stays near-linear.
+  * minhash+LSH  — the 100 TB path: 64 minhash permutations computed
+                    as 64 map-side min-aggregates over murmur3 shingle
+                    hashes; 32 bands × 2 rows; candidate pairs from a
+                    band-key self-join; candidates verified with EXACT
+                    jaccard so output = ngram-jaccard output (with
+                    P[missing a 0.8-sim pair] ≈ 0.36^32 ≈ 6e-15).
+  * simhash      — 32-bit fingerprint over shingles with a PORTABLE
+                    polynomial hash (reproducible in ANSI SQL / DuckDB
+                    for the oracle); near-dup pairs via 4×8-bit chunk
+                    banding (pigeonhole: hamming ≤ 3 ⇒ some chunk
+                    equal) + exact xor-popcount filter.
+
+Scale notes: every stage is shuffle-on-key (shingle, band-key, doc
+pair) with map-side partial aggregation; minhash aggregation is a
+single groupBy(doc_id) producing 64 columns — no 64-fold explode. The
+banding joins broadcast nothing and skew is bounded by bucket size;
+pathological buckets (identical boilerplate across millions of docs)
+would be capped with a per-bucket limit + salting, noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime for permutation hashing
+N_PERM = 64
+N_BANDS = 32  # rows per band = N_PERM // N_BANDS = 2
+
+
+def _perm_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i — fixed LCG, no RNG state."""
+    a = (1_103_515_245 * (i + 1) + 12_345) % HASH_P
+    b = (6_364_136_223 * (i + 7) + 1_442_695_040) % HASH_P
+    return (a or 1), b
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct text with canonical doc and
+    multiplicity. A plain hash aggregation — Catalyst does map-side
+    partial agg; at 100 TB, group on xxhash64(text) first to avoid
+    shuffling full text bytes."""
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for doc pairs sharing ≥1 shingle (optionally
+    restricted to candidate ``pairs(doc_a, doc_b)``)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        common.join(sizes.withColumnRenamed("n", "na"), common.doc_a == sizes.doc_id)
+        .drop("doc_id")
+        .join(
+            sizes.withColumnRenamed("n", "nb").withColumnRenamed("doc_id", "doc_id_b"),
+            common.doc_b == F.col("doc_id_b"),
+        )
+        .drop("doc_id_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT near-duplicate pairs by word-n-gram jaccard ≥ threshold."""
+    sh = shingles(docs, n)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, m0..m{n-1}) minhash signature — one groupBy, n_perm
+    min-aggregates over (a_i * h + b_i) mod p; h = murmur3(shingle)
+    folded non-negative. All JVM, map-side combinable."""
+    h = F.pmod(F.hash("shingle").cast("long"), F.lit(HASH_P))
+    aggs = []
+    for i in range(n_perm):
+        a, b = _perm_params(i)
+        aggs.append(
+            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(HASH_P))).alias(f"m{i}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH banding for candidates, exact
+    jaccard verification for the final answer (so results match
+    ngram_jaccard_pairs while touching ~0 non-candidate pairs)."""
+    sh = shingles(docs, n)
+    sig = minhash_signatures(sh, n_perm)
+    rows_per_band = n_perm // n_bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[F.col(f"m{bi * rows_per_band + r}").alias(f"r{r}") for r in range(rows_per_band)],
+        )
+        for bi in range(n_bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    )
+    # candidate pairs: docs sharing any band bucket.
+    # NOTE (scale): a degenerate bucket with B docs yields B^2/2 pairs;
+    # for web-scale corpora cap bucket size (window row_number ≤ L) or
+    # salt the band key before the self-join.
+    left = buckets.select(F.col("doc_id").alias("doc_a"), "bk")
+    right = buckets.select(F.col("doc_id").alias("doc_b"), "bk")
+    cands = (
+        left.join(right, "bk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------- simhash
+
+def _portable_word_hash(col):
+    """Polynomial hash over ascii codes, mod 2^31-1 — identical
+    arithmetic is expressible in DuckDB (list_reduce), keeping the
+    simhash oracle exact."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(HASH_P)),
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash over word-n-gram shingles.
+
+    Per-bit weighted sums as 32 conditional aggregates in ONE
+    groupBy(doc_id) (no bit-explode); bit b of the portable shingle
+    hash contributes +1/−1 to sum_b; fingerprint bit = sign.
+    """
+    sh = shingles(docs, n).withColumn("h", _portable_word_hash(F.col("shingle")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = sh.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, n: int = 3, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via chunk
+    banding: split 32 bits into 4 × 8-bit chunks; hamming ≤ 3 ⇒ at
+    least one chunk equal (pigeonhole), so the equi-join on
+    (chunk_idx, chunk_value) finds ALL qualifying pairs; exact
+    xor-popcount filters false candidates."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    fp = simhash_fingerprints(docs, n, bits)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "ck"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "ck"
+    )
+    return (
+        a.join(b, "ck")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators:
+
+  * brute-force cosine top-k — the correctness baseline. Norms are
+    precomputed per row (one pass), the query side is broadcast
+    (queries ≪ corpus), the dot product is a JVM fold
+    (zip_with + aggregate) — no Python, no UDF.
+  * bucketed ANN top-k — the 100 TB path: sign-of-projection LSH with
+    DETERMINISTIC hyperplanes (arithmetic ±1 weights, reproducible in
+    ANSI SQL so the oracle can replicate the bucketing exactly);
+    candidates = same bucket → equi-join instead of cross join.
+  * embedding near-dup pairs — all pairs with cosine ≥ threshold
+    (self-join a < b); at web scale the same bucketing prunes the
+    join.
+
+Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small since the
+corpus side never shuffles (broadcast hash join on nothing = cross
+join with tiny right side). The ANN variant turns it into a shuffle on
+bucket id; recall is tested against brute force separately (recall is
+a property, not an oracle-equality target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    d = _to_double(F.col(col))
+    return emb.withColumn("nrm", F.sqrt(_dot(d, d)))
+
+
+def plane_weight_sql(i: str, j: int) -> str:
+    """Deterministic ±1 hyperplane weight for dim i (1-based), plane j —
+    plain arithmetic, identical in Spark SQL and DuckDB."""
+    return f"(CASE WHEN ({i} * 31 + {j} * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)"
+
+
+def _bucket_expr(col: str, n_planes: int = N_PLANES) -> str:
+    """Spark SQL expression: LSH bucket id = sign bits of n_planes
+    deterministic projections."""
+    bits = []
+    for j in range(n_planes):
+        proj = (
+            f"aggregate(zip_with(sequence(1, size({col})), {col}, "
+            f"(i, x) -> {plane_weight_sql('i', j)} * cast(x AS double)), "
+            f"cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def with_bucket(emb: DataFrame, col: str = "embedding", n_planes: int = N_PLANES) -> DataFrame:
+    return emb.withColumn("bucket", F.expr(_bucket_expr(col, n_planes)))
+
+
+def _ranked_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Rank candidates per query by rounded cosine desc, id asc
+    (deterministic tiebreak), keep top k."""
+    sim = F.round(
+        _dot(_to_double(F.col("q_emb")), _to_double(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline."""
+    base = with_norm(emb)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _ranked_topk(joined, k)
+
+
+def ann_bucketed_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id",
+    n_planes: int = N_PLANES, multi_probe: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN with multi-probe: candidates = corpus rows in
+    any bucket within hamming ≤ multi_probe of the query's bucket
+    (probing is an explode + equi-join — the cross join never
+    happens). Ranking semantics identical to cosine_topk over the
+    candidate set."""
+    base = with_bucket(with_norm(emb), n_planes=n_planes)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    if multi_probe > 0:
+        # probe list: own bucket + all buckets at hamming 1 (xor each bit)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(n_planes)
+            ],
+        )
+        queries = queries.withColumn("bucket", F.explode(probes))
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "bucket",
+    )
+    # no distinct needed: probe values are distinct per query and a
+    # corpus row has exactly one bucket, so each (query, neighbor)
+    # pair matches at most once
+    joined = corpus.join(F.broadcast(queries), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _ranked_topk(joined, k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding-level near-dup)."""
+    base = with_norm(emb)
+    a = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim = F.round(
+        _dot(_to_double(F.col("q_emb")), _to_double(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

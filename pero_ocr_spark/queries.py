@@ -102,6 +102,204 @@ def q_ctc_decode_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deduplication suite (training-data pipeline ops): exact, exact n-gram
+# jaccard, minhash+LSH (verified → same oracle), portable simhash.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+WITH __w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM __w WHERE len(w) >= 3)
+)
+"""
+
+_JACCARD_ORACLE = f"""
+{_SHINGLE_CTE}
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c * 1.0 / (x.n + y.n - c), 6) AS jaccard
+FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT text, min(doc_id) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_PORTABLE_HASH_DUCK = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), "
+    "(a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+_SIMHASH_FP_CTE = (
+    _SHINGLE_CTE
+    + f", hs AS (SELECT doc_id, {_PORTABLE_HASH_DUCK} AS h FROM sh)\n"
+    + ", sums AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    + " FROM hs GROUP BY doc_id)\n"
+    + ", fps AS (SELECT doc_id, CAST("
+    + " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    + " AS BIGINT) AS simhash FROM sums)"
+)
+
+
+@register("dedup_simhash_fingerprints", _SIMHASH_FP_CTE + "\nSELECT doc_id, simhash FROM fps")
+def q_dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_FP_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings: brute-force cosine top-k (baseline),
+# LSH-bucketed ANN (scale path, deterministic portable hyperplanes), and
+# embedding-level near-dup pairs.
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(8))
+
+_COS_E_CTE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+"""
+
+
+def _duck_bucket_expr() -> str:
+    from pero_ocr_spark.operators.similarity import N_PLANES, plane_weight_sql
+
+    bits = []
+    for j in range(N_PLANES):
+        proj = (
+            "list_sum(list_transform(generate_series(1, len(emb)), "
+            f"i -> {plane_weight_sql('i', j)} * emb[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+_TOPK_ORACLE = f"""
+{_COS_E_CTE}
+, sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)}))
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims)
+WHERE rn <= 5
+"""
+
+
+@register("similarity_cosine_topk", _TOPK_ORACLE)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
+
+
+def _ann_oracle() -> str:
+    return f"""
+{_COS_E_CTE}
+, eb AS (SELECT vec_id, emb, nrm, {_duck_bucket_expr()} AS bucket FROM e)
+, sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cosine
+  FROM eb q JOIN eb c
+    ON bit_count(xor(c.bucket, q.bucket)) <= 1 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)}))
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims)
+WHERE rn <= 5
+"""
+
+
+@register("similarity_ann_bucketed", _ann_oracle())
+def q_similarity_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.ann_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )
+
+
+@register(
+    "similarity_near_dup_pairs",
+    f"""
+{_COS_E_CTE}
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
+""",
+)
+def q_similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------

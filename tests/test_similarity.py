@@ -1,0 +1,64 @@
+"""Similarity-search operator tests: exactness of brute force on a
+hand-built corpus, ANN recall vs brute force, bucket determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pero_ocr_spark.operators import similarity
+
+
+def _emb(spark):
+    # 4-dim toy corpus: vec 1 ≈ vec 0, vec 2 orthogonal, vec 3 opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+
+
+def test_brute_force_exact(spark):
+    out = similarity.cosine_topk(_emb(spark), [0], k=4).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 4, 2, 3]
+    by_n = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert by_n[1] == round(0.9 / math.sqrt(0.82), 6)
+    assert by_n[2] == 0.0
+    assert by_n[3] == -1.0
+
+
+def test_ann_recall_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    brute = similarity.cosine_topk(emb, qids, k=3).collect()
+    ann = similarity.ann_bucketed_topk(emb, qids, k=3, n_planes=4).collect()
+    top1_brute = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    top1_ann = {r["query_id"]: r["neighbor_id"] for r in ann if r["rank"] == 1}
+    # ANN is approximate: require ≥half the top-1s recovered with only
+    # 16 buckets over 500 docs (recall is a property, not an oracle).
+    hits = sum(1 for q in top1_brute if top1_ann.get(q) == top1_brute[q])
+    assert hits >= len(top1_brute) // 2, (top1_brute, top1_ann)
+
+
+def test_bucket_determinism(spark):
+    e = _emb(spark)
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.with_bucket(e).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.with_bucket(e).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_near_dup_pairs(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_pairs(
+            _emb(spark), threshold=0.9
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
