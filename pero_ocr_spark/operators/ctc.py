@@ -195,6 +195,55 @@ def decode_beam(
     return logits_df.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+def decode_beam_lm_carry(
+    logits_df: DataFrame, beam_size: int = 4, lm_scale: float = 0.2
+) -> DataFrame:
+    """Order-stateful decode: the LM hidden state of the best hypothesis
+    is carried across lines within a document (the reference's
+    ``carry_h_over`` path, ``document_ocr/page_parser.py:129-135`` +
+    ``decoding/lm_wrapper.py:117-124``).
+
+    This is the one operator that cannot parallelize WITHIN a document:
+    ``applyInPandas`` groups by doc_id and scans lines in reading
+    order inside the group. Parallelism across documents is unaffected
+    (docs ≫ cores at any realistic scale).
+    """
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(_ord=pdf["line_id"].str.slice(1).astype(int)).sort_values(
+            "_ord"
+        )
+        lm = kernels.NGramLM(CHARSET)
+        state = lm.initial_state()
+        texts, scores = [], []
+        for t, c, data, indices, indptr in zip(
+            pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
+        ):
+            dense = kernels.sparse_to_dense(data, indices, indptr, int(t), int(c))
+            hyps, state = kernels.ctc_beam_search(
+                dense,
+                CHARSET,
+                beam_size=beam_size,
+                lm=lm,
+                lm_scale=lm_scale,
+                init_lm_state=state,
+            )
+            texts.append(hyps[0][0])
+            scores.append(hyps[0][1] + lm_scale * hyps[0][2])
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "line_id": pdf["line_id"],
+                "transcription": texts,
+                "score": scores,
+            }
+        )
+
+    return logits_df.groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, line_id string, transcription string, score double"
+    )
+
+
 def pack_by_length(logits_df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Range-partition + sort lines by frame count so each Arrow batch
     holds similar-length lines — the table-scale analog of the

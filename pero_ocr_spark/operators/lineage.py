@@ -1,0 +1,147 @@
+"""Checkpointed per-partition lineage + metrics, and resume-after-failure.
+
+The Spark-native generalization of the reference's ``--skip-processed``
+resume (``user_scripts/parse_folder.py:73-102,314-323``, which rescans
+output folders and skips already-done page ids):
+
+  * output is written partitioned by a deterministic bucket
+    (``doc_id % n_buckets``);
+  * a ``_lineage`` manifest table records, per bucket: status, doc /
+    span / char counts, wall-clock seconds and derived throughput
+    (the metrics analog of ``PageDecoder.decoding_summary()``,
+    ``document_ocr/page_parser.py:147-156``);
+  * resume = anti-join pending buckets against the manifest — only
+    unfinished buckets are recomputed, completed output is never
+    rewritten (append mode + bucket partition dirs give idempotence).
+
+At 10^12 docs the manifest is tiny (one row per bucket), the anti-join
+broadcasts it, and a failed cluster run restarts with work
+proportional to the unfinished remainder only.
+
+Also here: the weight-aware repartitioner used before expensive UDF
+stages — the table-level analog of width-sorted batch packing
+(``ocr_engine/line_ocr_engine.py:79-91``): documents are packed into
+partitions by cumulative weight (span count / byte size), so one
+64x-skewed doc doesn't straggle a whole stage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "bucket long, status string, n_docs long, n_spans long, n_chars long, "
+    "elapsed_sec double, spans_per_sec double"
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", (F.col("doc_id") % n_buckets).cast("long"))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Buckets marked done in the manifest (empty frame if no manifest)."""
+    try:
+        m = spark.read.parquet(f"{out_dir}/_lineage")
+    except Exception:
+        return spark.createDataFrame([], "bucket long")
+    return m.filter(F.col("status") == "done").select("bucket").distinct()
+
+
+def run_extraction_with_lineage(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_buckets: int = 16,
+    fail_after_buckets: int | None = None,
+) -> DataFrame:
+    """Run the extraction pipeline bucket-partitioned with lineage;
+    on re-invocation, only buckets absent from the manifest run.
+
+    ``fail_after_buckets`` injects a crash for resume tests: only the
+    first k pending buckets are processed before raising.
+    """
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+
+    docs = with_bucket(corpus.load_documents(spark, sf_dir), n_buckets)
+    done = completed_buckets(spark, out_dir)
+    pending = docs.join(done, "bucket", "left_anti")
+
+    pending_buckets = sorted(
+        r["bucket"] for r in pending.select("bucket").distinct().collect()
+    )
+    if fail_after_buckets is not None:
+        pending_buckets = pending_buckets[:fail_after_buckets]
+
+    for b in pending_buckets:
+        t0 = time.perf_counter()
+        bucket_docs = docs.filter(F.col("bucket") == b).drop("bucket")
+        spans = extract.extract_spans(
+            corpus_spans_for(bucket_docs)
+        ).withColumn("bucket", F.lit(b).cast("long"))
+        spans.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/spans")
+        stats = (
+            spark.read.parquet(f"{out_dir}/spans")
+            .filter(F.col("bucket") == b)
+            .agg(
+                F.approx_count_distinct("doc_id").alias("n_docs"),
+                F.count("*").alias("n_spans"),
+                F.sum(F.length("text")).alias("n_chars"),
+            )
+            .collect()[0]
+        )
+        elapsed = time.perf_counter() - t0
+        manifest_row = [
+            (
+                int(b),
+                "done",
+                int(stats["n_docs"]),
+                int(stats["n_spans"]),
+                int(stats["n_chars"] or 0),
+                round(elapsed, 3),
+                round(stats["n_spans"] / elapsed, 1),
+            )
+        ]
+        spark.createDataFrame(manifest_row, LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/_lineage")
+
+    if fail_after_buckets is not None and len(pending_buckets) < pending.select(
+        "bucket"
+    ).distinct().count():
+        raise RuntimeError(
+            f"injected failure after {fail_after_buckets} buckets (resume test)"
+        )
+    return spark.read.parquet(f"{out_dir}/spans")
+
+
+def corpus_spans_for(docs: DataFrame) -> DataFrame:
+    """spans_table over an arbitrary documents frame (not a path)."""
+    from pero_ocr_spark.corpus import _SPANS_ARRAY_EXPR
+
+    return docs.select("doc_id", F.expr(_SPANS_ARRAY_EXPR).alias("spans"))
+
+
+def repartition_weighted(
+    df: DataFrame, weight_col: str, target_weight: float, key: str = "doc_id"
+) -> DataFrame:
+    """Pack rows into partitions by cumulative weight: a global ordered
+    cumsum over ``weight_col`` assigns pack ids of ~target_weight each,
+    then a repartition on pack id. Costs one extra shuffle + window;
+    use before UDF stages whose cost ∝ weight (frames, pixels, spans).
+    """
+    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    packed = df.withColumn(
+        "_pack",
+        F.floor(F.sum(weight_col).over(w) / F.lit(target_weight)).cast("long"),
+    )
+    # explicit partition count (one per pack) so AQE's small-partition
+    # coalescing doesn't undo the weight packing; at production sizes
+    # each pack ≈ target_weight of real bytes and this is moot
+    n_packs = packed.agg(F.max("_pack")).collect()[0][0]
+    n_packs = int(n_packs or 0) + 1
+    return packed.repartitionByRange(n_packs, "_pack").drop("_pack")

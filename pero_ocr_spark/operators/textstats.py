@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions over the ``documents`` table (no UDFs):
+token statistics, heuristic language ID, structural quality scoring,
+and document fingerprinting with the engine's portable polynomial hash
+(reproducible in ANSI SQL for oracle checks; at scale you'd swap in
+xxhash64 — the plumbing is identical).
+
+Scale notes: everything here is a narrow map over the scan plus one
+optional groupBy — no joins, no explode except the shingle fingerprint
+(bounded ×~n_words). Filters/projections push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647
+
+# function-word list for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens, BPE-ish subword count
+    (chars/4 heuristic ceiling), char count, mean token length."""
+    w = _words()
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size(w),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, threshold: float = 0.04) -> DataFrame:
+    """Heuristic language ID: share of English function words among
+    tokens. (The real engine would use char-n-gram profiles per
+    language — same shape: vectorized expression over tokens.)"""
+    w = _words()
+    ratio = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))) / F.size(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Structural quality: lexical diversity (distinct/total tokens),
+    mean token length band, length band — combined 0..1 score.
+    The analog of page-quality estimation (core/layout.py:778-847),
+    re-based on text statistics instead of OCR confidences."""
+    w = _words()
+    n = F.size(w)
+    diversity = F.size(F.array_distinct(w)) / n
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / n
+    len_band = F.when((n >= 50) & (n <= 5000), 1.0).otherwise(0.5)
+    word_band = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.5)
+    score = F.round((diversity + len_band + word_band) / 3.0, 6)
+    return docs.select(
+        "doc_id",
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def _poly_hash(col: Column) -> Column:
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(HASH_P)),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Document fingerprints: full-text polynomial hash plus the min
+    word-n-gram hash (a 1-perm minhash — robust to local edits)."""
+    words = _words()
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+    gram_hashes = F.transform(grams, _poly_hash)
+    return docs.filter(F.size(words) >= n).select(
+        "doc_id",
+        _poly_hash(F.col("text")).alias("fp_text"),
+        F.array_min(gram_hashes).alias("fp_min_shingle"),
+    )

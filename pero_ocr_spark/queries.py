@@ -300,6 +300,223 @@ def q_similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis: token stats, heuristic language ID, quality scoring,
+# portable fingerprints. All pure Catalyst expressions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS n_subwords_est,
+           round(list_sum(list_transform(string_split(text, ' '),
+                 w -> length(w))) * 1.0 / len(string_split(text, ' ')), 6)
+               AS mean_token_len
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_language_id",
+    f"""
+    SELECT doc_id, lang,
+           round(len(list_filter(string_split(text, ' '),
+                 x -> x IN {tuple(s for s in ("the","a","of","and","to","in","is"))}))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS en_stopword_ratio,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN {tuple(s for s in ("the","a","of","and","to","in","is"))}))
+                 * 1.0 / len(string_split(text, ' ')) >= 0.04
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents)
+    SELECT doc_id,
+           round(len(list_distinct(w)) * 1.0 / n, 6) AS lexical_diversity,
+           round(list_sum(list_transform(w, x -> length(x))) * 1.0 / n, 6)
+               AS mean_token_len,
+           round((len(list_distinct(w)) * 1.0 / n
+                  + (CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                  + (CASE WHEN list_sum(list_transform(w, x -> length(x))) * 1.0 / n
+                          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)
+               AS quality
+    FROM q
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_POLY = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split({col}, ''), c -> ascii(c)::BIGINT)), "
+    "(a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    WITH __w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           {_DUCK_POLY.format(col="text")} AS fp_text,
+           list_min(list_transform(
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+             s -> {_DUCK_POLY.format(col="s")})) AS fp_min_shingle
+    FROM __w WHERE len(w) >= 3
+    """,
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: media decode stub (mapInPandas, deterministic fake)
+# and frame sampling. Oracle recomputes the arithmetic straight from the
+# spans CTE.
+# ---------------------------------------------------------------------------
+
+_MEDIA_META_ORACLE = f"""
+{corpus.SPANS_CTE}
+SELECT doc_id, media_ref,
+       CASE span_offset % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+       CAST(64 + (span_offset % 13) * 32 AS BIGINT) AS width,
+       CAST(48 + (span_offset % 7) * 48 AS BIGINT) AS height,
+       CAST(1 + (span_offset % 5) AS BIGINT) AS n_frames,
+       CAST(length(media_ref) AS BIGINT) AS n_bytes
+FROM spans WHERE kind = 'media'
+"""
+
+
+def _decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import extract, media
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    return media.decode_media(media.media_spans(spans))
+
+
+@register("media_decode_metadata", _MEDIA_META_ORACLE)
+def q_media_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decoded_media(spark, sf_dir)
+
+
+@register(
+    "media_frame_sample",
+    f"""
+{corpus.SPANS_CTE}
+, meta AS (
+  SELECT doc_id, media_ref, 1 + (span_offset % 5) AS n_frames
+  FROM spans WHERE kind = 'media')
+SELECT doc_id, media_ref,
+       CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+FROM meta
+""",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import media
+
+    return media.frame_sample(_decoded_media(spark, sf_dir)).withColumn(
+        "frame_idx", F.col("frame_idx").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6 — stateful cross-line LM-carry decode (applyInPandas ordered scan).
+# On the near-one-hot synthetic logits the LM cannot flip the argmax, so
+# the decode oracle still applies (transcription equality).
+# ---------------------------------------------------------------------------
+
+_LM_CARRY_ORACLE = _DECODE_ORACLE
+
+
+@register("ctc_decode_lm_carry", _LM_CARRY_ORACLE)
+def q_ctc_decode_lm_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import ctc
+
+    logits = ctc.logits_table(spark, sf_dir)
+    return ctc.decode_beam_lm_carry(logits).select(
+        "doc_id", "line_id", "transcription"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: windowed agg with watermark run as a REAL streaming query
+# (memory sink), and gap sessionization (batch window form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_window_stream",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.window_counts_streaming(spark, sf_dir, minutes=5)
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    , sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------

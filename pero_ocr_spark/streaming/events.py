@@ -1,0 +1,155 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only; its closest streaming-shaped concepts are
+reproduced here both ways:
+
+  * windowed aggregation with watermark — run as a REAL streaming
+    query (readStream → memory sink, driven to completion with
+    processAllAvailable) whose result is identical to the batch
+    ``groupBy(window(...))`` — that equivalence is the oracle.
+  * sessionization — lag/gap-cumsum in batch (SQL-oracle-able) and
+    ``session_window`` in streaming.
+
+Scale notes: watermark bounds state; the windowed agg is a streaming
+shuffle on (window, event_type) with partial aggregation per
+micro-batch. Sessionization shuffles on user_id once.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file micro-batch source requires a directory; expose the
+    single events parquet through a symlink dir (a real deployment
+    streams from a directory/Kafka anyway)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+def window_counts_batch(events: DataFrame, minutes: int = 5) -> DataFrame:
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def window_counts_streaming(
+    spark: SparkSession, sf_dir: str, minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Run the same windowed agg as an actual streaming query over the
+    events parquet (file micro-batch source), complete-output into a
+    memory sink, and return the materialized result."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
+        # the cast is value-preserving vs the batch NTZ read
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    inter-event gap exceeds the threshold. lag + conditional cumsum —
+    one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def sessionize_streaming(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """session_window-based streaming sessionization (same gap
+    semantics, watermark-bounded state)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )

@@ -1,0 +1,63 @@
+"""Streaming semantics: the actual streaming windowed agg equals the
+batch windowed agg; session_window streaming equals batch gap
+sessionization on counts; LM-carry decode equals per-line decode on
+clean logits while actually threading state."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.operators import ctc
+from pero_ocr_spark.streaming import events as ev
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True).astype(str)
+
+
+def test_streaming_equals_batch_window_agg(spark, sf_dir):
+    batch = ev.window_counts_batch(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), minutes=5
+    ).toPandas()
+    stream = ev.window_counts_streaming(spark, sf_dir, minutes=5).toPandas()
+    pd.testing.assert_frame_equal(_norm(batch), _norm(stream))
+
+
+def test_streaming_sessionize_matches_batch_counts(spark, sf_dir):
+    batch = ev.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
+    stream = ev.sessionize_streaming(spark, sf_dir, gap_minutes=30)
+    b = (
+        batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .toPandas()
+    )
+    s = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(b), _norm(s))
+
+
+def test_lm_carry_decode(spark, sf_dir):
+    logits = ctc.logits_table(spark, sf_dir, max_lines=60)
+    plain = {
+        (r["doc_id"], r["line_id"]): r["transcription"]
+        for r in ctc.decode_greedy(logits).collect()
+    }
+    carried = ctc.decode_beam_lm_carry(logits, beam_size=4, lm_scale=0.2).collect()
+    assert len(carried) == 60
+    for r in carried:
+        assert plain[(r["doc_id"], r["line_id"])] == r["transcription"]
+    # lm carry contributes a (negative) lm score — total < pure visual score
+    assert all(r["score"] < 1.0 for r in carried)

@@ -1,0 +1,84 @@
+"""Text-analysis and multimodal-stub operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pero_ocr_spark import corpus
+from pero_ocr_spark.operators import extract, media, textstats
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat in a hat", "en"),
+            (2, "uno dos tres cuatro cinco seis siete", "es"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_token_stats(spark):
+    out = {r["doc_id"]: r for r in textstats.token_stats(_docs(spark)).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[1]["n_chars"] == 31
+    assert out[2]["mean_token_len"] == pytest.approx((3 + 3 + 4 + 6 + 5 + 4 + 5) / 7, abs=1e-5)
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r for r in textstats.language_id(_docs(spark)).collect()}
+    assert out[1]["lang_pred"] == "en"  # 'the' x2, 'on', 'in', 'a' → high ratio
+    assert out[2]["lang_pred"] == "other"
+    assert out[2]["en_stopword_ratio"] == 0.0
+
+
+def test_quality_monotone_in_diversity(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a"), (2, "eight distinct words appear right here now ok")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert out[2]["lexical_diversity"] == 1.0
+    assert out[1]["lexical_diversity"] == 0.125
+    assert out[2]["quality"] > out[1]["quality"]
+
+
+def test_fingerprint_shift_invariance_of_min_shingle(spark):
+    # min-shingle fingerprint survives a prefix edit; full hash does not
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "PREFIX alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textstats.fingerprints(docs).collect()}
+    assert out[1]["fp_text"] != out[2]["fp_text"]
+    assert out[1]["fp_min_shingle"] == out[2]["fp_min_shingle"]
+
+
+def test_media_pipeline(spark, sf_dir):
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    m = media.media_spans(spans)
+    decoded = media.decode_media(m)
+    rows = decoded.limit(20).collect()
+    assert rows
+    for r in rows:
+        pos = int(r["media_ref"].rsplit("/", 1)[-1])
+        assert r["width"] == 64 + (pos % 13) * 32
+        assert r["n_bytes"] == len(r["media_ref"])
+
+    feats = media.media_features(decoded.limit(5)).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+
+    frames = media.frame_sample(decoded.limit(5))
+    for r in frames.collect():
+        assert r["frame_idx"] % 2 == 0
+
+
+def test_media_real_path_is_gated(spark, sf_dir):
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    m = media.media_spans(spans).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        media.decode_media(m, real=True).collect()
