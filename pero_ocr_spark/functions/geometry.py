@@ -1,0 +1,267 @@
+"""Pure numpy geometry kernels for layout operators (no Spark imports).
+
+Own implementations of the reference's layout-helper semantics, with
+the nondeterminism designed out:
+
+  * baseline → textline polygon via normals
+    (``layout_engines/layout_helpers.py:95-123`` semantics)
+  * baseline resampling by polynomial fit
+    (``layout_helpers.py:275-292``)
+  * mergeable-line detection + union-find closure — the fixpoint the
+    reference reaches by looping ``merge_lines``
+    (``layout_helpers.py:194-258`` + ``page_parser.py:261-274``),
+    with the random sort tiebreak (``:251-253``) replaced by (y, x)
+  * polygon clipping (Sutherland–Hodgman) + point-in-polygon — the
+    shapely-free replacement for exact line↔region intersection
+    (``layout_helpers.py:312-342``)
+  * 1-D band clustering == DBSCAN(eps, min_samples=1) on a line — the
+    NaiveRegionSorter's reading order (``naive_sorter.py:60-84``)
+  * recursive XY-cut reading order (``smart_sorter.py:177-256``
+    semantics: alternately split on clean vertical/horizontal gaps)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ------------------------------------------------ textline polygon (L14)
+
+def baseline_to_textline(baseline: np.ndarray, asc: float, desc: float) -> np.ndarray:
+    """Textline polygon from a baseline polyline and asc/desc heights:
+    offset each baseline point along the local normal, up by asc and
+    down by desc; polygon = up-edge then reversed down-edge."""
+    asc, desc = max(1.0, asc), max(1.0, desc)
+    b = np.asarray(baseline, dtype=np.float64)
+    dx = np.diff(b[:, 0])
+    dy = np.diff(b[:, 1])
+    dx = np.concatenate([dx, dx[-1:]])
+    dy = np.concatenate([dy, dy[-1:]])
+    alpha = np.pi / 2 + np.arctan2(dy, dx)
+    up = b.copy()
+    up[:, 0] -= np.cos(alpha) * asc
+    up[:, 1] -= np.sin(alpha) * asc
+    down = b.copy()
+    down[:, 0] += np.cos(alpha) * desc
+    down[:, 1] += np.sin(alpha) * desc
+    return np.concatenate([up, down[::-1]], axis=0)
+
+
+# -------------------------------------------------- resampling (L15)
+
+def resample_baseline(baseline: np.ndarray, num_points: int = 10) -> np.ndarray:
+    """Resample a baseline to num_points via a deg-1 (2 pts) or deg-2
+    polynomial fit over x; near-vertical lines are fit in swapped
+    coordinates."""
+    b = np.asarray(baseline, dtype=np.float64)
+    vertical = abs(b[0, 0] - b[-1, 0]) < abs(b[0, 1] - b[-1, 1])
+    if vertical:
+        b = b[:, ::-1]
+    deg = 1 if b.shape[0] == 2 else 2
+    coef = np.polyfit(b[:, 0], b[:, 1], deg)
+    xs = np.linspace(b[0, 0], b[-1, 0], num_points)
+    ys = np.polyval(coef, xs)
+    out = np.stack([xs, ys], axis=-1)
+    if vertical:
+        out = out[:, ::-1]
+    return out
+
+
+# ------------------------------------------------- merge lines (L11)
+
+def mergeable(b1, h1, b2, h2) -> bool:
+    """Reference merge predicate (layout_helpers.py:207-224 semantics):
+    vertical overlap of the two line bands > 0.7 × the smaller line
+    height, no x-range containment, and x-gap < 2 × the smaller line
+    height."""
+    b1 = np.asarray(b1, dtype=np.float64)
+    b2 = np.asarray(b2, dtype=np.float64)
+    y1, y2 = b1[:, 1].mean(), b2[:, 1].mean()
+    min1, max1 = b1[:, 0].min(), b1[:, 0].max()
+    min2, max2 = b2[:, 0].min(), b2[:, 0].max()
+    contained = (min1 > min2 and max1 < max2) or (min2 > min1 and max2 < max1)
+    gap = max(min1 - max2, min2 - max1)
+    h_overlap = min(y1 + h1[1], y2 + h2[1]) - max(y1 - h1[0], y2 - h2[0])
+    min_height = min(h1[0] + h1[1], h2[0] + h2[1])
+    return (
+        h_overlap > 0.7 * min_height and not contained and gap < 2 * min_height
+    )
+
+
+def merge_lines(
+    baselines: list[np.ndarray], heights: list[tuple[float, float]]
+) -> tuple[list[np.ndarray], list[tuple[float, float]]]:
+    """Union-find closure of the merge predicate (the fixpoint of the
+    reference's iterated merge), deterministic output order by
+    (first-point y, x)."""
+    n = len(baselines)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if mergeable(baselines[i], heights[i], baselines[j], heights[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+
+    out_b, out_h = [], []
+    for members in groups.values():
+        if len(members) == 1:
+            out_b.append(np.asarray(baselines[members[0]], dtype=np.float64))
+            out_h.append(tuple(heights[members[0]]))
+        else:
+            pts = np.concatenate(
+                [np.asarray(baselines[m], dtype=np.float64) for m in members]
+            )
+            pts = pts[np.argsort(pts[:, 0], kind="stable")]
+            out_b.append(resample_baseline(pts))
+            out_h.append(
+                (
+                    max(heights[m][0] for m in members),
+                    max(heights[m][1] for m in members),
+                )
+            )
+    order = sorted(
+        range(len(out_b)), key=lambda i: (out_b[i][0, 1], out_b[i][0, 0])
+    )
+    return [out_b[i] for i in order], [out_h[i] for i in order]
+
+
+# ---------------------------------------------- polygon ops (J1 exact)
+
+def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip subject polygon by a CONVEX clip
+    polygon (counter-clockwise or clockwise consistent). Returns the
+    clipped polygon (possibly empty)."""
+    def inside(p, a, b):
+        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+
+    def intersect(p1, p2, a, b):
+        d1 = np.asarray(p2) - np.asarray(p1)
+        d2 = np.asarray(b) - np.asarray(a)
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        if denom == 0:
+            return np.asarray(p2, dtype=np.float64)
+        t = ((a[0] - p1[0]) * d2[1] - (a[1] - p1[1]) * d2[0]) / denom
+        return np.asarray(p1, dtype=np.float64) + t * d1
+
+    clip = np.asarray(clip, dtype=np.float64)
+    if _signed_area(clip) < 0:
+        clip = clip[::-1]
+    out = [np.asarray(p, dtype=np.float64) for p in subject]
+    for a, b in zip(clip, np.roll(clip, -1, axis=0)):
+        if not out:
+            break
+        inp, out = out, []
+        prev = inp[-1]
+        for cur in inp:
+            if inside(cur, a, b):
+                if not inside(prev, a, b):
+                    out.append(intersect(prev, cur, a, b))
+                out.append(cur)
+            elif inside(prev, a, b):
+                out.append(intersect(prev, cur, a, b))
+            prev = cur
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def _signed_area(poly: np.ndarray) -> float:
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * float(
+        np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    )
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    if len(poly) < 3:
+        return 0.0
+    return abs(_signed_area(np.asarray(poly, dtype=np.float64)))
+
+
+def bbox(poly: np.ndarray) -> tuple[float, float, float, float]:
+    p = np.asarray(poly, dtype=np.float64)
+    return float(p[:, 0].min()), float(p[:, 1].min()), float(p[:, 0].max()), float(p[:, 1].max())
+
+
+def bbox_overlaps(b1, b2) -> bool:
+    return not (
+        b1[2] <= b2[0] or b2[2] <= b1[0] or b1[3] <= b2[1] or b2[3] <= b1[1]
+    )
+
+
+# ------------------------------------------- reading order (O3 / O4)
+
+def band_clusters(ys: np.ndarray, eps: float) -> np.ndarray:
+    """1-D density clustering == DBSCAN(eps, min_samples=1): sort the
+    values; a gap > eps starts a new cluster. Returns cluster id per
+    input element (ids ordered by cluster min-y)."""
+    ys = np.asarray(ys, dtype=np.float64)
+    order = np.argsort(ys, kind="stable")
+    labels = np.zeros(len(ys), dtype=np.int64)
+    cluster = 0
+    for prev, cur in zip(order[:-1], order[1:]):
+        if ys[cur] - ys[prev] > eps:
+            cluster += 1
+        labels[cur] = cluster
+    labels[order[0]] = 0
+    # relabel in first-seen-by-y order (already monotone by construction)
+    return labels
+
+
+def band_sort_order(ys: np.ndarray, eps: float) -> list[int]:
+    """NaiveRegionSorter semantics: cluster y_min into bands, order
+    bands by y, members within a band by y (stable, deterministic)."""
+    ys = np.asarray(ys, dtype=np.float64)
+    labels = band_clusters(ys, eps)
+    return sorted(range(len(ys)), key=lambda i: (labels[i], ys[i], i))
+
+
+def xy_cut_order(bboxes: list[tuple[float, float, float, float]]) -> list[int]:
+    """Recursive XY-cut: split the region set on clean vertical gaps
+    (left-to-right), then horizontal gaps (top-to-bottom), recursing;
+    groups that can't be split are ordered by (y, x). Deterministic."""
+
+    def split(indices: list[int], vertical: bool) -> list[list[int]]:
+        if len(indices) <= 1:
+            return [indices]
+        lo, hi = (0, 2) if vertical else (1, 3)
+        order = sorted(indices, key=lambda i: bboxes[i][lo])
+        groups, cur = [], [order[0]]
+        reach = bboxes[order[0]][hi]
+        for i in order[1:]:
+            if bboxes[i][lo] >= reach:
+                groups.append(cur)
+                cur = [i]
+            else:
+                cur.append(i)
+            reach = max(reach, bboxes[i][hi])
+        groups.append(cur)
+        return groups
+
+    def recurse(indices: list[int], vertical: bool, depth: int) -> list[int]:
+        if len(indices) <= 1:
+            return indices
+        groups = split(indices, vertical)
+        if len(groups) == 1:
+            if depth > 0:
+                return sorted(
+                    indices, key=lambda i: (bboxes[i][1], bboxes[i][0], i)
+                )
+            return recurse(indices, not vertical, depth + 1)
+        out = []
+        for g in groups:
+            out.extend(recurse(g, not vertical, 0))
+        return out
+
+    # start with horizontal bands (top-to-bottom), then columns
+    return recurse(list(range(len(bboxes))), vertical=False, depth=0)

@@ -1,0 +1,299 @@
+"""Layout-analysis stages over a lines/regions table.
+
+The Spark re-expression of the reference's per-page layout operators
+(SURVEY §2.2/2.3/2.5): textline polygon generation (L14), line merging
+(L11), spatial line↔region assignment (J1), and region reading order
+(O3 band sort / O4 XY-cut). Geometry kernels run vectorized per page
+group inside ``applyInPandas`` / ``mapInPandas``; the candidate
+pruning that the reference does with an n×m bbox matrix per page
+(``layout_helpers.py:50-58``) is done at TABLE level as a bbox range
+join, so Catalyst/AQE own the join strategy.
+
+The synthetic lines table is derived deterministically from extracted
+text spans (two-column page geometry; every 5th line split into two
+mergeable halves), giving the geometry operators SQL-checkable
+ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.functions import geometry as G
+
+PAGE_COL_W = 500  # two columns: x ∈ [0,490) and [500,990)
+ROW_H = 30
+ASC, DESC = 10.0, 4.0
+
+
+def lines_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic lines: each extracted text span becomes a
+    straight baseline in a two-column page; every 5th line is split
+    into two horizontally adjacent halves (merge fodder, L11).
+
+    Pure Catalyst expressions (no UDF) — columns:
+    doc_id, region_id, line_id, x0, x1, y, asc, desc.
+    """
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    t = spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "ord",
+        (F.col("ord") % 2).alias("col"),
+        (F.col("ord") / 2).cast("long").alias("row"),
+        (F.length("text") * 8).alias("w"),
+    )
+    base = t.select(
+        "doc_id",
+        F.concat(F.lit("r"), F.col("col")).alias("region_id"),
+        F.concat(F.lit("l"), F.col("ord")).alias("line_id"),
+        "ord",
+        (F.col("col") * PAGE_COL_W + 10).cast("double").alias("x0"),
+        (F.col("col") * PAGE_COL_W + 10 + F.col("w")).cast("double").alias("x1"),
+        (F.col("row") * ROW_H + 20).cast("double").alias("y"),
+        F.lit(ASC).alias("asc"),
+        F.lit(DESC).alias("desc"),
+    )
+    # single explode instead of a 3-way union: one scan, and no Union
+    # node claiming its children's hash partitioning (a union of
+    # same-partitioned branches concatenates partitions, so a
+    # downstream agg that trusts the claim would merge per-branch
+    # partials incorrectly — observed on the broadcast side of the
+    # assign join)
+    mid = (F.col("x0") + F.col("x1")) / 2
+    seg = F.when(
+        F.col("ord") % 5 == 4,
+        F.array(
+            F.struct(
+                F.concat(F.col("line_id"), F.lit("a")).alias("line_id"),
+                F.col("x0").alias("x0"),
+                (mid - 5).alias("x1"),
+            ),
+            F.struct(
+                F.concat(F.col("line_id"), F.lit("b")).alias("line_id"),
+                (mid + 5).alias("x0"),
+                F.col("x1").alias("x1"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("line_id").alias("line_id"),
+                F.col("x0").alias("x0"),
+                F.col("x1").alias("x1"),
+            )
+        )
+    )
+    return base.select(
+        "doc_id",
+        "region_id",
+        "ord",
+        "y",
+        "asc",
+        "desc",
+        F.explode(seg).alias("seg"),
+    ).select(
+        "doc_id",
+        "region_id",
+        F.col("seg.line_id").alias("line_id"),
+        "ord",
+        F.col("seg.x0").alias("x0"),
+        F.col("seg.x1").alias("x1"),
+        "y",
+        "asc",
+        "desc",
+    )
+
+
+def regions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document column regions (rectangles) sized to the doc's rows."""
+    lines = lines_table(spark, sf_dir)
+    return lines.groupBy("doc_id", "region_id").agg(
+        F.min("x0").alias("rx0"),
+        F.max("x1").alias("rx1"),
+        (F.min("y") - ROW_H / 2).alias("ry0"),
+        (F.max("y") + ROW_H / 2).alias("ry1"),
+    )
+
+
+def textline_polygons(lines: DataFrame) -> DataFrame:
+    """L14: baseline → textline polygon, Arrow-batched kernel. For the
+    straight synthetic baselines the polygon is the rect
+    (x0, y-asc) … (x1, y+desc), which the SQL oracle replicates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x0s, x1s, y0s, y1s = [], [], [], []
+            for x0, x1, y, asc, desc in zip(
+                pdf["x0"], pdf["x1"], pdf["y"], pdf["asc"], pdf["desc"]
+            ):
+                poly = G.baseline_to_textline(
+                    np.array([[x0, y], [x1, y]]), asc, desc
+                )
+                bx0, by0, bx1, by1 = G.bbox(poly)
+                x0s.append(bx0)
+                x1s.append(bx1)
+                y0s.append(by0)
+                y1s.append(by1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_id": pdf["line_id"],
+                    "px0": x0s,
+                    "py0": y0s,
+                    "px1": x1s,
+                    "py1": y1s,
+                }
+            )
+
+    return lines.mapInPandas(
+        run,
+        schema="doc_id long, line_id string, px0 double, py0 double, "
+        "px1 double, py1 double",
+    )
+
+
+def merge_lines_stage(lines: DataFrame) -> DataFrame:
+    """L11: merge horizontally adjacent baselines per (doc, region) —
+    applyInPandas group kernel using the union-find closure."""
+
+    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        baselines = [
+            np.array([[x0, y], [x1, y]])
+            for x0, x1, y in zip(pdf["x0"], pdf["x1"], pdf["y"])
+        ]
+        heights = [(a, d) for a, d in zip(pdf["asc"], pdf["desc"])]
+        merged_b, merged_h = G.merge_lines(baselines, heights)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].iloc[0],
+                "region_id": pdf["region_id"].iloc[0],
+                "line_idx": range(len(merged_b)),
+                "x0": [b[:, 0].min() for b in merged_b],
+                "x1": [b[:, 0].max() for b in merged_b],
+                "y": [b[0, 1] for b in merged_b],
+                "asc": [h[0] for h in merged_h],
+                "desc": [h[1] for h in merged_h],
+            }
+        )
+
+    return lines.groupBy("doc_id", "region_id").applyInPandas(
+        per_region,
+        schema="doc_id long, region_id string, line_idx int, x0 double, "
+        "x1 double, y double, asc double, desc double",
+    )
+
+
+def assign_lines_to_regions(lines: DataFrame, regions: DataFrame) -> DataFrame:
+    """J1: spatial join lines ↔ regions. Candidate prune = table-level
+    bbox range join on doc_id (regions per doc are few → broadcast);
+    exact geometry = polygon clip in an Arrow-batched kernel, keeping
+    lines whose clipped textline is non-empty. Emits the clipped
+    extent (the reference emits the clipped line,
+    layout_helpers.py:62-73)."""
+    # regions may share lineage with lines (both derived from the same
+    # plan) — rename the join key so Catalyst resolves two distinct
+    # attributes instead of one trivially-equal self-reference
+    r = regions.select(
+        F.col("doc_id").alias("rdoc_id"),
+        "region_id",
+        "rx0",
+        "rx1",
+        "ry0",
+        "ry1",
+    )
+    cand = (
+        lines.drop("region_id")
+        .join(
+            F.broadcast(r),
+            on=[
+                F.col("doc_id") == F.col("rdoc_id"),
+                F.col("x0") < F.col("rx1"),
+                F.col("rx0") < F.col("x1"),
+                F.col("y") - F.col("asc") < F.col("ry1"),
+                F.col("ry0") < F.col("y") + F.col("desc"),
+            ],
+        )
+        .select(
+            "doc_id",
+            "line_id",
+            "region_id",
+            "x0",
+            "x1",
+            "y",
+            "asc",
+            "desc",
+            "rx0",
+            "rx1",
+            "ry0",
+            "ry1",
+        )
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep, cx0, cx1 = [], [], []
+            for r in pdf.itertuples(index=False):
+                poly = G.baseline_to_textline(
+                    np.array([[r.x0, r.y], [r.x1, r.y]]), r.asc, r.desc
+                )
+                region = np.array(
+                    [
+                        [r.rx0, r.ry0],
+                        [r.rx1, r.ry0],
+                        [r.rx1, r.ry1],
+                        [r.rx0, r.ry1],
+                    ]
+                )
+                clipped = G.clip_polygon(poly, region)
+                ok = G.polygon_area(clipped) > 0
+                keep.append(ok)
+                if ok:
+                    bx0, _, bx1, _ = G.bbox(clipped)
+                    cx0.append(bx0)
+                    cx1.append(bx1)
+                else:
+                    cx0.append(0.0)
+                    cx1.append(0.0)
+            out = pdf.assign(_keep=keep, cx0=cx0, cx1=cx1)
+            out = out[out["_keep"]]
+            yield out[["doc_id", "line_id", "region_id", "cx0", "cx1", "y"]]
+
+    return cand.mapInPandas(
+        exact,
+        schema="doc_id long, line_id string, region_id string, "
+        "cx0 double, cx1 double, y double",
+    )
+
+
+def region_reading_order(
+    regions_with_bbox: DataFrame, mode: str = "band", eps: float = 50.0
+) -> DataFrame:
+    """O3/O4: reading order of regions per document — band sort
+    (NaiveRegionSorter semantics) or recursive XY-cut
+    (SmartRegionSorter semantics). applyInPandas per doc."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group row order is partition-dependent; fix it before ordering
+        pdf = pdf.sort_values("region_id").reset_index(drop=True)
+        if mode == "band":
+            order = G.band_sort_order(pdf["ry0"].to_numpy(), eps)
+        else:
+            boxes = list(
+                zip(pdf["rx0"], pdf["ry0"], pdf["rx1"], pdf["ry1"])
+            )
+            order = G.xy_cut_order(boxes)
+        out = pdf.iloc[order].copy()
+        out["reading_order"] = range(len(out))
+        return out[["doc_id", "region_id", "reading_order"]]
+
+    return regions_with_bbox.groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, region_id string, reading_order long"
+    )

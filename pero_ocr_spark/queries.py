@@ -517,6 +517,158 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Layout geometry (L14 textline polygons, L11 merge, J1 spatial assign,
+# O3/O4 reading order) over the deterministic synthetic lines table.
+# ---------------------------------------------------------------------------
+
+_LINES_CTE = f"""
+{corpus.SPANS_CTE}
+, extracted AS (
+  SELECT doc_id, kind, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
+              AS BIGINT) AS ord
+  FROM spans
+  WHERE kind = 'media'
+     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
+)
+, tl AS (
+  SELECT doc_id, ord, ord % 2 AS col, ord // 2 AS row, length(text) * 8 AS w
+  FROM extracted WHERE kind = 'text')
+, lbase AS (
+  SELECT doc_id,
+         'r' || CAST(col AS VARCHAR) AS region_id,
+         'l' || CAST(ord AS VARCHAR) AS line_id, ord,
+         CAST(col * 500 + 10 AS DOUBLE) AS x0,
+         CAST(col * 500 + 10 + w AS DOUBLE) AS x1,
+         CAST(row * 30 + 20 AS DOUBLE) AS y
+  FROM tl)
+, lines AS (
+  SELECT doc_id, region_id, line_id, ord, x0, x1, y
+  FROM lbase WHERE ord % 5 <> 4
+  UNION ALL
+  SELECT doc_id, region_id, line_id || 'a', ord, x0, (x0 + x1) / 2 - 5, y
+  FROM lbase WHERE ord % 5 = 4
+  UNION ALL
+  SELECT doc_id, region_id, line_id || 'b', ord, (x0 + x1) / 2 + 5, x1, y
+  FROM lbase WHERE ord % 5 = 4)
+"""
+
+
+@register(
+    "layout_textline_polygons",
+    _LINES_CTE
+    + """
+SELECT doc_id, line_id, x0 AS px0, y - 10 AS py0, x1 AS px1, y + 4 AS py1
+FROM lines
+""",
+)
+def q_layout_textline_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+
+    return layout.textline_polygons(layout.lines_table(spark, sf_dir))
+
+
+@register(
+    "layout_merge_lines",
+    _LINES_CTE
+    + """
+, widths AS (
+  SELECT doc_id, region_id, ord, max(x1) - min(x0) AS w
+  FROM lines GROUP BY doc_id, region_id, ord)
+SELECT doc_id, region_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(w), 4) AS total_width
+FROM widths GROUP BY doc_id, region_id
+""",
+)
+def q_layout_merge_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+
+    merged = layout.merge_lines_stage(layout.lines_table(spark, sf_dir))
+    return merged.groupBy("doc_id", "region_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum(F.col("x1") - F.col("x0")), 4).alias("total_width"),
+    )
+
+
+@register(
+    "layout_assign_lines",
+    _LINES_CTE
+    + """
+, regions AS (
+  SELECT doc_id, region_id AS rid,
+         min(x0) AS rx0,
+         min(x0) + 0.8 * (max(x1) - min(x0)) AS rx1,
+         min(y) - 15 AS ry0, max(y) + 15 AS ry1
+  FROM lines GROUP BY doc_id, region_id)
+SELECT l.doc_id, l.line_id, r.rid AS region_id,
+       round(greatest(l.x0, r.rx0), 4) AS cx0,
+       round(least(l.x1, r.rx1), 4) AS cx1,
+       l.y
+FROM lines l JOIN regions r
+  ON l.doc_id = r.doc_id
+ AND l.x0 < r.rx1 AND r.rx0 < l.x1
+ AND l.y - 10 < r.ry1 AND r.ry0 < l.y + 4
+WHERE least(l.x1, r.rx1) > greatest(l.x0, r.rx0)
+""",
+)
+def q_layout_assign_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+
+    lines = layout.lines_table(spark, sf_dir)
+    regions = layout.regions_table(spark, sf_dir).select(
+        "doc_id",
+        "region_id",
+        "rx0",
+        (F.col("rx0") + 0.8 * (F.col("rx1") - F.col("rx0"))).alias("rx1"),
+        "ry0",
+        "ry1",
+    )
+    out = layout.assign_lines_to_regions(lines, regions)
+    return out.select(
+        "doc_id",
+        "line_id",
+        "region_id",
+        F.round("cx0", 4).alias("cx0"),
+        F.round("cx1", 4).alias("cx1"),
+        "y",
+    )
+
+
+_REGION_ORDER_ORACLE = (
+    _LINES_CTE
+    + """
+, regions AS (
+  SELECT doc_id, region_id, min(y) - 15 AS ry0
+  FROM lines GROUP BY doc_id, region_id)
+SELECT doc_id, region_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY ry0, region_id) - 1 AS BIGINT)
+         AS reading_order
+FROM regions
+"""
+)
+
+
+@register("layout_reading_order_bands", _REGION_ORDER_ORACLE)
+def q_layout_reading_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+
+    return layout.region_reading_order(
+        layout.regions_table(spark, sf_dir), mode="band"
+    )
+
+
+@register("layout_reading_order_xycut", _REGION_ORDER_ORACLE)
+def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+
+    return layout.region_reading_order(
+        layout.regions_table(spark, sf_dir), mode="xycut"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------

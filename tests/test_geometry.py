@@ -1,0 +1,154 @@
+"""Geometry kernel tests — fixtures mirror the reference's layout
+semantics (straight/diagonal baselines, mergeable pairs, XY-cut
+side-by-side and interlocked regions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pero_ocr_spark.functions import geometry as G
+
+
+class TestTextlinePolygon:
+    def test_horizontal_baseline(self):
+        b = np.array([[0.0, 100.0], [50.0, 100.0]])
+        poly = G.baseline_to_textline(b, asc=10, desc=4)
+        # up edge then reversed down edge
+        np.testing.assert_allclose(
+            poly,
+            [[0, 90], [50, 90], [50, 104], [0, 104]],
+            atol=1e-9,
+        )
+
+    def test_diagonal_baseline_normals(self):
+        b = np.array([[0.0, 0.0], [10.0, 10.0]])
+        poly = G.baseline_to_textline(b, asc=np.sqrt(2), desc=np.sqrt(2))
+        np.testing.assert_allclose(poly[0], [1, -1], atol=1e-9)
+        np.testing.assert_allclose(poly[-1], [-1, 1], atol=1e-9)
+
+    def test_min_height_clamp(self):
+        b = np.array([[0.0, 0.0], [10.0, 0.0]])
+        poly = G.baseline_to_textline(b, asc=0.1, desc=0.0)
+        assert poly[0][1] == -1.0  # clamped to 1
+        assert poly[-1][1] == 1.0
+
+
+class TestResample:
+    def test_straight_line(self):
+        b = np.array([[0.0, 0.0], [90.0, 90.0]])
+        out = G.resample_baseline(b, num_points=10)
+        assert out.shape == (10, 2)
+        np.testing.assert_allclose(out[:, 0], np.linspace(0, 90, 10))
+        np.testing.assert_allclose(out[:, 1], out[:, 0], atol=1e-9)
+
+    def test_vertical_line(self):
+        b = np.array([[5.0, 0.0], [5.0, 100.0]])
+        out = G.resample_baseline(b, num_points=5)
+        np.testing.assert_allclose(out[:, 0], 5.0, atol=1e-9)
+        np.testing.assert_allclose(out[:, 1], np.linspace(0, 100, 5))
+
+    def test_curved_three_points(self):
+        b = np.array([[0.0, 0.0], [50.0, 10.0], [100.0, 0.0]])
+        out = G.resample_baseline(b, num_points=11)
+        assert out[5, 1] == pytest.approx(10.0, abs=1e-6)
+
+
+class TestMergeLines:
+    def test_adjacent_halves_merge(self):
+        b1 = np.array([[0.0, 100.0], [40.0, 100.0]])
+        b2 = np.array([[50.0, 100.0], [90.0, 100.0]])
+        merged_b, merged_h = G.merge_lines([b1, b2], [(10, 4), (10, 4)])
+        assert len(merged_b) == 1
+        assert merged_h[0] == (10, 4)
+        assert merged_b[0][0, 0] == pytest.approx(0.0)
+        assert merged_b[0][-1, 0] == pytest.approx(90.0)
+
+    def test_stacked_lines_do_not_merge(self):
+        b1 = np.array([[0.0, 100.0], [40.0, 100.0]])
+        b2 = np.array([[0.0, 140.0], [40.0, 140.0]])
+        merged_b, _ = G.merge_lines([b1, b2], [(10, 4), (10, 4)])
+        assert len(merged_b) == 2
+
+    def test_contained_lines_do_not_merge(self):
+        outer = np.array([[0.0, 100.0], [100.0, 100.0]])
+        inner = np.array([[30.0, 100.0], [60.0, 100.0]])
+        merged_b, _ = G.merge_lines([outer, inner], [(10, 4), (10, 4)])
+        assert len(merged_b) == 2
+
+    def test_transitive_chain_merges_once(self):
+        bs = [
+            np.array([[x, 100.0], [x + 20.0, 100.0]]) for x in (0.0, 25.0, 50.0)
+        ]
+        merged_b, _ = G.merge_lines(bs, [(10, 4)] * 3)
+        assert len(merged_b) == 1
+
+    def test_deterministic_order_same_y(self):
+        b1 = np.array([[200.0, 100.0], [240.0, 100.0]])
+        b2 = np.array([[0.0, 100.0], [40.0, 100.0]])
+        for _ in range(3):
+            merged_b, _ = G.merge_lines([b1, b2], [(2, 1), (2, 1)])
+            assert merged_b[0][0, 0] == 0.0  # x tiebreak, never random
+
+
+class TestPolygonOps:
+    SQUARE = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+
+    def test_clip_inside(self):
+        tri = np.array([[2.0, 2.0], [4.0, 2.0], [3.0, 4.0]])
+        out = G.clip_polygon(tri, self.SQUARE)
+        assert G.polygon_area(out) == pytest.approx(G.polygon_area(tri))
+
+    def test_clip_crossing(self):
+        rect = np.array([[5.0, 2.0], [15.0, 2.0], [15.0, 4.0], [5.0, 4.0]])
+        out = G.clip_polygon(rect, self.SQUARE)
+        assert G.polygon_area(out) == pytest.approx(10.0)  # half survives
+        assert out[:, 0].max() == pytest.approx(10.0)
+
+    def test_clip_disjoint_empty(self):
+        rect = np.array([[20.0, 20.0], [30.0, 20.0], [30.0, 30.0], [20.0, 30.0]])
+        out = G.clip_polygon(rect, self.SQUARE)
+        assert G.polygon_area(out) == 0.0
+
+    def test_bbox_overlap(self):
+        assert G.bbox_overlaps((0, 0, 10, 10), (5, 5, 15, 15))
+        assert not G.bbox_overlaps((0, 0, 10, 10), (10, 0, 20, 10))  # touching
+
+
+class TestReadingOrder:
+    def test_band_sort(self):
+        ys = np.array([105.0, 10.0, 100.0, 12.0])
+        order = G.band_sort_order(ys, eps=20.0)
+        assert order == [1, 3, 2, 0]
+
+    def test_band_sort_eps_splits(self):
+        ys = np.array([0.0, 30.0, 60.0])
+        assert len(set(G.band_clusters(ys, eps=10.0))) == 3
+        assert len(set(G.band_clusters(ys, eps=40.0))) == 1
+
+    def test_xy_cut_side_by_side(self):
+        # smart_sorter.py:387-391 fixture: two columns, read left then right
+        boxes = [(20, 20, 100, 120), (120, 20, 220, 120)]
+        assert G.xy_cut_order(boxes) == [0, 1]
+
+    def test_xy_cut_grid_row_major(self):
+        boxes = [
+            (0, 0, 10, 10), (20, 0, 30, 10),
+            (0, 20, 10, 30), (20, 20, 30, 30),
+        ]
+        # two horizontal bands, each split into two columns
+        assert G.xy_cut_order(boxes) == [0, 1, 2, 3]
+
+    def test_xy_cut_interlocked_fallback(self):
+        # L-shaped interlock (smart_sorter.py:390-391): no clean cut →
+        # deterministic (y, x) fallback
+        boxes = [(50, 50, 200, 200), (120, 50, 300, 200)]
+        assert G.xy_cut_order(boxes) == [0, 1]
+
+    def test_xy_cut_column_layout(self):
+        # one full-width header then two columns below
+        boxes = [
+            (0, 0, 100, 10),
+            (0, 20, 45, 100), (55, 20, 100, 100),
+        ]
+        assert G.xy_cut_order(boxes) == [0, 1, 2]
