@@ -669,6 +669,128 @@ def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A1/A2/A3/J5 — error summary two-phase aggregation, confusion matrix,
+# power-mean quality, hyp↔ref compare. Hypotheses are a deterministic
+# corruption (a→x) of the reference spans so errors are non-trivial and
+# SQL-reproducible.
+# ---------------------------------------------------------------------------
+
+_TEXT_LINES_SQL = f"""
+{corpus.SPANS_CTE}
+, extracted AS (
+  SELECT doc_id, kind, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
+              AS BIGINT) AS ord
+  FROM spans
+  WHERE kind = 'media'
+     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
+)
+, tlines AS (
+  SELECT doc_id, 'l' || CAST(ord AS VARCHAR) AS line_id, ord,
+         text AS ref, replace(text, 'a', 'x') AS hyp
+  FROM extracted WHERE kind = 'text')
+"""
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import extract
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    return spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        F.concat(F.lit("l"), F.col("ord").cast("string")).alias("line_id"),
+        "ord",
+        F.col("text").alias("ref"),
+        F.translate(F.col("text"), "a", "x").alias("hyp"),
+    )
+
+
+@register(
+    "error_cer_summary",
+    _TEXT_LINES_SQL
+    + """
+SELECT doc_id,
+       CAST(sum(levenshtein(ref, hyp)) AS BIGINT) AS sum_dist,
+       CAST(sum(levenshtein(ref, hyp)) AS BIGINT) AS sum_subs,
+       CAST(0 AS BIGINT) AS sum_ins,
+       CAST(0 AS BIGINT) AS sum_dels,
+       CAST(sum(length(ref)) AS BIGINT) AS sum_ref_len,
+       round(sum(levenshtein(ref, hyp)) * 1.0 / sum(length(ref)), 6) AS cer
+FROM tlines GROUP BY doc_id
+""",
+)
+def q_error_cer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import errors
+
+    stats = errors.line_edit_stats(_pairs_df(spark, sf_dir))
+    return errors.cer_summary(stats, by="doc_id")
+
+
+@register(
+    "error_confusion_matrix",
+    _TEXT_LINES_SQL
+    + """
+, chars AS (
+  SELECT unnest(string_split(ref, '')) AS ref_char FROM tlines)
+SELECT ref_char,
+       CASE WHEN ref_char = 'a' THEN 'x' ELSE ref_char END AS hyp_char,
+       CAST(count(*) AS BIGINT) AS n
+FROM chars GROUP BY 1, 2
+""",
+)
+def q_error_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import errors
+
+    return errors.confusion_matrix(_pairs_df(spark, sf_dir))
+
+
+@register(
+    "quality_power_mean",
+    """
+    SELECT event_type,
+           round(pow(avg(value * value), 0.5), 4) AS power_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quality_power_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import errors
+
+    out = errors.power_mean_quality(
+        _t(spark, sf_dir, "events"), "value", "event_type", p=2.0
+    )
+    return out.withColumn("power_mean", F.round("power_mean", 4))
+
+
+@register(
+    "hyp_ref_compare",
+    _TEXT_LINES_SQL
+    + """
+SELECT coalesce(h.doc_id, r.doc_id) AS doc_id,
+       coalesce(h.line_id, r.line_id) AS line_id,
+       h.hyp IS NOT NULL AS in_hyp,
+       r.ref IS NOT NULL AS in_ref,
+       CASE WHEN h.hyp IS NOT NULL AND r.ref IS NOT NULL
+            THEN levenshtein(h.hyp, r.ref) END AS dist
+FROM (SELECT doc_id, line_id, hyp FROM tlines WHERE ord % 7 <> 2) h
+FULL OUTER JOIN (SELECT doc_id, line_id, ref FROM tlines WHERE ord % 11 <> 3) r
+  ON h.doc_id = r.doc_id AND h.line_id = r.line_id
+""",
+)
+def q_hyp_ref_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import errors
+
+    pairs = _pairs_df(spark, sf_dir)
+    hyp = pairs.filter(F.col("ord") % 7 != 2).select(
+        "doc_id", "line_id", F.col("hyp").alias("transcription")
+    )
+    ref = pairs.filter(F.col("ord") % 11 != 3).select(
+        "doc_id", "line_id", F.col("ref").alias("transcription")
+    )
+    return errors.hyp_ref_compare(hyp, ref)
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------
