@@ -103,12 +103,41 @@ def merge_lines(
             i = parent[i]
         return i
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            if mergeable(baselines[i], heights[i], baselines[j], heights[j]):
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
+    # vectorized candidate matrix (the analog of the reference's bbox
+    # candidate prune, layout_helpers.py:50-58): evaluate the merge
+    # predicate on numpy arrays for ALL pairs at once instead of a
+    # Python double loop — O(n²) memory on per-region n, which is
+    # bounded (a region holds at most a few thousand lines)
+    bs = [np.asarray(b, dtype=np.float64) for b in baselines]
+    ymean = np.array([b[:, 1].mean() for b in bs])
+    xmin = np.array([b[:, 0].min() for b in bs])
+    xmax = np.array([b[:, 0].max() for b in bs])
+    hsum = np.array([h[0] + h[1] for h in heights])
+    asc = np.array([h[0] for h in heights])
+    desc = np.array([h[1] for h in heights])
+
+    min_h = np.minimum.outer(hsum, hsum)
+    # h_overlap = min(y1+d1, y2+d2) - max(y1-a1, y2-a2)
+    lo = np.maximum.outer(ymean - asc, ymean - asc)
+    hi = np.minimum.outer(ymean + desc, ymean + desc)
+    h_overlap = hi - lo
+    contained = np.logical_or(
+        np.logical_and(
+            np.greater.outer(xmin, xmin), np.less.outer(xmax, xmax)
+        ),
+        np.logical_and(
+            np.greater.outer(xmin, xmin).T, np.less.outer(xmax, xmax).T
+        ),
+    )
+    gap = np.maximum(
+        np.subtract.outer(xmin, xmax), np.subtract.outer(xmin, xmax).T
+    )
+    ok = (h_overlap > 0.7 * min_h) & ~contained & (gap < 2 * min_h)
+    ii, jj = np.nonzero(np.triu(ok, k=1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
 
     groups: dict[int, list[int]] = {}
     for i in range(n):

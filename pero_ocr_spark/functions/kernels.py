@@ -271,6 +271,159 @@ def sparse_to_dense(
     return dense
 
 
+# ------------------------------------------------ forced alignment (R10)
+
+def force_align(
+    log_probs: np.ndarray, symbol_seq: list[int], blank: int
+) -> np.ndarray:
+    """CTC Viterbi forced alignment (core/force_alignment.py:13-37
+    semantics): expand the target to the 2n+1 blank-interleaved state
+    chain, run min-cost Viterbi over negative log-probs with
+    stay/advance/skip transitions (skip only between distinct chars),
+    constrain start to states {0,1} and end to the last two states.
+    Returns the per-frame emitted symbol (including blanks)."""
+    symbol_seq = list(symbol_seq)
+    if not symbol_seq:
+        raise ValueError("cannot align an empty symbol sequence")
+    if blank in symbol_seq:
+        raise ValueError("blank present in symbol sequence")
+    n_states = 2 * len(symbol_seq) + 1
+    states = np.full(n_states, blank, dtype=np.int64)
+    states[1::2] = symbol_seq
+    neg = -np.asarray(log_probs, dtype=np.float64)[:, states]  # (T, S)
+    t_frames = neg.shape[0]
+    if t_frames < len(symbol_seq):
+        raise ValueError("fewer frames than symbols")
+
+    INF = np.inf
+    cost = np.full(n_states, INF)
+    cost[0] = neg[0, 0]
+    cost[1] = neg[0, 1]
+    back = np.zeros((t_frames, n_states), dtype=np.int8)  # 0 stay, 1 prev, 2 skip
+    can_skip = np.zeros(n_states, dtype=bool)
+    for s in range(3, n_states, 2):
+        i = s // 2
+        if i < len(symbol_seq) and symbol_seq[i] != symbol_seq[i - 1]:
+            can_skip[s] = True
+
+    for t in range(1, t_frames):
+        stay = cost
+        prev = np.concatenate([[INF], cost[:-1]])
+        skip = np.concatenate([[INF, INF], cost[:-2]])
+        skip = np.where(can_skip, skip, INF)
+        stacked = np.stack([stay, prev, skip])
+        choice = np.argmin(stacked, axis=0)
+        cost = stacked[choice, np.arange(n_states)] + neg[t]
+        back[t] = choice
+
+    end = n_states - 1 if cost[n_states - 1] <= cost[n_states - 2] else n_states - 2
+    if not np.isfinite(cost[end]):
+        raise ValueError("no valid alignment path")
+    path = np.zeros(t_frames, dtype=np.int64)
+    s = end
+    for t in range(t_frames - 1, -1, -1):
+        path[t] = s
+        s -= int(back[t, s])
+    return states[path]
+
+
+# --------------------------------------------- confusion networks (R14)
+
+def add_hypothesis(cn: list[dict], transcript: str, score: float) -> list[dict]:
+    """Accumulate a hypothesis into a confusion network (sausage):
+    align the transcript to the pivot (per-position best symbol), add
+    score mass to matched/substituted arcs, insert new positions for
+    transcript-only chars (confusion_networks.py:13-53 semantics).
+    ``None`` arcs are epsilons."""
+    if not cn:
+        return [{sym: score} for sym in transcript]
+    pivot = ["" if p is None else p for p in (best_arc(pos) for pos in cn)]
+    total_weight = sum(sum(p.values()) for p in cn) / len(cn)
+    pairs = align_strings(list(transcript), pivot)
+    out = []
+    cn_ptr = 0
+    for t_char, p_char in pairs:
+        if t_char is None:  # cn advances alone → epsilon mass
+            pos = cn[cn_ptr]
+            pos[None] = pos.get(None, 0.0) + score
+            out.append(pos)
+            cn_ptr += 1
+        elif p_char is None:  # transcript-only → new sausage position
+            out.append({None: total_weight, t_char: score})
+        else:
+            pos = cn[cn_ptr]
+            pos[t_char] = pos.get(t_char, 0.0) + score
+            out.append(pos)
+            cn_ptr += 1
+    out.extend(cn[cn_ptr:])
+    return out
+
+
+def best_arc(position: dict):
+    return max(position.items(), key=lambda kv: (kv[1], str(kv[0])))[0]
+
+
+def confusion_network(
+    hyps: list[tuple[str, float, float]],
+    visual_weight: float = 1.0,
+    lm_weight: float = 1.0,
+    normalize: bool = True,
+) -> list[dict]:
+    """Sausage from a hypothesis list [(text, vis_sc, lm_sc)]."""
+    cn: list[dict] = []
+    for text, vis, lm in hyps:
+        cn = add_hypothesis(cn, text, math.exp(visual_weight * vis + lm_weight * lm))
+    if normalize:
+        for pos in cn:
+            z = sum(pos.values())
+            for k in pos:
+                pos[k] /= z
+    return cn
+
+
+def best_cn_path(cn: list[dict]) -> str:
+    syms = [best_arc(pos) for pos in cn]
+    return "".join(s for s in syms if s is not None)
+
+
+def cn_paths(cn: list[dict]) -> list[tuple[str, float]]:
+    """All paths through the sausage with their probabilities, sorted
+    by probability desc (then text, deterministic)."""
+    paths = [("", 1.0)]
+    for pos in cn:
+        paths = [
+            (text + (sym if sym is not None else ""), p * w)
+            for text, p in paths
+            for sym, w in pos.items()
+        ]
+    return sorted(paths, key=lambda x: (-x[1], x[0]))
+
+
+# -------------------------------------------------- narrow label (R17)
+
+def narrow_label(
+    label: np.ndarray, logits: np.ndarray, blank: int
+) -> np.ndarray:
+    """Collapse each run of repeated non-blank symbols to the single
+    frame with the highest logit for that symbol; other frames become
+    blank (ocr_engine/postprocess.py:12-41 semantics)."""
+    label = np.asarray(label).copy()
+    n = len(label)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and label[j] == label[i]:
+            j += 1
+        if label[i] != blank and j - i > 1:
+            run = np.arange(i, j)
+            keep = run[np.argmax(logits[run, label[i]])]
+            sym = label[i]
+            label[run] = blank
+            label[keep] = sym
+        i = j
+    return label
+
+
 # ----------------------------------------------------- edit distance
 
 def edit_stats(ref: str, hyp: str) -> tuple[int, int, int, int]:

@@ -67,12 +67,45 @@ def synth_line_logits(text: str) -> np.ndarray:
     return mat
 
 
+LOGITS_DDL = (
+    "doc_id long, line_id string, t int, c int, data array<float>, "
+    "indices array<int>, indptr array<int>"
+)
+
+
+def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas generator: (doc_id, line_id, text) → sparse logits."""
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "line_id": pdf["line_id"],
+            "t": [],
+            "c": [],
+            "data": [],
+            "indices": [],
+            "indptr": [],
+        }
+        for text in pdf["text"]:
+            dense = synth_line_logits(text)
+            data, indices, indptr = kernels.dense_to_sparse(dense)
+            out["t"].append(dense.shape[0])
+            out["c"].append(dense.shape[1])
+            out["data"].append(np.asarray(data, dtype=np.float32))
+            out["indices"].append(np.asarray(indices, dtype=np.int32))
+            out["indptr"].append(np.asarray(indptr, dtype=np.int32))
+        yield pd.DataFrame(out)
+
+
+def logits_from_lines(lines: DataFrame) -> DataFrame:
+    """(doc_id, line_id, text) → sparse logits table (schemas.LOGITS)."""
+    return lines.mapInPandas(_synth_batches, schema=LOGITS_DDL)
+
+
 def logits_table(spark: SparkSession, sf_dir: str, max_lines: int | None = None) -> DataFrame:
     """Build the sparse logits table from extracted text spans.
 
     Each text span = one line; logits synthesized in a mapInPandas
-    stage (vectorized per batch), csc-encoded. Output schema =
-    schemas.LOGITS.
+    stage (vectorized per batch), csc-encoded.
     """
     from pero_ocr_spark import corpus
     from pero_ocr_spark.operators import extract
@@ -85,33 +118,7 @@ def logits_table(spark: SparkSession, sf_dir: str, max_lines: int | None = None)
     )
     if max_lines is not None:
         lines = lines.limit(max_lines)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"],
-                "line_id": pdf["line_id"],
-                "t": [],
-                "c": [],
-                "data": [],
-                "indices": [],
-                "indptr": [],
-            }
-            for text in pdf["text"]:
-                dense = synth_line_logits(text)
-                data, indices, indptr = kernels.dense_to_sparse(dense)
-                out["t"].append(dense.shape[0])
-                out["c"].append(dense.shape[1])
-                out["data"].append(np.asarray(data, dtype=np.float32))
-                out["indices"].append(np.asarray(indices, dtype=np.int32))
-                out["indptr"].append(np.asarray(indptr, dtype=np.int32))
-            yield pd.DataFrame(out)
-
-    schema = (
-        "doc_id long, line_id string, t int, c int, data array<float>, "
-        "indices array<int>, indptr array<int>"
-    )
-    return lines.mapInPandas(gen, schema=schema)
+    return logits_from_lines(lines)
 
 
 # ----------------------------------------------------------- decode
@@ -122,23 +129,68 @@ _DECODE_SCHEMA = (
 )
 
 
-def decode_greedy(logits_df: DataFrame) -> DataFrame:
-    """Greedy CTC decode + worst-best-run confidence, Arrow-batched.
+def _decode_batch_greedy(pdf: pd.DataFrame) -> tuple[list, list, list]:
+    """Vectorized greedy decode of one Arrow batch: reconstruct all
+    lines into a single (N, Tmax, C) padded tensor, argmax/normalize
+    once, then do only the string joins per line. ~10x over a per-line
+    kernel loop — padding is the price, bounded by the length-packed
+    partitioning (pack_by_length keeps similar T per batch)."""
+    n = len(pdf)
+    blank = len(CHARSET) - 1
+    ts = pdf["t"].to_numpy()
+    tmax = int(ts.max()) if n else 0
+    c = int(pdf["c"].iloc[0])
+    # float32 throughout: the logsumexp over (N, Tmax, C) is memory-
+    # bandwidth-bound at high core counts; halving the element size
+    # nearly doubles multi-core throughput. Confidence precision loss
+    # (~1e-7) is far below the 1e-6 reporting granularity.
+    tensor = np.full((n, tmax, c), -80.0, dtype=np.float32)
+    for k, (t, data, indices, indptr) in enumerate(
+        zip(ts, pdf["data"], pdf["indices"], pdf["indptr"])
+    ):
+        dense = kernels.sparse_to_dense(data, indices, indptr, int(t), c)
+        tensor[k, : int(t)] = dense.astype(np.float32, copy=False)
+    # pad frames emit blank with certainty → they collapse away and
+    # don't affect run confidences (prob 1 runs)
+    tensor[:, :, blank] = np.where(
+        np.arange(tmax)[None, :] < ts[:, None], tensor[:, :, blank], 0.0
+    )
+    lp = tensor - np.logaddexp.reduce(tensor, axis=2, keepdims=True)
+    ids = np.argmax(lp, axis=2)
+    best = np.take_along_axis(lp, ids[:, :, None], axis=2)[:, :, 0]
 
-    The fast path (R3/R7): pure numpy per batch, no model state.
-    """
+    texts, confs, scores = [], [], []
+    frame_mask = np.arange(tmax)[None, :] < ts[:, None]
+    for k in range(n):
+        row_ids = ids[k]
+        keep = np.ones(tmax, dtype=bool)
+        keep[1:] = row_ids[1:] != row_ids[:-1]
+        collapsed = row_ids[keep & frame_mask[k]]
+        texts.append("".join(CHARSET[i] for i in collapsed if i != blank))
+        # worst best-run probability over real frames
+        rb = np.exp(best[k])
+        starts = np.flatnonzero(
+            np.concatenate(([True], row_ids[1:] != row_ids[:-1]))
+        )
+        run_max = np.maximum.reduceat(np.where(frame_mask[k], rb, -1.0), starts)
+        real_runs = run_max[run_max >= 0]
+        confs.append(float(real_runs.min()) if len(real_runs) else 1.0)
+        m = best[k][frame_mask[k]]
+        mx = float(m.max())
+        scores.append(mx + float(np.log(np.sum(np.exp(m - mx)))))
+    return texts, confs, scores
+
+
+def decode_greedy(logits_df: DataFrame) -> DataFrame:
+    """Greedy CTC decode + worst-best-run confidence, Arrow-batched and
+    batch-vectorized (R3/R7): one padded tensor per batch, no per-line
+    numpy round trips."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts, confs, scores = [], [], []
-            for t, c, data, indices, indptr in zip(
-                pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
-            ):
-                dense = kernels.sparse_to_dense(data, indices, indptr, int(t), int(c))
-                text, score = kernels.greedy_decode(dense, CHARSET)
-                texts.append(text)
-                confs.append(kernels.line_confidence(dense))
-                scores.append(score)
+            if len(pdf) == 0:
+                continue
+            texts, confs, scores = _decode_batch_greedy(pdf)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -244,15 +296,61 @@ def decode_beam_lm_carry(
     )
 
 
+def recognize_lines(lines: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fused recognition fast path: synthesize logits AND greedy-decode
+    inside ONE mapInPandas stage — no logits checkpoint, no shuffle of
+    sparse-array columns (the store-then-decode path keeps those for
+    resumability; this is the single-pass mode, reference analog: OCR
+    without logits export, ``parse_folder.py`` default).
+
+    Input: (doc_id, line_id, text). Lines are range-packed by text
+    length BEFORE the python stage (length(text) is the frame-count
+    proxy), so each Arrow batch holds similar-T lines — minimal padding
+    in the batched decoder, only small string rows cross the wire.
+    """
+    n = partitions or lines.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    packed = lines.repartitionByRange(
+        int(n), F.length("text"), "doc_id", "line_id"
+    ).sortWithinPartitions(F.length("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _synth_batches(batches):
+            if len(pdf) == 0:
+                continue
+            texts, confs, scores = _decode_batch_greedy(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_id": pdf["line_id"],
+                    "transcription": texts,
+                    "confidence": confs,
+                    "score": scores,
+                }
+            )
+
+    return packed.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
 def pack_by_length(logits_df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Range-partition + sort lines by frame count so each Arrow batch
     holds similar-length lines — the table-scale analog of the
     reference's width-sorted pixel-budget batch packing
-    (``line_ocr_engine.py:54-55,79-91``), which is its skew handling."""
+    (``line_ocr_engine.py:54-55,79-91``), which is its skew handling.
+
+    The range keys include (doc_id, line_id) after ``t``: frame count
+    alone can be LOW-CARDINALITY (short-word corpora have ~15 distinct
+    values), and range partitioning on it collapses nearly all rows
+    into a few partitions — measured as a 1.1x N→4N speedup instead of
+    ~4x. The high-cardinality tiebreaks spread rows evenly while still
+    clustering similar lengths per partition."""
     n = partitions or logits_df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    return logits_df.repartitionByRange(int(n), "t").sortWithinPartitions("t")
+    return logits_df.repartitionByRange(
+        int(n), "t", "doc_id", "line_id"
+    ).sortWithinPartitions("t")
 
 
 def filter_confident_lines(decoded: DataFrame, threshold: float) -> DataFrame:

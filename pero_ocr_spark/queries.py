@@ -791,6 +791,51 @@ def q_hyp_ref_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J4 — merge_ocr_results over two engine outputs (union + argmax by
+# confidence with deterministic tiebreak, merge_ocr_results.py:50-75).
+# Engine A = clean reference (conf 1.0), engine B = corrupted (conf 0.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_ocr_engines",
+    _TEXT_LINES_SQL
+    + """
+, unioned AS (
+  SELECT doc_id, line_id, ref AS transcription, 1.0 AS confidence, 'engA' AS engine
+  FROM tlines
+  UNION ALL
+  SELECT doc_id, line_id, hyp, 0.5, 'engB' FROM tlines)
+SELECT doc_id, line_id, transcription, engine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, line_id
+    ORDER BY confidence DESC, engine) AS rn
+  FROM unioned)
+WHERE rn = 1
+""",
+)
+def q_merge_ocr_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import merge
+
+    pairs = _pairs_df(spark, sf_dir)
+    eng_a = pairs.select(
+        "doc_id",
+        "line_id",
+        F.col("ref").alias("transcription"),
+        F.lit(1.0).alias("confidence"),
+        F.lit("engA").alias("engine"),
+    )
+    eng_b = pairs.select(
+        "doc_id",
+        "line_id",
+        F.col("hyp").alias("transcription"),
+        F.lit(0.5).alias("confidence"),
+        F.lit("engB").alias("engine"),
+    )
+    return merge.merge_ocr_results([eng_a, eng_b])
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------
