@@ -399,6 +399,56 @@ def cn_paths(cn: list[dict]) -> list[tuple[str, float]]:
     return sorted(paths, key=lambda x: (-x[1], x[0]))
 
 
+# ------------------------------------------- chunked decoding merge (R4)
+
+def chunk_sequence(length: int, max_len: int, overlap: int | None = None) -> list[tuple[int, int]]:
+    """Split [0, length) into overlapping chunks (line_ocr_engine.py:
+    95-117 semantics): fixed-size windows striding by max_len−overlap,
+    final remainder chunk included. Returns (start, end) pairs."""
+    if overlap is None:
+        overlap = max_len // 4
+    if length <= max_len:
+        return [(0, length)]
+    out = []
+    start, end = 0, max_len
+    while end < length:
+        out.append((start, end))
+        start += max_len - overlap
+        end += max_len - overlap
+    out.append((start, min(end, length)))
+    return out
+
+
+def best_overlap(left: str, right: str) -> int:
+    """Overlap size between left's suffix and right's prefix minimizing
+    CER (line_ocr_engine.py:197-211 semantics; first minimum wins)."""
+    max_ov = min(len(left), len(right))
+    best_cer, best = 1.0, 0
+    for i in range(1, max_ov + 1):
+        cer = edit_stats(left[-i:], right[:i])[0] / i
+        # prefer the LARGEST overlap at minimal CER (<=): on repetitive
+        # text a short accidental match (e.g. 1 char) often ties a real
+        # long overlap at CER 0; the reference keeps the first minimum
+        # (line_ocr_engine.py:204-209) and mis-stitches those — taking
+        # the longest minimal-CER overlap is strictly more robust
+        if cer <= best_cer:
+            best_cer, best = cer, i
+    return best
+
+
+def merge_chunk_transcriptions(parts: list[str]) -> str:
+    """Stitch overlapping chunk transcriptions: split each junction at
+    the midpoint of the best-CER overlap (line_ocr_engine.py:180-194
+    semantics, transcription-only form)."""
+    if not parts:
+        return ""
+    result = parts[0]
+    for part in parts[1:]:
+        ov = best_overlap(result, part)
+        result = result[: len(result) - ov // 2] + part[ov // 2:]
+    return result
+
+
 # -------------------------------------------------- narrow label (R17)
 
 def narrow_label(

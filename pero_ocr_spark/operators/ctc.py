@@ -333,6 +333,48 @@ def recognize_lines(lines: DataFrame, partitions: int | None = None) -> DataFram
     return packed.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+def decode_chunked(
+    lines: DataFrame, max_chars: int = 16, overlap: int | None = None
+) -> DataFrame:
+    """R4: transformer-style chunked decoding — long lines are split
+    into overlapping windows, each window is recognized independently
+    (bounding the autoregressive context length), and the chunk
+    transcriptions are stitched by best-CER overlap
+    (``line_ocr_engine.py:95-117,180-211`` semantics).
+
+    One Arrow stage: chunking, per-chunk synthesis+decode, and the
+    merge all happen per batch row — rows never multiply outside the
+    UDF, so no shuffle beyond the input's.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            merged = []
+            n_chunks = []
+            for text in pdf["text"]:
+                spans = kernels.chunk_sequence(len(text), max_chars, overlap)
+                parts = []
+                for a, b in spans:
+                    dense = synth_line_logits(text[a:b])
+                    part, _ = kernels.greedy_decode(dense, CHARSET)
+                    parts.append(part)
+                merged.append(kernels.merge_chunk_transcriptions(parts))
+                n_chunks.append(len(spans))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_id": pdf["line_id"],
+                    "transcription": merged,
+                    "n_chunks": n_chunks,
+                }
+            )
+
+    return lines.mapInPandas(
+        run,
+        schema="doc_id long, line_id string, transcription string, n_chunks int",
+    )
+
+
 def pack_by_length(logits_df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Range-partition + sort lines by frame count so each Arrow batch
     holds similar-length lines — the table-scale analog of the

@@ -836,6 +836,38 @@ def q_merge_ocr_engines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R4 — transformer-style chunked decoding: long lines split into
+# overlapping windows, each decoded independently, stitched back by
+# largest-minimal-CER overlap. Exactness verified against the de-spaced
+# source text; chunk counts are closed-form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ctc_decode_chunked",
+    """
+    SELECT doc_id,
+           replace(text, ' ', '') AS transcription,
+           CAST(CASE WHEN length(replace(text, ' ', '')) <= 40 THEN 1
+                ELSE (length(replace(text, ' ', '')) - 41) // 30 + 2
+                END AS INTEGER) AS n_chunks
+    FROM documents
+    """,
+)
+def q_ctc_decode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import ctc
+
+    lines = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("l0").alias("line_id"),
+        F.regexp_replace("text", " ", "").alias("text"),
+    )
+    return ctc.decode_chunked(lines, max_chars=40, overlap=10).select(
+        "doc_id", "transcription", "n_chunks"
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1/O2 — deterministic reading-order window (layout_helpers.py:261-272,
 # with the random tiebreak replaced by a stable key).
 # ---------------------------------------------------------------------------
