@@ -344,8 +344,13 @@ def decode_chunked(
 
     One Arrow stage: chunking, per-chunk synthesis+decode, and the
     merge all happen per batch row — rows never multiply outside the
-    UDF, so no shuffle beyond the input's.
+    UDF. The input is hash-repartitioned first so a single-row-group
+    source (KB-sized sandbox parquet) doesn't serialize the stage.
     """
+    n = int(
+        lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    lines = lines.repartition(n, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
