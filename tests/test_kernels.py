@@ -100,6 +100,19 @@ class TestBeam:
         with pytest.raises(ValueError):
             beam([[-10.0, N80, N80, -10.0]])
 
+    def test_beam_corrects_greedy_on_split_mass(self):
+        # P(a)=0.4, P(blank)=0.6 per frame over 2 frames: greedy's
+        # frame-wise argmax yields '' but the summed path mass of 'a'
+        # (aa, a·blank, blank·a = 0.64) beats '' (0.36) — the classic
+        # justification for prefix beam search over greedy decoding
+        lp = np.log(np.asarray([[0.4, 1e-9, 1e-9, 0.6]] * 2))
+        lp = lp - np.log(np.sum(np.exp(lp), axis=1, keepdims=True))
+        greedy_text, _ = kernels.greedy_decode(lp, ABC)
+        assert greedy_text == ""
+        hyps, _ = kernels.ctc_beam_search(lp, ABC, beam_size=4)
+        assert hyps[0][0] == "a"
+        assert hyps[0][1] == pytest.approx(math.log(0.64), abs=1e-6)
+
     def test_lm_fusion_prefers_boosted_bigram(self):
         # visual evidence is ambiguous between 'ab' and 'ac'; LM boosts a→b
         lm = kernels.NGramLM(ABC, boost={("a", "b"): 3.0})
