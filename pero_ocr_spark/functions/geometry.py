@@ -228,6 +228,37 @@ def bbox_overlaps(b1, b2) -> bool:
     )
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain convex hull (counter-clockwise). The
+    shapely-free stand-in for the reference's alpha-shape region
+    retrace (``layout_helpers.py:78-92,160-181``): a region polygon
+    recomputed from its line polygons' points."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def retrace_region(line_polygons: list[np.ndarray]) -> np.ndarray:
+    """L16: region polygon = hull of all its textline polygon points."""
+    return convex_hull(np.concatenate([np.asarray(p) for p in line_polygons]))
+
+
 # ------------------------------------------- reading order (O3 / O4)
 
 def band_clusters(ys: np.ndarray, eps: float) -> np.ndarray:
