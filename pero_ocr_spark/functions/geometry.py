@@ -228,6 +228,44 @@ def bbox_overlaps(b1, b2) -> bool:
     )
 
 
+def stretch_baseline(
+    baseline: np.ndarray, x0: float, x1: float, max_extend: float | None = None
+) -> np.ndarray:
+    """L17: stretch a baseline horizontally toward region bounds
+    [x0, x1] (``line_postprocessing_engine.py`` semantics, simplified
+    to straight extrapolation of the end segments); ``max_extend``
+    caps the growth per side (the ±k px variant)."""
+    b = np.asarray(baseline, dtype=np.float64).copy()
+    order = np.argsort(b[:, 0], kind="stable")
+    b = b[order]
+    lo = b[0, 0] - x0
+    hi = x1 - b[-1, 0]
+    if max_extend is not None:
+        lo = min(lo, max_extend)
+        hi = min(hi, max_extend)
+    if lo > 0:
+        b[0, 0] -= lo
+    if hi > 0:
+        b[-1, 0] += hi
+    return b
+
+
+def dominant_line(
+    baselines: list[np.ndarray], heights: list[tuple[float, float]]
+) -> int:
+    """L17 variant: index of the single dominant line in a region —
+    the widest one, ties by (y, x) for determinism."""
+    widths = [float(np.ptp(np.asarray(b)[:, 0])) for b in baselines]
+    return min(
+        range(len(baselines)),
+        key=lambda i: (
+            -widths[i],
+            float(np.asarray(baselines[i])[0, 1]),
+            float(np.asarray(baselines[i])[0, 0]),
+        ),
+    )
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain convex hull (counter-clockwise). The
     shapely-free stand-in for the reference's alpha-shape region

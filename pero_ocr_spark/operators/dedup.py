@@ -165,6 +165,53 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over the near-dup pair graph → canonical
+    cluster ids (the dedup end-step: every document maps to the
+    minimum doc_id of its duplicate component).
+
+    Iterative min-label propagation in plain DataFrame ops — the
+    GraphFrames-free formulation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are tiny, so 2-3).
+    Each round is one shuffle; the loop stops early at fixpoint.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 # --------------------------------------------------------------- simhash
 
 def _portable_word_hash(col):

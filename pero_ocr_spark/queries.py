@@ -159,6 +159,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@register(
+    "dedup_duplicate_clusters",
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+  WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+r AS (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+  SELECT * FROM reach)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a
+""",
+)
+def q_dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
 _PORTABLE_HASH_DUCK = (
     "list_reduce(list_prepend(0::BIGINT, "
     "list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), "
