@@ -407,6 +407,12 @@ def chunk_sequence(length: int, max_len: int, overlap: int | None = None) -> lis
     final remainder chunk included. Returns (start, end) pairs."""
     if overlap is None:
         overlap = max_len // 4
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    if overlap < 0 or overlap >= max_len:
+        # stride max_len - overlap would be <= 0: the while loop below
+        # would never advance — fail fast instead of hanging a task
+        raise ValueError(f"overlap must be in [0, max_len), got {overlap}")
     if length <= max_len:
         return [(0, length)]
     out = []
@@ -419,18 +425,60 @@ def chunk_sequence(length: int, max_len: int, overlap: int | None = None) -> lis
     return out
 
 
+def _kmp_failure(s: str) -> list[int]:
+    """KMP failure function: pi[i] = longest proper border of s[:i+1]."""
+    pi = [0] * len(s)
+    k = 0
+    for i in range(1, len(s)):
+        while k and s[i] != s[k]:
+            k = pi[k - 1]
+        if s[i] == s[k]:
+            k += 1
+        pi[i] = k
+    return pi
+
+
+def _lev_dist_np(a: str, b: str) -> int:
+    """Levenshtein distance, row-vectorized: the loop-carried insert
+    dependency cur[b] = min(base[b-1], cur[b-1]+1) unrolls to
+    cur[b] = b + running_min(y)[b] with y = [row, base - index], so
+    each DP row is one np.minimum.accumulate — O(len(a)) python
+    iterations, no per-cell python."""
+    la = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    lb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    m = len(lb)
+    idx = np.arange(m + 1, dtype=np.int64)
+    prev = idx.copy()
+    for r, ch in enumerate(la, 1):
+        base = np.minimum(prev[:-1] + (lb != ch), prev[1:] + 1)
+        y = np.concatenate(([np.int64(r)], base - idx[1:]))
+        prev = np.minimum.accumulate(y) + idx
+    return int(prev[m])
+
+
 def best_overlap(left: str, right: str) -> int:
     """Overlap size between left's suffix and right's prefix minimizing
-    CER (line_ocr_engine.py:197-211 semantics; first minimum wins)."""
-    max_ov = min(len(left), len(right))
+    CER (line_ocr_engine.py:197-211 semantics), preferring the LARGEST
+    overlap at minimal CER: on repetitive text a short accidental match
+    (e.g. 1 char) often ties a real long overlap at CER 0; the
+    reference keeps the first minimum (line_ocr_engine.py:204-209) and
+    mis-stitches those — the longest minimal-CER overlap is strictly
+    more robust.
+
+    Fast path: if ANY exact suffix/prefix overlap exists, CER 0 is the
+    global minimum and the answer is the longest exact overlap — the
+    longest border of right[:M] + sep + left[-M:], one O(M) KMP pass.
+    Only junctions with no exact overlap (noisy decodes) pay the
+    per-candidate DP, and that DP is row-vectorized."""
+    m = min(len(left), len(right))
+    if m == 0:
+        return 0
+    pi = _kmp_failure(right[:m] + "\x00" + left[-m:])
+    if pi[-1] > 0:
+        return pi[-1]
     best_cer, best = 1.0, 0
-    for i in range(1, max_ov + 1):
-        cer = edit_stats(left[-i:], right[:i])[0] / i
-        # prefer the LARGEST overlap at minimal CER (<=): on repetitive
-        # text a short accidental match (e.g. 1 char) often ties a real
-        # long overlap at CER 0; the reference keeps the first minimum
-        # (line_ocr_engine.py:204-209) and mis-stitches those — taking
-        # the longest minimal-CER overlap is strictly more robust
+    for i in range(1, m + 1):
+        cer = _lev_dist_np(left[-i:], right[:i]) / i
         if cer <= best_cer:
             best_cer, best = cer, i
     return best

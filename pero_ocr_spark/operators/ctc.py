@@ -333,6 +333,36 @@ def recognize_lines(lines: DataFrame, partitions: int | None = None) -> DataFram
     return packed.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+def _greedy_texts_batch(
+    denses: list[np.ndarray], slice_size: int = 2048
+) -> list[str]:
+    """Greedy-decode a list of dense logit matrices as padded tensors —
+    texts only (no confidences; argmax is softmax-invariant, so no
+    normalization either). Processes ``slice_size`` matrices per
+    tensor to bound padding memory. Pad frames are masked out of the
+    collapse and cannot merge with real frames (they only follow
+    them), so the blank column needs no touching."""
+    texts: list[str] = []
+    blank = len(CHARSET) - 1
+    for s in range(0, len(denses), slice_size):
+        chunk = denses[s : s + slice_size]
+        ts = np.array([d.shape[0] for d in chunk])
+        tmax = int(ts.max())
+        c = chunk[0].shape[1]
+        tensor = np.full((len(chunk), tmax, c), -80.0, dtype=np.float32)
+        for k, d in enumerate(chunk):
+            tensor[k, : d.shape[0]] = d
+        ids = np.argmax(tensor, axis=2)
+        frame_idx = np.arange(tmax)
+        for k in range(len(chunk)):
+            row = ids[k]
+            keep = np.ones(tmax, dtype=bool)
+            keep[1:] = row[1:] != row[:-1]
+            collapsed = row[keep & (frame_idx < ts[k])]
+            texts.append("".join(CHARSET[i] for i in collapsed if i != blank))
+    return texts
+
+
 def decode_chunked(
     lines: DataFrame, max_chars: int = 16, overlap: int | None = None
 ) -> DataFrame:
@@ -342,10 +372,15 @@ def decode_chunked(
     transcriptions are stitched by best-CER overlap
     (``line_ocr_engine.py:95-117,180-211`` semantics).
 
-    One Arrow stage: chunking, per-chunk synthesis+decode, and the
-    merge all happen per batch row — rows never multiply outside the
-    UDF. The input is hash-repartitioned first so a single-row-group
-    source (KB-sized sandbox parquet) doesn't serialize the stage.
+    One Arrow stage: chunking, batched synthesis+decode, and the merge
+    all happen per batch — rows never multiply outside the UDF. The
+    input is hash-repartitioned first so a single-row-group source
+    (KB-sized sandbox parquet) doesn't serialize the stage.
+
+    All chunks of a batch decode through ONE padded tensor
+    (``_greedy_texts_batch``, sliced to bound padding memory) instead
+    of a per-chunk kernel loop — the same batch-vectorization as
+    ``_decode_batch_greedy``.
     """
     n = int(
         lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -354,23 +389,25 @@ def decode_chunked(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            merged = []
-            n_chunks = []
+            denses: list[np.ndarray] = []
+            counts: list[int] = []
             for text in pdf["text"]:
                 spans = kernels.chunk_sequence(len(text), max_chars, overlap)
-                parts = []
-                for a, b in spans:
-                    dense = synth_line_logits(text[a:b])
-                    part, _ = kernels.greedy_decode(dense, CHARSET)
-                    parts.append(part)
-                merged.append(kernels.merge_chunk_transcriptions(parts))
-                n_chunks.append(len(spans))
+                counts.append(len(spans))
+                denses.extend(synth_line_logits(text[a:b]) for a, b in spans)
+            texts = _greedy_texts_batch(denses)
+            merged, pos = [], 0
+            for nch in counts:
+                merged.append(
+                    kernels.merge_chunk_transcriptions(texts[pos : pos + nch])
+                )
+                pos += nch
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "line_id": pdf["line_id"],
                     "transcription": merged,
-                    "n_chunks": n_chunks,
+                    "n_chunks": counts,
                 }
             )
 

@@ -73,9 +73,11 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact jaccard for doc pairs sharing ≥1 shingle (optionally
-    restricted to candidate ``pairs(doc_a, doc_b)``)."""
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Exact jaccard for ALL doc pairs sharing ≥1 shingle — the
+    inverted-index self-join. This is the exact baseline's engine; the
+    LSH path verifies candidates pair-wise instead (``_verify_pairs``)
+    so non-candidate pairs never enter a shuffle."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -85,8 +87,6 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
-    if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
     return (
         common.join(sizes.withColumnRenamed("n", "na"), common.doc_a == sizes.doc_id)
         .drop("doc_id")
@@ -95,6 +95,41 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
             common.doc_b == F.col("doc_id_b"),
         )
         .drop("doc_id_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _verify_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact jaccard for candidate pairs ONLY: join each side of the
+    pair list to the per-doc shingle SET (one collect_set groupBy) and
+    intersect the two arrays. Cost ∝ |candidates|, never ∝ co-shingled
+    pairs — the full inverted-index self-join is never built, so the
+    LSH pruning actually prunes. Two shuffles on doc id; per-doc
+    shingle arrays are bounded by document length."""
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
+    )
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        F.col("n").alias("na"),
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        F.col("n").alias("nb"),
+    )
+    common = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", common)
         .select(
             "doc_a",
             "doc_b",
@@ -162,7 +197,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(sh, pairs=cands).filter(F.col("jaccard") >= threshold)
+    return _verify_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
@@ -175,15 +210,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     of its own label and its neighbors' labels; converges in
     O(component diameter) rounds (near-dup clusters are tiny, so 2-3).
     Each round is one shuffle; the loop stops early at fixpoint.
+
+    Iteration state handling: the edge list is materialized ONCE
+    (persist) so the upstream pair pipeline (shingling/minhash/LSH)
+    never re-executes, and each round's labels are localCheckpoint-ed
+    so the plan doesn't deepen and the fixpoint count() is a cheap
+    scan of cached partitions. On a fault-tolerant cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
+    instead of localCheckpoint.
     """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).persist()
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -191,24 +235,22 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

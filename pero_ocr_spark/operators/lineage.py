@@ -126,22 +126,81 @@ def corpus_spans_for(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.expr(_SPANS_ARRAY_EXPR).alias("spans"))
 
 
+_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_salts(spark: SparkSession, n: int) -> list[int]:
+    """salt[pid] = an int whose murmur3 hash routes to shuffle
+    partition ``pid`` under HashPartitioning(n) (``repartition(n,
+    col)`` computes ``pmod(hash(col), n)``). Probed once per ``n``
+    over a CONSTANT range (64·n rows, data-independent — this is
+    plan-time metadata, not a scan of the input), then cached."""
+    if n not in _SALT_CACHE:
+        probe = (
+            spark.range(0, 64 * n)
+            .select(
+                F.col("id").cast("int").alias("s"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("pid"),
+            )
+            .groupBy("pid")
+            .agg(F.min("s").alias("s"))
+            .collect()
+        )
+        m = {r["pid"]: r["s"] for r in probe}
+        if len(m) != n:  # P[a residue unhit in 64n uniform probes] ≈ n·e⁻⁶⁴
+            raise RuntimeError(f"salt probe covered {len(m)}/{n} partitions")
+        _SALT_CACHE[n] = [m[p] for p in range(n)]
+    return _SALT_CACHE[n]
+
+
 def repartition_weighted(
-    df: DataFrame, weight_col: str, target_weight: float, key: str = "doc_id"
+    df: DataFrame,
+    weight_col: str,
+    target_weight: float,
+    key: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Pack rows into partitions by cumulative weight: a global ordered
-    cumsum over ``weight_col`` assigns pack ids of ~target_weight each,
-    then a repartition on pack id. Costs one extra shuffle + window;
-    use before UDF stages whose cost ∝ weight (frames, pixels, spans).
+    """Pack rows into partitions of ~target_weight cumulative weight —
+    fully distributed, no global sort, no driver action over the data:
+
+      1. hash rows into ``n`` buckets on ``key``;
+      2. cumsum ``weight_col`` WITHIN each bucket (window partitioned
+         by bucket — parallel, never a single-task exchange);
+      3. per-bucket totals get prefix-sum offsets via a window over
+         the n-row aggregate (bounded by bucket COUNT, not data size),
+         broadcast-joined back;
+      4. global pack id = floor((offset + local cumsum) / target) —
+         every pack holds ≤ target + one row of weight;
+      5. packs route round-robin (pack mod n) onto physical partitions
+         through a precomputed hash-inverse salt per partition id, so
+         the mapping is EXACT (no hash collisions piling two heavy
+         packs together) and the partition count is a plan-time
+         constant — the old version collect()ed max(_pack) and
+         single-task-sorted the whole table.
+
+    Max partition weight ≤ ceil(n_packs / n) · (target + max row
+    weight). Use before UDF stages whose cost ∝ weight (frames,
+    pixels, spans) so one 64x-skewed doc doesn't straggle a stage.
     """
-    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
-    packed = df.withColumn(
-        "_pack",
-        F.floor(F.sum(weight_col).over(w) / F.lit(target_weight)).cast("long"),
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    salts = _partition_salts(spark, n)
+    bucketed = df.withColumn("_b", F.pmod(F.xxhash64(key), F.lit(n)).cast("long"))
+    w_in = Window.partitionBy("_b").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    # explicit partition count (one per pack) so AQE's small-partition
-    # coalescing doesn't undo the weight packing; at production sizes
-    # each pack ≈ target_weight of real bytes and this is moot
-    n_packs = packed.agg(F.max("_pack")).collect()[0][0]
-    n_packs = int(n_packs or 0) + 1
-    return packed.repartitionByRange(n_packs, "_pack").drop("_pack")
+    local = bucketed.withColumn("_cum", F.sum(weight_col).over(w_in))
+    totals = bucketed.groupBy("_b").agg(F.sum(weight_col).alias("_tot"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_off), F.lit(0.0)).alias("_off")
+    )
+    pack = F.floor(
+        (F.col("_off") + F.col("_cum")) / F.lit(target_weight)
+    ).cast("long")
+    salt = F.element_at(
+        F.array(*[F.lit(s) for s in salts]),
+        (F.pmod(pack, F.lit(n)) + 1).cast("int"),
+    ).cast("int")
+    packed = local.join(F.broadcast(offsets), "_b").withColumn("_salt", salt)
+    return packed.repartition(n, "_salt").drop("_b", "_cum", "_off", "_salt")

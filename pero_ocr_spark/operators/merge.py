@@ -8,27 +8,38 @@ engine-name) — the engine-name tiebreak replaces nondeterministic
 dict-order behavior.
 
 Scale: one shuffle on (doc_id, line_id); K is small so the union is
-cheap; map-side nothing to combine (argmax needs the row), but AQE
-handles partition sizing.
+cheap. Implemented as a declarative argmax (``min_by`` over the
+ordering struct) rather than sort + row_number, so Catalyst does
+map-side PARTIAL aggregation — each task pre-reduces its K candidate
+rows per line before the shuffle.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def merge_ocr_results(engines: list[DataFrame]) -> DataFrame:
     """Each input needs columns: doc_id, line_id, transcription,
-    confidence, engine. Returns the best row per line."""
+    confidence, engine. Returns the best row per line: max confidence,
+    ties broken by engine name ascending (min_by over the struct
+    (-confidence, engine) — lexicographic struct order gives exactly
+    that, and unlike row_number it partial-aggregates map-side)."""
     unioned = reduce(DataFrame.unionByName, engines)
-    w = Window.partitionBy("doc_id", "line_id").orderBy(
-        F.col("confidence").desc(), F.col("engine")
-    )
+    best = F.min_by(
+        F.struct("transcription", "engine"),
+        F.struct((-F.col("confidence")).alias("nc"), F.col("engine").alias("e")),
+    ).alias("best")
     return (
-        unioned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "line_id", "transcription", "engine")
+        unioned.groupBy("doc_id", "line_id")
+        .agg(best)
+        .select(
+            "doc_id",
+            "line_id",
+            F.col("best.transcription").alias("transcription"),
+            F.col("best.engine").alias("engine"),
+        )
     )

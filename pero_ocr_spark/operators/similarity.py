@@ -10,9 +10,13 @@ Training-data-pipeline operators:
     DETERMINISTIC hyperplanes (arithmetic ±1 weights, reproducible in
     ANSI SQL so the oracle can replicate the bucketing exactly);
     candidates = same bucket → equi-join instead of cross join.
-  * embedding near-dup pairs — all pairs with cosine ≥ threshold
-    (self-join a < b); at web scale the same bucketing prunes the
-    join.
+  * embedding near-dup pairs — pairs with cosine ≥ threshold among
+    LSH-bucket candidates (bucket signatures within hamming ≤
+    multi_probe); the bucketing prunes the self-join to an
+    explode + equi-join — no cross join is ever built. Recall is
+    banded (a qualifying pair whose signatures differ in more than
+    multi_probe bits is missed); raise n_planes + multi_probe or
+    run repeated independent plane sets to push recall up.
 
 Scale notes: brute force is O(|Q|·|C|) — fine for |Q| small since the
 corpus side never shuffles (broadcast hash join on nothing = cross
@@ -151,20 +155,50 @@ def ann_bucketed_topk(
     return _ranked_topk(joined, k)
 
 
+def _probe_buckets(n_planes: int, multi_probe: int) -> Column:
+    """Array of all bucket ids within hamming ≤ multi_probe of the
+    row's bucket (own bucket, then xor of every 1- and 2-bit mask)."""
+    masks = [0]
+    if multi_probe >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if multi_probe >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if multi_probe >= 3:
+        raise ValueError("multi_probe > 2 not supported; raise n_planes instead")
+    return F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
+    )
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
+    multi_probe: int = 2,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding-level near-dup)."""
-    base = with_norm(emb)
+    """Pairs with cosine ≥ threshold among LSH candidates: signatures
+    within hamming ≤ multi_probe. One side explodes its probe list and
+    the pair space is an equi-join on bucket — the O(n²) cross join
+    never exists in the plan. Each qualifying pair matches exactly
+    once (probe values are distinct; the other side has one bucket).
+    """
+    base = with_bucket(with_norm(emb), n_planes=n_planes)
     a = base.select(
         F.col(id_col).alias("doc_a"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-    )
+        "bucket",
+    ).withColumn("bucket", F.explode(_probe_buckets(n_planes, multi_probe)))
     b = base.select(
         F.col(id_col).alias("doc_b"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
+        "bucket",
     )
     sim = F.round(
         _dot(_to_double(F.col("q_emb")), _to_double(F.col("c_emb")))
@@ -172,7 +206,7 @@ def embedding_near_dup_pairs(
         6,
     )
     return (
-        a.crossJoin(b)
+        a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)

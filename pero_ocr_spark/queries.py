@@ -317,17 +317,22 @@ def q_similarity_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_near_dup_pairs",
     f"""
 {_COS_E_CTE}
+, eb AS (SELECT vec_id, emb, nrm, {{bucket}} AS bucket FROM e)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM eb a JOIN eb b
+  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 2
 WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
-""",
+""".replace("{bucket}", _duck_bucket_expr()),
 )
 def q_similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Banded near-dup: candidates = LSH signatures within hamming ≤ 2
+    # (multi-probe equi-join, no cross join); the oracle replicates the
+    # deterministic bucketing so both sides compute the same pair set.
     from pero_ocr_spark.operators import similarity
 
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, multi_probe=2
     )
 
 
