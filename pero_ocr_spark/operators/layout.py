@@ -123,6 +123,51 @@ def regions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGE_H, PAGE_W = 2000, 1000
+
+
+def lines_with_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lines_table enriched to the full PcGts lines schema
+    (``sources/pcgts.LINES_DDL``): transcription text joined back from
+    the extracted spans, 2-point baselines, rect polygons, heights,
+    per-region reading order, deterministic confidences. Pure Catalyst
+    (arrays built with F.array), no UDF."""
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+
+    lines = lines_table(spark, sf_dir)
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    text = spans.filter(F.col("kind") == "text").select("doc_id", "ord", "text")
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    return (
+        lines.join(text, ["doc_id", "ord"])
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("page_id"),
+            F.lit(PAGE_H).cast("long").alias("page_h"),
+            F.lit(PAGE_W).cast("long").alias("page_w"),
+            "region_id",
+            F.lit("paragraph").alias("region_type"),
+            F.substring("region_id", 2, 10).cast("long").alias("region_order"),
+            "line_id",
+            F.col("ord").alias("idx"),
+            F.array(pt(F.col("x0"), F.col("y")), pt(F.col("x1"), F.col("y"))).alias(
+                "baseline"
+            ),
+            F.array(
+                pt(F.col("x0"), F.col("y") - F.col("asc")),
+                pt(F.col("x1"), F.col("y") - F.col("asc")),
+                pt(F.col("x1"), F.col("y") + F.col("desc")),
+                pt(F.col("x0"), F.col("y") + F.col("desc")),
+            ).alias("polygon"),
+            F.col("asc").alias("height_up"),
+            F.col("desc").alias("height_down"),
+            F.col("text").alias("transcription"),
+            (F.lit(0.5) + (F.col("ord") % 50) / F.lit(100.0)).alias("confidence"),
+        )
+    )
+
+
 def textline_polygons(lines: DataFrame) -> DataFrame:
     """L14: baseline → textline polygon, Arrow-batched kernel. For the
     straight synthetic baselines the polygon is the rect

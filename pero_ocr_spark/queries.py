@@ -721,6 +721,106 @@ def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2/S5 — REAL PcGts PAGE-XML round trip (core/layout.py:250-398): export
+# the geometry-enriched lines to PcGts 2019 strings, re-import with the
+# namespace-agnostic parser (heights_v2 custom attr, ReadingOrder,
+# Baseline/Coords points), and check every recovered field against the
+# closed-form line geometry. S3 — same for the ALTO layout dialect
+# (core/layout.py:602-651): rect blocks/lines, BASELINE attr, String
+# CONTENT word joins, reference height order.
+# ---------------------------------------------------------------------------
+
+_GEOM_LINES_ORACLE_BASE = (
+    _LINES_CTE
+    + """
+SELECT l.doc_id, l.region_id,
+       CAST(substr(l.region_id, 2) AS BIGINT) AS region_order,
+       l.line_id, l.ord AS idx,
+       l.x0 AS bx0, l.x1 AS bx1, l.y AS by,
+       {heights},
+       e.text AS transcription
+       {conf}
+FROM lines l
+JOIN extracted e
+  ON l.doc_id = e.doc_id AND l.ord = e.ord AND e.kind = 'text'
+"""
+)
+
+
+@register(
+    "pagexml_roundtrip",
+    _GEOM_LINES_ORACLE_BASE.format(
+        heights="10.0 AS height_up, 4.0 AS height_down",
+        conf=", round(0.5 + (l.ord % 50) / 100.0, 3) AS confidence",
+    ),
+)
+def q_pagexml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout
+    from pero_ocr_spark.sources import pcgts
+
+    src = layout.lines_with_geometry(spark, sf_dir)
+    back = pcgts.import_pcgts(pcgts.export_pcgts(src))
+    return back.select(
+        "doc_id",
+        "region_id",
+        "region_order",
+        "line_id",
+        "idx",
+        F.element_at(F.element_at("baseline", 1), 1).alias("bx0"),
+        F.element_at(F.element_at("baseline", 2), 1).alias("bx1"),
+        F.element_at(F.element_at("baseline", 1), 2).alias("by"),
+        "height_up",
+        "height_down",
+        "transcription",
+        F.round("confidence", 3).alias("confidence"),
+    )
+
+
+@register(
+    "alto_roundtrip",
+    _LINES_CTE
+    + """
+, numbered AS (
+  SELECT doc_id, region_id, line_id, ord, x0, x1, y,
+         row_number() OVER (
+           PARTITION BY doc_id, region_id ORDER BY ord, line_id) - 1 AS li
+  FROM lines)
+SELECT l.doc_id, l.region_id,
+       CAST(substr(l.region_id, 2) AS BIGINT) AS region_order,
+       CAST(l.li AS BIGINT) AS idx,
+       l.x0 AS bx0, l.x1 AS bx1, l.y AS by,
+       4.0 AS height_up, 10.0 AS height_down,
+       e.text AS transcription
+FROM numbered l
+JOIN extracted e
+  ON l.doc_id = e.doc_id AND l.ord = e.ord AND e.kind = 'text'
+""",
+)
+def q_alto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: the reference's ALTO import stores heights as
+    # [HEIGHT + VPOS - BASELINE, BASELINE - VPOS] — descender first
+    # (core/layout.py:630-632); reproduced faithfully, hence the
+    # swapped 4.0/10.0 expectation.
+    from pero_ocr_spark.operators import layout
+    from pero_ocr_spark.sources import pcgts
+
+    src = layout.lines_with_geometry(spark, sf_dir)
+    back = pcgts.import_alto(pcgts.export_alto_layout(src))
+    return back.select(
+        "doc_id",
+        "region_id",
+        "region_order",
+        "idx",
+        F.element_at(F.element_at("baseline", 1), 1).alias("bx0"),
+        F.element_at(F.element_at("baseline", 2), 1).alias("bx1"),
+        F.element_at(F.element_at("baseline", 1), 2).alias("by"),
+        "height_up",
+        "height_down",
+        "transcription",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1/A2/A3/J5 — error summary two-phase aggregation, confusion matrix,
 # power-mean quality, hyp↔ref compare. Hypotheses are a deterministic
 # corruption (a→x) of the reference spans so errors are non-trivial and
