@@ -1,0 +1,110 @@
+"""L8: projection-profile text-line detection over page bitmaps.
+
+The first REAL image→lines path: page bitmaps are an opaque binary
+column (uint8 raster + shape metadata, the multimodal-column pattern),
+and the detector runs per region inside a cogrouped Arrow stage —
+``layout_engines/simple_baseline_engine.py:13-101`` re-expressed with
+the numpy-only kernels in ``functions/imageproc.py``.
+
+In the sandbox the bitmaps are RENDERED deterministically from the
+synthetic line geometry (solid ink bands of asc=10 rows above each
+baseline), so detection output is closed-form and SQL-checkable:
+baseline at y with the region's x extent; heights [12, 3] from the
+detector's stride-3 component scans (up: first probe past the 10-row
+band at −12; down: first probe below the baseline at +3).
+
+Scale notes: rendering and detection are both per-document Arrow
+groups — data-parallel, no shuffle beyond the groupBys; the bitmap
+column shuffles once into the cogroup. At 10^12 docs the bitmaps
+would come from the image store (S1 binaryFile scan) instead of the
+renderer; the detection stage is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pero_ocr_spark.functions import imageproc
+
+PAGE_W = 1000
+ASC_INK = 10  # ink band rows above (and including) the baseline row
+
+DETECT_DDL = (
+    "doc_id long, region_id string, bx0 double, bx1 double, y double, "
+    "height_up double, height_down double"
+)
+
+
+def render_page_bitmaps(lines: DataFrame) -> DataFrame:
+    """Deterministic page raster per document: background 255, a solid
+    0-ink band on rows [y-10, y] × cols [x0, x1) per line. One binary
+    row per page."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(pdf["doc_id"].iloc[0])
+        h = int(pdf["y"].max()) + 20
+        img = np.full((h, PAGE_W), 255, dtype=np.uint8)
+        for r in pdf.itertuples(index=False):
+            y = int(r.y)
+            img[y - ASC_INK : y + 1, int(r.x0) : int(r.x1)] = 0
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "height": [h],
+                "width": [PAGE_W],
+                "img": [img.tobytes()],
+            }
+        )
+
+    return lines.groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, height int, width int, img binary"
+    )
+
+
+def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame:
+    """Run the projection-profile detector per (page, region): cogroup
+    the bitmap table with the region table on doc_id and emit one row
+    per detected baseline — page coords, [up, down] heights."""
+
+    cols = ["doc_id", "region_id", "bx0", "bx1", "y", "height_up", "height_down"]
+
+    def per_doc(bdf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0 or len(rdf) == 0:
+            return pd.DataFrame(columns=cols)
+        img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
+            int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
+        )
+        doc_id = int(bdf["doc_id"].iloc[0])
+        rows = []
+        for r in rdf.itertuples(index=False):
+            poly = np.asarray(
+                [
+                    [r.rx0, r.ry0],
+                    [r.rx1, r.ry0],
+                    [r.rx1, r.ry1],
+                    [r.rx0, r.ry1],
+                ],
+                dtype=np.float64,
+            )
+            baselines, heights = imageproc.detect_lines_in_region(img, poly)
+            for bl, ht in zip(baselines, heights):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "region_id": r.region_id,
+                        "bx0": float(bl[0][0]),
+                        "bx1": float(bl[1][0]),
+                        "y": float(bl[0][1]),
+                        "height_up": float(ht[0]),
+                        "height_down": float(ht[1]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        bitmaps.groupBy("doc_id")
+        .cogroup(regions.groupBy("doc_id"))
+        .applyInPandas(per_doc, schema=DETECT_DDL)
+    )

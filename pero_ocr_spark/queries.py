@@ -721,6 +721,48 @@ def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L8 — projection-profile line detection over RENDERED page bitmaps
+# (simple_baseline_engine.py:13-101 in numpy): threshold → row-ink
+# projection → autocorrelation period → −diff peaks = baselines →
+# stride-3 component scan heights. The renderer draws a 10-row ink band
+# above each baseline, so the detector's output is closed-form: baseline
+# at y spanning the region bbox, heights [12, 3].
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_detect_lines",
+    _LINES_CTE
+    + """
+, page AS (SELECT * FROM lines WHERE ord < 60)
+, regions AS (
+  SELECT doc_id, region_id, min(x0) AS rx0, max(x1) AS rx1
+  FROM page GROUP BY doc_id, region_id)
+SELECT DISTINCT l.doc_id, l.region_id,
+       r.rx0 AS bx0, r.rx1 AS bx1, l.y,
+       12.0 AS height_up, 3.0 AS height_down
+FROM page l
+JOIN regions r ON l.doc_id = r.doc_id AND l.region_id = r.region_id
+""",
+)
+def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one physical "page" = the first 60 ords of a document (synthetic
+    # docs can have 1000+ spans; a raster that tall is not a page and
+    # needlessly shuffles tens of MB per row)
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    bitmaps = linedet.render_page_bitmaps(lines)
+    regions = lines.groupBy("doc_id", "region_id").agg(
+        F.min("x0").alias("rx0"),
+        F.max("x1").alias("rx1"),
+        (F.min("y") - 15).alias("ry0"),
+        (F.max("y") + 15).alias("ry1"),
+    )
+    return linedet.detect_lines_projection(bitmaps, regions)
+
+
+# ---------------------------------------------------------------------------
 # S2/S5 — REAL PcGts PAGE-XML round trip (core/layout.py:250-398): export
 # the geometry-enriched lines to PcGts 2019 strings, re-import with the
 # namespace-agnostic parser (heights_v2 custom attr, ReadingOrder,

@@ -1,0 +1,127 @@
+"""L8 projection-profile line detection: numpy kernels + Spark stages."""
+
+import numpy as np
+import pytest
+
+from pero_ocr_spark.functions import imageproc
+
+
+def _page(ys, x0=10, x1=300, h=220, w=400):
+    img = np.full((h, w), 255, dtype=np.uint8)
+    for y in ys:
+        img[y - 10 : y + 1, x0:x1] = 0
+    return img
+
+
+class TestKernels:
+    def test_box_mean_uniform(self):
+        img = np.full((30, 30), 100, dtype=np.uint8)
+        assert np.allclose(imageproc.box_mean(img, 21), 100.0)
+
+    def test_adaptive_threshold_finds_ink(self):
+        img = _page([50])
+        mask = imageproc.adaptive_threshold_mask(img)
+        assert mask[45, 100]  # inside ink band
+        assert not mask[100, 100]  # background
+        assert not mask[45, 350]  # background right of the band
+
+    def test_label_components_counts_and_separates(self):
+        mask = np.zeros((20, 20), dtype=bool)
+        mask[2:5, 2:8] = True
+        mask[2:5, 12:18] = True  # same rows, disjoint columns
+        mask[10:14, 4:16] = True
+        labels, n = imageproc.label_components(mask)
+        assert n == 3
+        assert labels[3, 4] != labels[3, 13]
+        assert labels[11, 10] not in (0, labels[3, 4], labels[3, 13])
+
+    def test_label_components_u_shape_merges(self):
+        # two vertical arms joined at the bottom -> ONE component
+        mask = np.zeros((10, 10), dtype=bool)
+        mask[0:8, 1:3] = True
+        mask[0:8, 7:9] = True
+        mask[7:9, 1:9] = True
+        _, n = imageproc.label_components(mask)
+        assert n == 1
+
+    def test_find_peaks_plateau_and_distance(self):
+        x = np.array([0, 1, 3, 3, 3, 1, 0, 5, 0, 4, 0], dtype=float)
+        peaks = imageproc.find_peaks(x).tolist()
+        assert peaks == [3, 7, 9]  # plateau midpoint + two sharp peaks
+        # distance thinning keeps the higher of 7 and 9
+        assert imageproc.find_peaks(x, distance=3).tolist() == [3, 7]
+
+    def test_autocorr_period(self):
+        proj = np.zeros(200)
+        for y in (20, 50, 80, 110, 140):
+            proj[y - 10 : y + 1] = 290
+        # the reference slices corr[n:] so returned index = lag - 1
+        # (simple_baseline_engine.py:54-57); 30-row spacing -> 29.0,
+        # which only feeds the 0.85x peak-distance threshold
+        assert imageproc.autocorr_period(proj) == 29.0
+
+    def test_detect_exact_geometry(self):
+        ys = [20, 50, 80, 110]
+        img = _page(ys)
+        poly = np.array([[10.0, 5.0], [300.0, 5.0], [300.0, 125.0], [10.0, 125.0]])
+        baselines, heights = imageproc.detect_lines_in_region(img, poly)
+        got = sorted(bl[0][1] for bl in baselines)
+        assert got == [20.0, 50.0, 80.0, 110.0]
+        assert all(h == [12, 3] for h in heights)
+        assert all(bl[0][0] == 10.0 and bl[1][0] == 300.0 for bl in baselines)
+
+    def test_detect_single_line_period_fallback(self):
+        img = _page([50])
+        poly = np.array([[10.0, 35.0], [300.0, 35.0], [300.0, 65.0], [10.0, 65.0]])
+        baselines, heights = imageproc.detect_lines_in_region(img, poly)
+        assert len(baselines) == 1
+        assert baselines[0][0][1] == 50.0
+
+    def test_detect_empty_region(self):
+        img = np.full((100, 100), 255, dtype=np.uint8)
+        poly = np.array([[10.0, 10.0], [90.0, 10.0], [90.0, 90.0], [10.0, 90.0]])
+        baselines, heights = imageproc.detect_lines_in_region(img, poly)
+        assert baselines == [] and heights == []
+
+    def test_degenerate_region(self):
+        img = np.full((50, 50), 255, dtype=np.uint8)
+        poly = np.array([[10.0, 10.0], [10.0, 40.0]])
+        assert imageproc.detect_lines_in_region(img, poly) == ([], [])
+
+
+class TestSparkStages:
+    def test_render_and_detect_end_to_end(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        rows = [
+            (1, "r0", "l0", 10.0, 200.0, 20.0),
+            (1, "r0", "l1", 10.0, 180.0, 50.0),
+            (1, "r1", "l2", 510.0, 700.0, 20.0),
+            (2, "r0", "l0", 10.0, 90.0, 20.0),
+        ]
+        lines = spark.createDataFrame(
+            rows, "doc_id long, region_id string, line_id string, "
+            "x0 double, x1 double, y double"
+        )
+        bitmaps = linedet.render_page_bitmaps(lines)
+        from pyspark.sql import functions as F
+
+        regions = lines.groupBy("doc_id", "region_id").agg(
+            F.min("x0").alias("rx0"),
+            F.max("x1").alias("rx1"),
+            (F.min("y") - 15).alias("ry0"),
+            (F.max("y") + 15).alias("ry1"),
+        )
+        out = {
+            (r["doc_id"], r["region_id"], r["y"]): r
+            for r in linedet.detect_lines_projection(bitmaps, regions).collect()
+        }
+        assert set(out) == {
+            (1, "r0", 20.0),
+            (1, "r0", 50.0),
+            (1, "r1", 20.0),
+            (2, "r0", 20.0),
+        }
+        r = out[(1, "r0", 50.0)]
+        assert (r["bx0"], r["bx1"]) == (10.0, 200.0)
+        assert (r["height_up"], r["height_down"]) == (12.0, 3.0)
