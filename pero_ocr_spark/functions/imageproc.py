@@ -25,12 +25,27 @@ import numpy as np
 from pero_ocr_spark.functions import page_utils as U
 
 
+def _window_sum(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Sum over a (2·radius+1) window along axis, zero-fill outside —
+    one cumsum + two clipped gathers, O(pixels) regardless of radius."""
+    n = a.shape[axis]
+    shape = list(a.shape)
+    shape[axis] = n + 1
+    p = np.zeros(shape, dtype=np.int32)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(1, None)
+    np.cumsum(a, axis=axis, out=p[tuple(sl)])
+    hi = np.minimum(np.arange(n) + radius + 1, n)
+    lo = np.maximum(np.arange(n) - radius, 0)
+    return np.take(p, hi, axis=axis) - np.take(p, lo, axis=axis)
+
+
 def box_mean(img: np.ndarray, block: int) -> np.ndarray:
     """Local mean over a block×block window with replicated borders —
     the cv2.boxFilter underneath ADAPTIVE_THRESH_MEAN_C."""
     r = block // 2
-    padded = np.pad(img.astype(np.float64), r, mode="edge")
-    ii = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1))
+    padded = np.pad(img, r, mode="edge").astype(np.int64)
+    ii = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1), dtype=np.int64)
     ii[1:, 1:] = padded.cumsum(0).cumsum(1)
     h, w = img.shape
     s = (
@@ -42,11 +57,20 @@ def box_mean(img: np.ndarray, block: int) -> np.ndarray:
     return s / (block * block)
 
 
-def adaptive_threshold_mask(img: np.ndarray, block: int = 21, c: float = 91) -> np.ndarray:
+def adaptive_threshold_mask(img: np.ndarray, block: int = 21, c: int = 91) -> np.ndarray:
     """Ink mask: pixel <= local_mean - C (the reference thresholds with
     cv2.adaptiveThreshold(..., MEAN_C, BINARY, block, C) == 0,
-    simple_baseline_engine.py:47-48)."""
-    return img <= box_mean(img, block) - c
+    simple_baseline_engine.py:47-48).
+
+    Implemented in exact integer arithmetic: img <= sum/B² - c  ⇔
+    (img + c)·B² <= sum, with replicate borders (edge pad) so region
+    crops whose ink sits near the crop edge keep the background-heavy
+    window mean cv2 would compute.
+    """
+    r = block // 2
+    padded = np.pad(img, r, mode="edge").astype(np.int32)
+    s = _window_sum(_window_sum(padded, r, 0), r, 1)[r:-r, r:-r]
+    return (img.astype(np.int32) + c) * (block * block) <= s
 
 
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
@@ -97,6 +121,63 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     return remap[labels], len(roots)
 
 
+def component_bboxes(mask: np.ndarray, min_pixels: int = 0) -> list[dict]:
+    """Per-component inclusive bbox + pixel count WITHOUT building the
+    label image: the same run-based union-find as label_components,
+    aggregating over runs (a page has ~100s of runs vs ~10⁶ pixels)."""
+    h, _ = mask.shape
+    parent: list[int] = [0]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    all_runs: list[tuple[int, int, int, int]] = []  # (y, start, end, label)
+    prev_runs: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        edges = np.flatnonzero(np.diff(np.concatenate(([False], row, [False]))))
+        runs = []
+        for s, e in zip(edges[::2], edges[1::2]):
+            lab = 0
+            for ps, pe, pl in prev_runs:
+                if ps < e and s < pe:
+                    root = find(pl)
+                    if lab == 0:
+                        lab = root
+                    elif root != lab:
+                        parent[root] = find(lab)
+            if lab == 0:
+                parent.append(len(parent))
+                lab = len(parent) - 1
+            runs.append((int(s), int(e), lab))
+            all_runs.append((y, int(s), int(e), lab))
+        prev_runs = runs
+    agg: dict[int, list[int]] = {}
+    for y, s, e, lab in all_runs:
+        r = find(lab)
+        box = agg.get(r)
+        if box is None:
+            agg[r] = [s, y, e - 1, y, e - s]
+        else:
+            box[0] = min(box[0], s)
+            box[2] = max(box[2], e - 1)
+            box[3] = y
+            box[4] += e - s
+    out = [
+        {"rx0": b[0], "ry0": b[1], "rx1": b[2], "ry1": b[3], "n_pixels": b[4]}
+        for b in agg.values()
+        if b[4] >= min_pixels
+    ]
+    out.sort(key=lambda r: (r["rx0"], r["ry0"]))
+    return out
+
+
 def find_peaks(x: np.ndarray, distance: int = 1) -> np.ndarray:
     """Indices of local maxima (plateau midpoint), then greedy
     min-distance thinning by descending height — the
@@ -131,6 +212,97 @@ def autocorr_period(proj: np.ndarray) -> float:
     corr = np.correlate(proj, proj, mode="full")[proj.shape[0]:]
     peaks = find_peaks(corr, distance=1)
     return float(peaks[0]) if len(peaks) else 1.0
+
+
+def _rolling_or(mask: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Binary dilation with a 1D ones kernel (2·radius+1) along axis:
+    windowed-any via one cumsum and two clipped gathers — O(pixels),
+    independent of radius."""
+    return _window_sum(mask, radius, axis) > 0
+
+
+def close_vertical(mask: np.ndarray, gap: int) -> np.ndarray:
+    """Morphological close with a (2·gap+1)×1 kernel: fills vertical
+    gaps ≤ 2·gap between ink runs in each column (the text-block
+    merging step of the region engine; the reference closes with a
+    square kernel, simple_region_engine.py:98-100 — vertical-only
+    avoids bridging adjacent columns). The mask is padded by 2·gap
+    before dilate/erode so image borders never clip the dilation
+    (which would shift run extents); close is then extent-exact."""
+    padded = np.pad(mask, ((2 * gap, 2 * gap), (0, 0)))
+    dilated = _rolling_or(padded, gap, axis=0)
+    closed = ~_rolling_or(~dilated, gap, axis=0)
+    return closed[2 * gap : 2 * gap + mask.shape[0]]
+
+
+def dilate_chebyshev(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Binary dilation with a (2r+1)² square = the `distance < r`
+    margin of the reference's L2 distance transform
+    (simple_region_engine.py:102-104), with Chebyshev instead of
+    euclidean distance (separable, numpy-only; documented deviation)."""
+    return _rolling_or(_rolling_or(mask, radius, axis=0), radius, axis=1)
+
+
+def segment_regions(
+    img: np.ndarray,
+    close_gap: int = 13,
+    margin: int = 5,
+    min_pixels: int = 100,
+) -> list[dict]:
+    """L2: CV region segmentation (simple_region_engine.py:48-137
+    semantics, numpy-only): adaptive threshold → vertical close
+    (merge lines into blocks) → square dilation (margin) → connected
+    components → per-component bbox, ordered left-to-right then
+    top-to-bottom. Returns dicts with rx0/ry0/rx1/ry1 (inclusive pixel
+    bbox) and n_pixels; polygon retrace (L16) turns a bbox + its ink
+    into a hull downstream when needed."""
+    ink = adaptive_threshold_mask(img)
+    blocks = dilate_chebyshev(close_vertical(ink, close_gap), margin)
+    return component_bboxes(blocks, min_pixels)
+
+
+def gaussian_blur_rows(img: np.ndarray, sigma: float = 3.0) -> np.ndarray:
+    """1D gaussian along axis 0 (ndimage.gaussian_filter's vertical
+    pass: truncate=4σ, reflect boundary), as a weighted sum of row
+    shifts — vectorized across columns."""
+    radius = int(round(4 * sigma))
+    ks = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    ks /= ks.sum()
+    padded = np.pad(img.astype(np.float64), ((radius, radius), (0, 0)), mode="symmetric")
+    out = np.zeros_like(img, dtype=np.float64)
+    for i, k in enumerate(ks):
+        out += k * padded[i : i + img.shape[0], :]
+    return out
+
+
+def snap_baselines_to_intensity(
+    baselines: list[np.ndarray], img: np.ndarray, tolerance: int = 5
+) -> list[np.ndarray]:
+    """L18: shift each baseline vertically (offsets −tolerance..
+    tolerance−1, first strict maximum wins) to maximize the summed
+    smoothed y-gradient under it
+    (layout_helpers.adjust_baselines_to_intensity:393-410). Straight
+    2-point baselines stay 2-point; the gradient is sampled at every
+    integer x along the chord like the reference's resample."""
+    grad = np.gradient(img.astype(np.float64))[0]
+    grad = gaussian_blur_rows(grad, 3.0)
+    h, w = grad.shape
+    out = []
+    for bl in baselines:
+        bl = np.asarray(bl, dtype=np.float64)
+        x0, x1 = int(round(bl[0][0])), int(round(bl[-1][0]))
+        xs = np.clip(np.arange(min(x0, x1), max(x0, x1) + 1), 0, w - 1)
+        y = int(round(bl[0][1]))
+        best_score, best_offset = -np.inf, 0
+        for offset in range(-tolerance, tolerance):
+            rows = np.clip(y + offset, 0, h - 1)
+            score = grad[rows, xs].sum()
+            if score > best_score:
+                best_score, best_offset = score, offset
+        shifted = bl.copy()
+        shifted[:, 1] += best_offset
+        out.append(shifted)
+    return out
 
 
 def detect_lines_in_region(

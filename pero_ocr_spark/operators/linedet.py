@@ -63,6 +63,89 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
     )
 
 
+SEGMENT_DDL = (
+    "doc_id long, region_idx long, rx0 long, ry0 long, rx1 long, ry1 long"
+)
+
+
+def segment_page_regions(
+    bitmaps: DataFrame, close_gap: int = 13, margin: int = 5
+) -> DataFrame:
+    """L2: CV region segmentation per page bitmap
+    (simple_region_engine.py:48-137 in numpy — threshold, vertical
+    close, margin dilation, connected components). One row per
+    detected region with its inclusive pixel bbox; region_idx orders
+    regions left-to-right then top-to-bottom."""
+
+    def run(batches) -> "pd.DataFrame":
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, h, w, buf in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"], pdf["img"]
+            ):
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(int(h), int(w))
+                regs = imageproc.segment_regions(
+                    img, close_gap=close_gap, margin=margin
+                )
+                for i, r in enumerate(regs):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "region_idx": i,
+                            "rx0": r["rx0"],
+                            "ry0": r["ry0"],
+                            "rx1": r["rx1"],
+                            "ry1": r["ry1"],
+                        }
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "region_idx", "rx0", "ry0", "rx1", "ry1"],
+            )
+
+    return bitmaps.mapInPandas(run, schema=SEGMENT_DDL)
+
+
+def snap_lines_to_intensity(
+    bitmaps: DataFrame, lines: DataFrame, tolerance: int = 5
+) -> DataFrame:
+    """L18: snap (possibly jittered) baselines to the strongest
+    smoothed y-gradient in the page raster
+    (layout_helpers.adjust_baselines_to_intensity:393-410). Cogroup on
+    doc_id; lines need (doc_id, line_id, x0, x1, y)."""
+
+    cols = ["doc_id", "line_id", "y_snapped"]
+
+    def per_doc(bdf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0 or len(ldf) == 0:
+            return pd.DataFrame(columns=cols)
+        img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
+            int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
+        )
+        baselines = [
+            np.array([[r.x0, r.y], [r.x1, r.y]])
+            for r in ldf.itertuples(index=False)
+        ]
+        snapped = imageproc.snap_baselines_to_intensity(
+            baselines, img, tolerance=tolerance
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ldf["doc_id"],
+                "line_id": ldf["line_id"],
+                "y_snapped": [float(b[0][1]) for b in snapped],
+            }
+        )
+
+    return (
+        bitmaps.groupBy("doc_id")
+        .cogroup(lines.groupBy("doc_id"))
+        .applyInPandas(per_doc, schema="doc_id long, line_id string, y_snapped double")
+    )
+
+
 def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame:
     """Run the projection-profile detector per (page, region): cogroup
     the bitmap table with the region table on doc_id and emit one row

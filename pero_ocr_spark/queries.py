@@ -763,6 +763,81 @@ def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2 — CV region segmentation over the same bitmaps (threshold →
+# vertical close → margin dilation → connected components,
+# simple_region_engine.py:48-137 in numpy). Closed form: one component
+# per text column with bbox = ink bbox ± margin (5), close restoring
+# exact vertical extents. L18 — snap jittered baselines to the smoothed
+# y-gradient (adjust_baselines_to_intensity): on a 0/255 render the
+# blurred edge gradient peaks one row below the last ink row, so every
+# baseline lands at y+1 regardless of jitter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_segment_regions",
+    _LINES_CTE
+    + """
+, page AS (SELECT * FROM lines WHERE ord < 60)
+, ys AS (
+  SELECT doc_id, region_id, y,
+         lag(y) OVER (PARTITION BY doc_id, region_id ORDER BY y) AS prev_y
+  FROM (SELECT DISTINCT doc_id, region_id, y FROM page))
+, isl AS (
+  -- gaps-and-islands: ink bands merge iff the next baseline is within
+  -- 37 rows (band gap <= 2*close_gap = 26; larger gaps are unbridged
+  -- since the margin dilation only spans 10)
+  SELECT doc_id, region_id, y,
+         sum(CASE WHEN prev_y IS NULL OR y - prev_y > 37 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, region_id ORDER BY y) AS island
+  FROM ys)
+, comp AS (
+  SELECT p.doc_id,
+         min(p.x0) - 5 AS rx0, min(p.y) - 15 AS ry0,
+         max(p.x1) - 1 + 5 AS rx1, max(p.y) + 5 AS ry1
+  FROM page p
+  JOIN isl i ON p.doc_id = i.doc_id
+            AND p.region_id = i.region_id AND p.y = i.y
+  GROUP BY p.doc_id, p.region_id, i.island)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY rx0, ry0) - 1 AS BIGINT) AS region_idx,
+       CAST(rx0 AS BIGINT) AS rx0, CAST(ry0 AS BIGINT) AS ry0,
+       CAST(rx1 AS BIGINT) AS rx1, CAST(ry1 AS BIGINT) AS ry1
+FROM comp
+""",
+)
+def q_layout_segment_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    return linedet.segment_page_regions(linedet.render_page_bitmaps(lines))
+
+
+@register(
+    "layout_snap_baselines",
+    _LINES_CTE
+    + """
+SELECT doc_id, line_id, y + 1.0 AS y_snapped
+FROM lines WHERE ord < 60
+""",
+)
+def q_layout_snap_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    bitmaps = linedet.render_page_bitmaps(lines)
+    jittered = lines.select(
+        "doc_id",
+        "line_id",
+        "x0",
+        "x1",
+        (F.col("y") + (F.col("ord") % 5) - 2).alias("y"),
+    )
+    return linedet.snap_lines_to_intensity(bitmaps, jittered)
+
+
+# ---------------------------------------------------------------------------
 # S2/S5 — REAL PcGts PAGE-XML round trip (core/layout.py:250-398): export
 # the geometry-enriched lines to PcGts 2019 strings, re-import with the
 # namespace-agnostic parser (heights_v2 custom attr, ReadingOrder,

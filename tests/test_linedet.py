@@ -89,6 +89,62 @@ class TestKernels:
         assert imageproc.detect_lines_in_region(img, poly) == ([], [])
 
 
+class TestSegmentation:
+    def test_close_vertical_fills_and_restores_extent(self):
+        mask = np.zeros((60, 10), dtype=bool)
+        mask[5:16, 2:8] = True
+        mask[35:46, 2:8] = True  # gap of 19 rows
+        closed = imageproc.close_vertical(mask, 13)
+        col = closed[:, 4]
+        assert col[5:46].all()  # gap filled
+        assert not col[4] and not col[46]  # extent exactly restored
+        # a 30-row gap (> 2*13) must NOT close
+        mask2 = np.zeros((80, 10), dtype=bool)
+        mask2[5:16, 2:8] = True
+        mask2[46:57, 2:8] = True
+        closed2 = imageproc.close_vertical(mask2, 13)
+        assert not closed2[30, 4]
+
+    def test_close_vertical_near_border(self):
+        mask = np.zeros((40, 6), dtype=bool)
+        mask[0:11, 1:5] = True  # touches top border
+        closed = imageproc.close_vertical(mask, 13)
+        assert closed[0:11, 2].all()
+        assert not closed[11:, 2].any()
+
+    def test_segment_regions_two_columns(self):
+        img = np.full((200, 400), 255, dtype=np.uint8)
+        for y in (50, 80, 110):
+            img[y - 10 : y + 1, 10:150] = 0  # column A
+            img[y - 10 : y + 1, 210:390] = 0  # column B
+        regs = imageproc.segment_regions(img)
+        assert len(regs) == 2
+        a, b = regs
+        assert (a["rx0"], a["rx1"]) == (5, 154)
+        assert (a["ry0"], a["ry1"]) == (35, 115)
+        assert (b["rx0"], b["rx1"]) == (205, 394)
+
+    def test_segment_regions_vertical_split(self):
+        img = np.full((300, 200), 255, dtype=np.uint8)
+        img[40:51, 10:190] = 0
+        img[150:161, 10:190] = 0  # 99-row gap: separate region
+        regs = imageproc.segment_regions(img)
+        assert len(regs) == 2
+        assert regs[0]["ry1"] < regs[1]["ry0"]
+
+    def test_snap_baselines(self):
+        img = np.full((200, 400), 255, dtype=np.uint8)
+        for y in (50, 80):
+            img[y - 10 : y + 1, 10:300] = 0
+        # jittered baselines snap to the gradient peak at y+1
+        baselines = [
+            np.array([[10.0, 48.0], [300.0, 48.0]]),
+            np.array([[10.0, 82.0], [300.0, 82.0]]),
+        ]
+        out = imageproc.snap_baselines_to_intensity(baselines, img)
+        assert [b[0][1] for b in out] == [51.0, 81.0]
+
+
 class TestSparkStages:
     def test_render_and_detect_end_to_end(self, spark):
         from pero_ocr_spark.operators import linedet
