@@ -248,24 +248,51 @@ def decode_beam(
 
 
 def decode_beam_lm_carry(
-    logits_df: DataFrame, beam_size: int = 4, lm_scale: float = 0.2
+    logits_df: DataFrame,
+    beam_size: int = 4,
+    lm_scale: float = 0.2,
+    lm_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Order-stateful decode: the LM hidden state of the best hypothesis
     is carried across lines within a document (the reference's
     ``carry_h_over`` path, ``document_ocr/page_parser.py:129-135`` +
     ``decoding/lm_wrapper.py:117-124``).
 
+    ``lm_counts``: a char-bigram count table (``functions/lm.py`` —
+    trained from a corpus, loaded from file); broadcast to executors
+    and consumed through the same interface as the reference's RNN
+    wrapper. None falls back to the uniform NGramLM stand-in.
+
     This is the one operator that cannot parallelize WITHIN a document:
     ``applyInPandas`` groups by doc_id and scans lines in reading
     order inside the group. Parallelism across documents is unaffected
     (docs ≫ cores at any realistic scale).
     """
+    bc = (
+        logits_df.sparkSession.sparkContext.broadcast(lm_counts)
+        if lm_counts is not None
+        else None
+    )
+
+    lm_cache: dict[str, object] = {}
+
+    def _lm():
+        # one LM per task (applyInPandas calls per_doc once per GROUP;
+        # the closure persists across groups within a task)
+        if "lm" not in lm_cache:
+            if bc is not None:
+                from pero_ocr_spark.functions.lm import FileNGramLM
+
+                lm_cache["lm"] = FileNGramLM(bc.value, CHARSET)
+            else:
+                lm_cache["lm"] = kernels.NGramLM(CHARSET)
+        return lm_cache["lm"]
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.assign(_ord=pdf["line_id"].str.slice(1).astype(int)).sort_values(
             "_ord"
         )
-        lm = kernels.NGramLM(CHARSET)
+        lm = _lm()
         state = lm.initial_state()
         texts, scores = [], []
         for t, c, data, indices, indptr in zip(

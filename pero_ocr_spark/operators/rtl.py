@@ -60,3 +60,24 @@ def reorder_rtl(df: DataFrame, col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def arabic_visual_form(df: DataFrame, col: str = "text") -> DataFrame:
+    """Full R18: contextual Arabic shaping + reference reordering
+    (``functions/arabic.py`` tables) applied to Arabic lines of a text
+    column; non-Arabic lines pass through. The per-line transform the
+    reference applies at ALTO export (core/layout.py:459-461)."""
+    from pero_ocr_spark.functions.arabic import ArabicHelper
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        helper = ArabicHelper()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = pdf[col].map(
+                lambda t: helper.string_to_visual_form(t)
+                if helper.is_arabic_line(t)
+                else t
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)

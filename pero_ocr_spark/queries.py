@@ -494,10 +494,17 @@ _LM_CARRY_ORACLE = _DECODE_ORACLE
 
 @register("ctc_decode_lm_carry", _LM_CARRY_ORACLE)
 def q_ctc_decode_lm_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R9: the LM is a REAL corpus-trained char-bigram table (one Spark
+    # aggregation, O(charset²) collected + broadcast), consumed through
+    # the reference LM wrapper interface. The synthetic logits'
+    # 80-logit margins dominate lm_scale·logprob, so the decode stays
+    # oracle-exact; the LM reranks only genuine near-ties.
+    from pero_ocr_spark.functions import lm as lmmod
     from pero_ocr_spark.operators import ctc
 
+    counts = lmmod.train_char_bigrams(_t(spark, sf_dir, "documents"))
     logits = ctc.logits_table(spark, sf_dir)
-    return ctc.decode_beam_lm_carry(logits).select(
+    return ctc.decode_beam_lm_carry(logits, lm_counts=counts).select(
         "doc_id", "line_id", "transcription"
     )
 
