@@ -27,11 +27,13 @@ from pero_ocr_spark.functions import page_utils as U
 
 def _window_sum(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
     """Sum over a (2·radius+1) window along axis, zero-fill outside —
-    one cumsum + two clipped gathers, O(pixels) regardless of radius."""
+    one cumsum + two clipped gathers, O(pixels) regardless of radius.
+    Integer/bool input sums in int32; float input stays float."""
     n = a.shape[axis]
     shape = list(a.shape)
     shape[axis] = n + 1
-    p = np.zeros(shape, dtype=np.int32)
+    dtype = np.float64 if np.issubdtype(a.dtype, np.floating) else np.int32
+    p = np.zeros(shape, dtype=dtype)
     sl = [slice(None)] * a.ndim
     sl[axis] = slice(1, None)
     np.cumsum(a, axis=axis, out=p[tuple(sl)])
@@ -73,11 +75,37 @@ def adaptive_threshold_mask(img: np.ndarray, block: int = 21, c: int = 91) -> np
     return (img.astype(np.int32) + c) * (block * block) <= s
 
 
-def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected component labeling (ndimage.label semantics):
-    row-run union-find, two passes. Returns (labels, n_components);
-    labels are 1..n, background 0."""
+def rolling_max(a: np.ndarray, win: int, axis: int = 0) -> np.ndarray:
+    """Greyscale dilation with a 1D ones window (ndimage grey_dilation
+    size=(win,1) semantics, centered with the extra cell toward the
+    start for even win). Shift-max loop — fine for the small windows
+    (3-5) the layout engines use."""
+    lo = -(win // 2)
+    hi = win - 1 + lo
+    out = None
+    for k in range(lo, hi + 1):
+        shifted = np.roll(a, -k, axis=axis)
+        if axis != 0:
+            shifted = np.swapaxes(shifted, 0, axis)
+        if k > 0:
+            shifted[-k:] = -np.inf
+        elif k < 0:
+            shifted[:-k] = -np.inf
+        if axis != 0:
+            shifted = np.swapaxes(shifted, 0, axis)
+        out = shifted if out is None else np.maximum(out, shifted)
+    return out
+
+
+def label_components(
+    mask: np.ndarray, connectivity: int = 4
+) -> tuple[np.ndarray, int]:
+    """Connected-component labeling (ndimage.label semantics):
+    row-run union-find, two passes. connectivity 4 (cross) or 8 (full
+    3×3 structure). Returns (labels, n_components); labels are 1..n,
+    background 0."""
     h, w = mask.shape
+    slack = 1 if connectivity == 8 else 0
     labels = np.zeros((h, w), dtype=np.int32)
     parent: list[int] = [0]
 
@@ -98,7 +126,7 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         for s, e in zip(edges[::2], edges[1::2]):
             lab = 0
             for ps, pe, pl in prev_runs:
-                if ps < e and s < pe:  # 4-connectivity column overlap
+                if ps < e + slack and s < pe + slack:  # column overlap
                     root = find(pl)
                     if lab == 0:
                         lab = root

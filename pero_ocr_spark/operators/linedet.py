@@ -63,6 +63,62 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
     )
 
 
+PARSE_DDL = (
+    "doc_id long, bx0 double, bx1 double, y double, "
+    "height_up double, height_down double, n_points long"
+)
+
+
+def synthesize_parsenet_map(
+    pdf: pd.DataFrame, downsample: int = 2, width: int = PAGE_W
+) -> np.ndarray:
+    """Deterministic 5-channel ParseNet-style output map from line
+    geometry (the net is out of scope in this container): constant
+    ascender/descender channels (downsampled units), 1.0 baseline
+    probability on each baseline row span, zero endpoint/region
+    channels."""
+    h = (int(pdf["y"].max()) + 20) // downsample
+    w = width // downsample
+    m = np.zeros((h, w, 5), dtype=np.float32)
+    m[:, :, 0] = 10.0 / downsample
+    m[:, :, 1] = 4.0 / downsample
+    for r in pdf.itertuples(index=False):
+        m[int(r.y) // downsample, int(r.x0) // downsample : int(r.x1) // downsample, 2] = 1.0
+    return m
+
+
+def parse_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
+    """L5: ParseNet map → baselines/heights, as one fused Arrow stage
+    per document: synthesize the output map (stand-in for the net
+    forward pass, which the reference also runs inside the same
+    per-page call, cnn_layout_engine.py:81-124) and parse it with the
+    reference chain (``functions/mapparse.parse_baseline_map``). The
+    map never leaves the stage — no multi-MB float shuffle."""
+    from pero_ocr_spark.functions import mapparse
+
+    cols = ["doc_id", "bx0", "bx1", "y", "height_up", "height_down", "n_points"]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = synthesize_parsenet_map(pdf, downsample)
+        b_list, h_list = mapparse.parse_baseline_map(m, downsample=downsample)
+        doc_id = int(pdf["doc_id"].iloc[0])
+        rows = [
+            {
+                "doc_id": doc_id,
+                "bx0": float(bl[0][0]),
+                "bx1": float(bl[-1][0]),
+                "y": float(bl[0][1]),
+                "height_up": float(h[0]),
+                "height_down": float(h[1]),
+                "n_points": len(bl),
+            }
+            for bl, h in zip(b_list, h_list)
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return lines.groupBy("doc_id").applyInPandas(per_doc, schema=PARSE_DDL)
+
+
 SEGMENT_DDL = (
     "doc_id long, region_idx long, rx0 long, ry0 long, rx1 long, ry1 long"
 )

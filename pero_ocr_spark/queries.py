@@ -782,6 +782,40 @@ def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_parse_maps",
+    _LINES_CTE
+    + """
+, page AS (
+  SELECT doc_id,
+         CAST(x0 AS BIGINT) // 2 AS x0d,
+         CAST(x1 AS BIGINT) // 2 AS x1d, y
+  FROM lines WHERE ord < 60)
+SELECT doc_id,
+       2.0 * (x0d - 2) AS bx0,
+       2.0 * (x1d + 1) AS bx1,
+       y - 2 AS y,
+       10.0 AS height_up, 4.0 AS height_down,
+       CAST(greatest(least(10, (x1d - x0d) // 10), 2) AS BIGINT) AS n_points
+FROM page
+WHERE x1d - x0d >= 2
+""",
+)
+def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L5: ParseNet-map parsing (NMS → threshold → dilate → 8-conn CC →
+    # subsampled baselines + median heights) over maps synthesized at
+    # downsample 2. Closed form: baseline spans [2(x0//2 - 2),
+    # 2(x1//2 + 1)] at y-2 (3-row smoothed band, first-occurrence row),
+    # heights [10, 4], components below 2 downsampled columns dropped
+    # by the reference's >5-pixel floor.
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    return linedet.parse_lines_from_maps(
+        lines.select("doc_id", "x0", "x1", "y")
+    )
+
+
+@register(
     "layout_segment_regions",
     _LINES_CTE
     + """

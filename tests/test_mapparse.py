@@ -1,0 +1,85 @@
+"""L5 ParseNet-map parsing kernels and the fused Spark stage."""
+
+import numpy as np
+import pytest
+
+from pero_ocr_spark.functions import imageproc, mapparse
+
+
+def _map(lines, h=60, w=80, asc=5.0, desc=2.0):
+    m = np.zeros((h, w, 5), dtype=np.float32)
+    m[:, :, 0] = asc
+    m[:, :, 1] = desc
+    for yd, x0, x1 in lines:
+        m[yd, x0:x1, 2] = 1.0
+    return m
+
+
+class TestParseKernels:
+    def test_rolling_max(self):
+        a = np.array([[0.0], [1.0], [0.0], [0.0], [5.0], [0.0]])
+        out = imageproc.rolling_max(a, 3, axis=0)
+        assert out[:, 0].tolist() == [1.0, 1.0, 1.0, 5.0, 5.0, 5.0]
+
+    def test_nms_keeps_column_maxima(self):
+        x = np.zeros((9, 3))
+        x[4, :] = 1.0
+        x[2, 0] = 0.5
+        out = mapparse.nonmaxima_suppression(x, 5)
+        assert out[4, 0] == 1.0
+        assert out[2, 0] == 0.0  # suppressed: 1.0 within its window
+
+    def test_label_components_8_connectivity(self):
+        mask = np.zeros((4, 4), dtype=bool)
+        mask[0, 0] = mask[1, 1] = True  # diagonal touch
+        _, n4 = imageproc.label_components(mask, connectivity=4)
+        _, n8 = imageproc.label_components(mask, connectivity=8)
+        assert (n4, n8) == (2, 1)
+
+    def test_parse_closed_form(self):
+        m = _map([(10, 5, 55), (25, 5, 55)])
+        bls, hts = mapparse.parse_baseline_map(m, downsample=2)
+        assert len(bls) == 2
+        for bl, h in zip(bls, hts):
+            assert bl[0][0] == 6.0 and bl[-1][0] == 112.0  # ±2 comp ×2
+            assert h == [10.0, 4.0]
+            assert len(bl) == 5  # max(min(10, 50//10), 2)
+        assert sorted(bl[0][1] for bl in bls) == [18.0, 48.0]  # 2·(yd−1)
+
+    def test_parse_drops_tiny_components(self):
+        m = _map([(10, 5, 6)])  # 1 column → 3 pixels ≤ 5
+        bls, _ = mapparse.parse_baseline_map(m, downsample=2)
+        assert bls == []
+
+    def test_parse_separates_same_row_segments(self):
+        m = _map([(10, 5, 20), (10, 30, 45)])
+        bls, _ = mapparse.parse_baseline_map(m, downsample=1)
+        assert len(bls) == 2
+
+    def test_endpoint_penalty_splits_line(self):
+        m = _map([(10, 5, 55)])
+        # endpoint signal spanning the smoothed 3-row band: kills the
+        # whole column range, splitting the line (a single-pixel
+        # endpoint only punches a hole — the penalty applies to the
+        # RAW endpoint channel, cnn_layout_engine.py:148)
+        m[9:12, 29:32, 3] = 1.0
+        bls, _ = mapparse.parse_baseline_map(m, downsample=1)
+        assert len(bls) == 2
+
+    def test_spark_fused_stage(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        rows = [
+            (1, 10.0, 110.0, 20.0),
+            (1, 10.0, 110.0, 50.0),
+            (2, 510.0, 530.0, 20.0),
+        ]
+        lines = spark.createDataFrame(
+            rows, "doc_id long, x0 double, x1 double, y double"
+        )
+        out = linedet.parse_lines_from_maps(lines).collect()
+        got = {(r["doc_id"], r["y"]): r for r in out}
+        assert set(got) == {(1, 18.0), (1, 48.0), (2, 18.0)}
+        r = got[(1, 18.0)]
+        assert (r["bx0"], r["bx1"]) == (2.0 * (5 - 2), 2.0 * (55 + 1))
+        assert (r["height_up"], r["height_down"]) == (10.0, 4.0)
