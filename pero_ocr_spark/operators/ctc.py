@@ -408,11 +408,26 @@ def decode_chunked(
     (``_greedy_texts_batch``, sliced to bound padding memory) instead
     of a per-chunk kernel loop — the same batch-vectorization as
     ``_decode_batch_greedy``.
+
+    Skew handling: decode cost ∝ text length, so the input is packed
+    into partitions of ~equal cumulative length with
+    ``lineage.repartition_weighted`` (bucketed cumsum + exact salt
+    routing) — one 64x-long document can't straggle the stage.
     """
+    from pero_ocr_spark.operators.lineage import repartition_weighted
+
     n = int(
         lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    lines = lines.repartition(n, "doc_id")
+    # ~50k chars of decode work per pack; packs round-robin onto n
+    # partitions, so any partition's load is within one pack of even
+    lines = repartition_weighted(
+        lines.withColumn("_w", F.length("text")),
+        "_w",
+        target_weight=50_000.0,
+        key="doc_id",
+        num_partitions=n,
+    ).drop("_w")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

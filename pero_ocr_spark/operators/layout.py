@@ -17,8 +17,6 @@ ground truth.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -169,39 +167,19 @@ def lines_with_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def textline_polygons(lines: DataFrame) -> DataFrame:
-    """L14: baseline → textline polygon, Arrow-batched kernel. For the
-    straight synthetic baselines the polygon is the rect
-    (x0, y-asc) … (x1, y+desc), which the SQL oracle replicates."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            x0s, x1s, y0s, y1s = [], [], [], []
-            for x0, x1, y, asc, desc in zip(
-                pdf["x0"], pdf["x1"], pdf["y"], pdf["asc"], pdf["desc"]
-            ):
-                poly = G.baseline_to_textline(
-                    np.array([[x0, y], [x1, y]]), asc, desc
-                )
-                bx0, by0, bx1, by1 = G.bbox(poly)
-                x0s.append(bx0)
-                x1s.append(bx1)
-                y0s.append(by0)
-                y1s.append(by1)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "line_id": pdf["line_id"],
-                    "px0": x0s,
-                    "py0": y0s,
-                    "px1": x1s,
-                    "py1": y1s,
-                }
-            )
-
-    return lines.mapInPandas(
-        run,
-        schema="doc_id long, line_id string, px0 double, py0 double, "
-        "px1 double, py1 double",
+    """L14: baseline → textline polygon extent. For a straight 2-point
+    baseline the polygon is exactly the rect (x0, y-asc) … (x1,
+    y+desc), so this is a PURE column expression — whole-stage
+    codegen, no Python. The general multi-point kernel
+    (``geometry.baseline_to_textline``, per-vertex normals) remains
+    for curved baselines and is what the map-parsing path uses."""
+    return lines.select(
+        "doc_id",
+        "line_id",
+        F.col("x0").alias("px0"),
+        (F.col("y") - F.col("asc")).alias("py0"),
+        F.col("x1").alias("px1"),
+        (F.col("y") + F.col("desc")).alias("py1"),
     )
 
 
@@ -282,39 +260,26 @@ def assign_lines_to_regions(lines: DataFrame, regions: DataFrame) -> DataFrame:
         )
     )
 
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keep, cx0, cx1 = [], [], []
-            for r in pdf.itertuples(index=False):
-                poly = G.baseline_to_textline(
-                    np.array([[r.x0, r.y], [r.x1, r.y]]), r.asc, r.desc
-                )
-                region = np.array(
-                    [
-                        [r.rx0, r.ry0],
-                        [r.rx1, r.ry0],
-                        [r.rx1, r.ry1],
-                        [r.rx0, r.ry1],
-                    ]
-                )
-                clipped = G.clip_polygon(poly, region)
-                ok = G.polygon_area(clipped) > 0
-                keep.append(ok)
-                if ok:
-                    bx0, _, bx1, _ = G.bbox(clipped)
-                    cx0.append(bx0)
-                    cx1.append(bx1)
-                else:
-                    cx0.append(0.0)
-                    cx1.append(0.0)
-            out = pdf.assign(_keep=keep, cx0=cx0, cx1=cx1)
-            out = out[out["_keep"]]
-            yield out[["doc_id", "line_id", "region_id", "cx0", "cx1", "y"]]
-
-    return cand.mapInPandas(
-        exact,
-        schema="doc_id long, line_id string, region_id string, "
-        "cx0 double, cx1 double, y double",
+    # exact geometry: for a straight baseline's rect textline against
+    # a rect region, the Sutherland–Hodgman clip reduces to interval
+    # intersection — a PURE column predicate + projection, so the whole
+    # join stays in whole-stage codegen with no Python stage. The
+    # general polygon kernel (``geometry.clip_polygon``) remains for
+    # non-rect regions (e.g. hulls from the map-parsing path).
+    cx0 = F.greatest(F.col("x0"), F.col("rx0"))
+    cx1 = F.least(F.col("x1"), F.col("rx1"))
+    cy0 = F.greatest(F.col("y") - F.col("asc"), F.col("ry0"))
+    cy1 = F.least(F.col("y") + F.col("desc"), F.col("ry1"))
+    return (
+        cand.filter((cx1 > cx0) & (cy1 > cy0))
+        .select(
+            "doc_id",
+            "line_id",
+            "region_id",
+            cx0.alias("cx0"),
+            cx1.alias("cx1"),
+            "y",
+        )
     )
 
 
