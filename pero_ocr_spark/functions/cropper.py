@@ -1,0 +1,96 @@
+"""Line-crop rectification (R1) — numpy only.
+
+Re-expresses the reference's EngineLineCropper
+(``core/crop_engine.py:16-121``): build a (target_height, W, 2)
+source-coordinate grid along the (possibly tilted/curved) baseline —
+rotate to the baseline frame, interpolate the baseline, arc-length
+resample, walk the normals over the height range, rotate back — then
+sample the page image bilinearly at the grid (the cv2.remap step).
+
+Deviations (documented): baseline interpolation is linear (np.interp)
+instead of scipy cubic — identical for the 2-point baselines that
+dominate, and the reference itself falls back to linear for short
+baselines (crop_engine.py:68-70); remap border handling is
+clamp-to-edge.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def get_crop_inputs(
+    baseline: np.ndarray, heights: tuple[float, float], target_height: int
+) -> np.ndarray:
+    """(target_height, W, 2) source-pixel coordinate grid
+    (crop_engine.py:54-101 semantics, linear interpolation)."""
+    coords = np.asarray(baseline).copy().astype(float)
+    alfa = math.atan2(
+        coords[-1, 1] - coords[0, 1], coords[-1, 0] - coords[0, 0]
+    )
+    rot = np.array(
+        [[np.cos(alfa), np.sin(alfa)], [-np.sin(alfa), np.cos(alfa)]]
+    )
+    coords = coords @ np.linalg.inv(rot)
+    order = np.argsort(coords[:, 0])
+    cx, cy = coords[order, 0], coords[order, 1]
+
+    left, right = cx.min(), cx.max()
+    line_x = np.arange(left, right)
+    line_y = np.interp(line_x, cx, cy)
+    seg = np.hypot(np.diff(line_x), np.diff(line_y))
+    x_to_pos = np.concatenate([[0.0], np.cumsum(seg)])  # source x → arc t
+    scale = target_height / (heights[0] + heights[1])
+    n_cols = int(x_to_pos[-1] * scale)
+    if n_cols < 1:
+        n_cols = 1
+    t = np.linspace(0, x_to_pos[-1], n_cols)
+    # reverse mapping t → source x (crop_engine.py:103-121 is this
+    # linear-search interpolation; np.interp computes it exactly)
+    out_x = np.interp(t, x_to_pos, line_x)
+    out_y = np.interp(out_x, cx, cy)
+    # normals from the local tangent
+    d_y = out_y - np.interp(out_x + 0.1, cx, cy)
+    d_x = np.full_like(out_x, 0.1)
+    norm = np.hypot(d_x, d_y)
+    nx, ny = -d_y / norm, d_x / norm
+    v = np.linspace(-heights[0], heights[1], target_height).reshape(-1, 1)
+    grid_x = nx.reshape(1, -1) * v + out_x.reshape(1, -1)
+    grid_y = ny.reshape(1, -1) * v + out_y.reshape(1, -1)
+    grid = np.stack([grid_x, grid_y], axis=2)
+    return (grid @ rot).astype(np.float64)
+
+
+def bilinear_remap(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Sample img at the (H, W, 2) x/y grid with bilinear weights,
+    clamp-to-edge (the cv2.remap INTER_LINEAR step)."""
+    h, w = img.shape[:2]
+    x = np.clip(grid[:, :, 0], 0, w - 1)
+    y = np.clip(grid[:, :, 1], 0, h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx, fy = x - x0, y - y0
+    img_f = img.astype(np.float64)
+    out = (
+        img_f[y0, x0] * (1 - fy) * (1 - fx)
+        + img_f[y0, x1] * (1 - fy) * fx
+        + img_f[y1, x0] * fy * (1 - fx)
+        + img_f[y1, x1] * fy * fx
+    )
+    return np.round(out).astype(img.dtype)
+
+
+def crop_line(
+    img: np.ndarray,
+    baseline: np.ndarray,
+    heights: tuple[float, float],
+    target_height: int = 32,
+) -> np.ndarray:
+    """Rectified line crop (crop_engine.py:16-30): baseline-following
+    resample of the page raster to a fixed-height strip."""
+    grid = get_crop_inputs(baseline, heights, target_height)
+    return bilinear_remap(img, grid)

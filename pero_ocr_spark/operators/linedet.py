@@ -202,6 +202,53 @@ def snap_lines_to_intensity(
     )
 
 
+def crop_lines(
+    bitmaps: DataFrame, lines: DataFrame, target_height: int = 32
+) -> DataFrame:
+    """R1: rectified line crops from page rasters — the real
+    numpy warp (``functions/cropper.crop_line``, the reference's
+    EngineLineCropper chain) in a cogrouped Arrow stage. Emits one row
+    per line with the crop strip (binary), its dims, and the ink
+    fraction (fraction of crop pixels darker than 128)."""
+    from pero_ocr_spark.functions import cropper
+
+    cols = ["doc_id", "line_id", "crop_h", "crop_w", "ink_frac", "crop"]
+
+    def per_doc(bdf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0 or len(ldf) == 0:
+            return pd.DataFrame(columns=cols)
+        img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
+            int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
+        )
+        rows = []
+        for r in ldf.itertuples(index=False):
+            baseline = np.array([[r.x0, r.y], [r.x1, r.y]])
+            crop = cropper.crop_line(
+                img, baseline, (r.asc, r.desc), target_height
+            )
+            rows.append(
+                {
+                    "doc_id": int(r.doc_id),
+                    "line_id": r.line_id,
+                    "crop_h": crop.shape[0],
+                    "crop_w": crop.shape[1],
+                    "ink_frac": float((crop < 128).mean()),
+                    "crop": crop.tobytes(),
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        bitmaps.groupBy("doc_id")
+        .cogroup(lines.groupBy("doc_id"))
+        .applyInPandas(
+            per_doc,
+            schema="doc_id long, line_id string, crop_h long, crop_w long, "
+            "ink_frac double, crop binary",
+        )
+    )
+
+
 def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame:
     """Run the projection-profile detector per (page, region): cogroup
     the bitmap table with the region table on doc_id and emit one row

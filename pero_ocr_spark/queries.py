@@ -816,6 +816,29 @@ def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_crops",
+    _LINES_CTE
+    + """
+SELECT doc_id, line_id,
+       CAST(32 AS BIGINT) AS crop_h,
+       CAST(floor((x1 - x0 - 1) * (32.0 / 14.0)) AS BIGINT) AS crop_w
+FROM lines WHERE ord < 60
+""",
+)
+def q_line_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R1: real numpy rectification warp over the page rasters; the
+    # oracle checks the crop geometry (arc length × height scale);
+    # pixel content is pytest-verified (tests/test_cropper.py)
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    bitmaps = linedet.render_page_bitmaps(lines)
+    return linedet.crop_lines(bitmaps, lines).select(
+        "doc_id", "line_id", "crop_h", "crop_w"
+    )
+
+
+@register(
     "layout_segment_regions",
     _LINES_CTE
     + """
