@@ -202,6 +202,53 @@ def snap_lines_to_intensity(
     )
 
 
+def cluster_lines_graph(lines: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """L6 (CNN-engine variant): separator-penalty graph clustering of
+    lines into paragraph regions (``functions/lineclust.cluster_lines``,
+    cnn_layout_engine.py:330-372) as one fused per-document Arrow
+    stage. The separator map is synthesized from the deterministic
+    rule the oracle replicates: a 1-row separator 20 px below every
+    line whose row index ≡ 3 (mod 4), spanning the line's x range.
+    Emits each line with its component's min-y anchor and size."""
+    from pero_ocr_spark.functions import lineclust
+
+    cols = ["doc_id", "line_id", "cluster_y0", "cluster_size"]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = int(pdf["y"].max()) + 40
+        sep = np.zeros((h, PAGE_W), dtype=np.float32)
+        for r in pdf.itertuples(index=False):
+            row = (int(r.y) - 20) // 30
+            if row % 4 == 3:
+                sep[int(r.y) + 20, int(r.x0) : int(r.x1)] = 1.0
+        baselines = [
+            np.array([[r.x0, r.y], [r.x1, r.y]])
+            for r in pdf.itertuples(index=False)
+        ]
+        heights = [(r.asc, r.desc) for r in pdf.itertuples(index=False)]
+        labels = lineclust.cluster_lines(baselines, heights, sep, threshold)
+        y = pdf["y"].to_numpy()
+        out_y0 = np.zeros(len(labels))
+        out_sz = np.zeros(len(labels), dtype=np.int64)
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_y0[m] = y[m].min()
+            out_sz[m] = int(m.sum())
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "line_id": pdf["line_id"],
+                "cluster_y0": out_y0,
+                "cluster_size": out_sz,
+            }
+        )
+
+    return lines.groupBy("doc_id").applyInPandas(
+        per_doc,
+        schema="doc_id long, line_id string, cluster_y0 double, cluster_size long",
+    )
+
+
 def crop_lines(
     bitmaps: DataFrame, lines: DataFrame, target_height: int = 32
 ) -> DataFrame:

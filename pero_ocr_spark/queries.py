@@ -816,6 +816,51 @@ def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_cluster_lines",
+    _LINES_CTE
+    + """
+, keep AS (
+  SELECT * FROM lines
+  WHERE ord < 60 AND line_id NOT LIKE '%a' AND line_id NOT LIKE '%b')
+, seq AS (
+  SELECT doc_id, region_id, line_id, y,
+         lag(y) OVER (PARTITION BY doc_id, region_id ORDER BY y) AS py
+  FROM keep)
+, isl AS (
+  -- components break where rows are non-consecutive (candidate
+  -- dilation can't bridge a 60px gap) or a separator row sits in the
+  -- checked band (rows with index % 4 == 3 emit one 20px below)
+  SELECT doc_id, region_id, line_id, y,
+         sum(CASE WHEN py IS NULL OR y - py <> 30
+                    OR CAST((py - 20) / 30 AS BIGINT) % 4 = 3
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id, region_id ORDER BY y) AS island
+  FROM seq)
+SELECT i.doc_id, i.line_id, m.y0 AS cluster_y0, m.sz AS cluster_size
+FROM isl i
+JOIN (SELECT doc_id, region_id, island, min(y) AS y0,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM isl GROUP BY doc_id, region_id, island) m
+  ON i.doc_id = m.doc_id AND i.region_id = m.region_id
+ AND i.island = m.island
+""",
+)
+def q_layout_cluster_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6 graph variant: dilated-bbox candidates + separator-map
+    # penalties + connected components; split-line halves are excluded
+    # (zero x-overlap with each other would isolate single-row islands
+    # nondeterministically vs the SQL island model)
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(
+        (F.col("ord") < 60)
+        & ~F.col("line_id").endswith("a")
+        & ~F.col("line_id").endswith("b")
+    )
+    return linedet.cluster_lines_graph(lines)
+
+
+@register(
     "line_crops",
     _LINES_CTE
     + """
