@@ -202,6 +202,116 @@ def snap_lines_to_intensity(
     )
 
 
+def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
+    """Page raster with BOTH text orientations: orientation 0 rows are
+    horizontal ink bands (rows pos-10..pos × cols [a0, a1)), 1 are
+    vertical bands (rows [a0, a1) × cols pos-10..pos)."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(pdf["doc_id"].iloc[0])
+        horiz = pdf[pdf["orientation"] == 0]
+        vert = pdf[pdf["orientation"] == 1]
+        h = 20
+        if len(horiz):
+            h = max(h, int(horiz["pos"].max()) + 20)
+        if len(vert):
+            h = max(h, int(vert["a1"].max()) + 10)
+        img = np.full((h, PAGE_W), 255, dtype=np.uint8)
+        for r in horiz.itertuples(index=False):
+            img[int(r.pos) - ASC_INK : int(r.pos) + 1, int(r.a0) : int(r.a1)] = 0
+        for r in vert.itertuples(index=False):
+            img[int(r.a0) : int(r.a1), int(r.pos) - ASC_INK : int(r.pos) + 1] = 0
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "height": [h],
+                "width": [PAGE_W],
+                "img": [img.tobytes()],
+            }
+        )
+
+    return segments.groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, height int, width int, img binary"
+    )
+
+
+def detect_lines_multi_orientation(
+    bitmaps: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """L10: multi-orientation detect + union (page_parser.py:237-259 /
+    cnn_layout_engine.rotate_layout semantics): each region carries an
+    ``orientation``; orientation-1 regions detect on the TRANSPOSED
+    raster (the reference rotates 90° with np.rot90 — transpose =
+    rotation + mirror, equivalent for this mirror-invariant detector
+    and with a self-inverse coordinate map), and detections map back
+    into page coordinates. Baselines emit as (bx0, by0)-(bx1, by1)
+    segments so both orientations share one schema; the union is the
+    row union of the per-orientation passes."""
+
+    cols = [
+        "doc_id", "region_id", "orientation",
+        "bx0", "by0", "bx1", "by1", "height_up", "height_down",
+    ]
+
+    def per_doc(bdf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0 or len(rdf) == 0:
+            return pd.DataFrame(columns=cols)
+        img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
+            int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
+        )
+        img_t = np.ascontiguousarray(img.T)
+        doc_id = int(bdf["doc_id"].iloc[0])
+        rows = []
+        for r in rdf.itertuples(index=False):
+            rot = int(r.orientation)
+            frame = img_t if rot else img
+            # transposed region rect = swapped axes
+            poly = (
+                np.asarray(
+                    [[r.ry0, r.rx0], [r.ry1, r.rx0], [r.ry1, r.rx1], [r.ry0, r.rx1]],
+                    dtype=np.float64,
+                )
+                if rot
+                else np.asarray(
+                    [[r.rx0, r.ry0], [r.rx1, r.ry0], [r.rx1, r.ry1], [r.rx0, r.ry1]],
+                    dtype=np.float64,
+                )
+            )
+            baselines, heights = imageproc.detect_lines_in_region(frame, poly)
+            for bl, ht in zip(baselines, heights):
+                if rot:  # (x_t, y_t) -> (y_t, x_t) in page coords
+                    p0 = (float(bl[0][1]), float(bl[0][0]))
+                    p1 = (float(bl[1][1]), float(bl[1][0]))
+                else:
+                    p0 = (float(bl[0][0]), float(bl[0][1]))
+                    p1 = (float(bl[1][0]), float(bl[1][1]))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "region_id": r.region_id,
+                        "orientation": rot,
+                        "bx0": p0[0],
+                        "by0": p0[1],
+                        "bx1": p1[0],
+                        "by1": p1[1],
+                        "height_up": float(ht[0]),
+                        "height_down": float(ht[1]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        bitmaps.groupBy("doc_id")
+        .cogroup(regions.groupBy("doc_id"))
+        .applyInPandas(
+            per_doc,
+            schema="doc_id long, region_id string, orientation long, "
+            "bx0 double, by0 double, bx1 double, by1 double, "
+            "height_up double, height_down double",
+        )
+    )
+
+
 def cluster_lines_graph(lines: DataFrame, threshold: float = 0.5) -> DataFrame:
     """L6 (CNN-engine variant): separator-penalty graph clustering of
     lines into paragraph regions (``functions/lineclust.cluster_lines``,

@@ -816,6 +816,85 @@ def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_detect_multi_orientation",
+    _LINES_CTE
+    + """
+, hseg AS (
+  SELECT doc_id, x0 AS a0, x1 AS a1, y AS pos
+  FROM lines WHERE ord < 60 AND region_id = 'r0')
+, vseg AS (
+  SELECT doc_id, x0 - 500 AS a0, x1 - 500 AS a1,
+         530 + (ord // 2) * 30 AS pos
+  FROM lines WHERE ord < 30 AND region_id = 'r1')
+, hr AS (SELECT doc_id, min(a0) AS mn, max(a1) AS mx FROM hseg GROUP BY doc_id)
+, vr AS (SELECT doc_id, min(a0) AS mn, max(a1) AS mx FROM vseg GROUP BY doc_id)
+SELECT h.doc_id, 'h' AS region_id, CAST(0 AS BIGINT) AS orientation,
+       r.mn AS bx0, h.pos AS by0, r.mx AS bx1, h.pos AS by1,
+       12.0 AS height_up, 3.0 AS height_down
+FROM (SELECT DISTINCT doc_id, pos FROM hseg) h
+JOIN hr r ON h.doc_id = r.doc_id
+UNION ALL
+SELECT v.doc_id, 'v' AS region_id, CAST(1 AS BIGINT) AS orientation,
+       v.pos AS bx0, r.mn AS by0, v.pos AS bx1, r.mx AS by1,
+       12.0 AS height_up, 3.0 AS height_down
+FROM (SELECT DISTINCT doc_id, pos FROM vseg) v
+JOIN vr r ON v.doc_id = r.doc_id
+""",
+)
+def q_layout_detect_multi_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L10: one page carries horizontal text (r0 columns) AND vertical
+    # text (r1 lines re-laid as vertical bands at cols >= 510); the
+    # union of the orientation-0 and orientation-1 (transposed-frame)
+    # detection passes recovers both sets in page coordinates.
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir)
+    hseg = lines.filter((F.col("ord") < 60) & (F.col("region_id") == "r0")).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("orientation"),
+        F.col("x0").alias("a0"),
+        F.col("x1").alias("a1"),
+        F.col("y").alias("pos"),
+    )
+    vseg = lines.filter((F.col("ord") < 30) & (F.col("region_id") == "r1")).select(
+        "doc_id",
+        F.lit(1).cast("long").alias("orientation"),
+        (F.col("x0") - 500).alias("a0"),
+        (F.col("x1") - 500).alias("a1"),
+        (F.lit(530) + (F.col("ord") / 2).cast("long") * 30)
+        .cast("double")
+        .alias("pos"),
+    )
+    segments = hseg.unionByName(vseg)
+    bitmaps = linedet.render_mixed_bitmaps(segments)
+    regions = segments.groupBy("doc_id", "orientation").agg(
+        F.min("a0").alias("mn_a"),
+        F.max("a1").alias("mx_a"),
+        F.min("pos").alias("mn_p"),
+        F.max("pos").alias("mx_p"),
+    ).select(
+        "doc_id",
+        F.when(F.col("orientation") == 0, F.lit("h")).otherwise(F.lit("v")).alias(
+            "region_id"
+        ),
+        "orientation",
+        F.when(F.col("orientation") == 0, F.col("mn_a"))
+        .otherwise(F.col("mn_p") - 15)
+        .alias("rx0"),
+        F.when(F.col("orientation") == 0, F.col("mx_a"))
+        .otherwise(F.col("mx_p") + 15)
+        .alias("rx1"),
+        F.when(F.col("orientation") == 0, F.col("mn_p") - 15)
+        .otherwise(F.col("mn_a"))
+        .alias("ry0"),
+        F.when(F.col("orientation") == 0, F.col("mx_p") + 15)
+        .otherwise(F.col("mx_a"))
+        .alias("ry1"),
+    )
+    return linedet.detect_lines_multi_orientation(bitmaps, regions)
+
+
+@register(
     "layout_cluster_lines",
     _LINES_CTE
     + """

@@ -145,6 +145,43 @@ class TestSegmentation:
         assert [b[0][1] for b in out] == [51.0, 81.0]
 
 
+class TestMultiOrientation:
+    def test_union_of_orientations(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        # one horizontal line + one vertical band on the same page
+        segs = spark.createDataFrame(
+            [
+                (1, 0, 10.0, 300.0, 50.0),   # horizontal at y=50
+                (1, 1, 10.0, 200.0, 600.0),  # vertical at col 600
+            ],
+            "doc_id long, orientation long, a0 double, a1 double, pos double",
+        )
+        bitmaps = linedet.render_mixed_bitmaps(segs)
+        regions = spark.createDataFrame(
+            [
+                (1, "h", 0, 10.0, 300.0, 35.0, 65.0),
+                (1, "v", 1, 585.0, 615.0, 10.0, 200.0),
+            ],
+            "doc_id long, region_id string, orientation long, "
+            "rx0 double, rx1 double, ry0 double, ry1 double",
+        )
+        out = {
+            r["orientation"]: r
+            for r in linedet.detect_lines_multi_orientation(
+                bitmaps, regions
+            ).collect()
+        }
+        assert set(out) == {0, 1}
+        h = out[0]
+        assert (h["by0"], h["by1"]) == (50.0, 50.0)
+        assert (h["bx0"], h["bx1"]) == (10.0, 300.0)
+        v = out[1]
+        assert (v["bx0"], v["bx1"]) == (600.0, 600.0)
+        assert (v["by0"], v["by1"]) == (10.0, 200.0)
+        assert (v["height_up"], v["height_down"]) == (12.0, 3.0)
+
+
 class TestSparkStages:
     def test_render_and_detect_end_to_end(self, spark):
         from pero_ocr_spark.operators import linedet
