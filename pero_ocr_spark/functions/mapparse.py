@@ -30,6 +30,53 @@ import numpy as np
 from pero_ocr_spark.functions import imageproc
 
 
+def median_line_height(out_map: np.ndarray, detection_threshold: float = 0.2) -> float:
+    """Median ascender height over detected baseline pixels
+    (torch_parsenet.get_med_height:95-101)."""
+    heights = (
+        out_map[:, :, 2] > detection_threshold
+    ).astype(float) * out_map[:, :, 0]
+    vals = heights[heights > 0]
+    return float(np.median(vals)) if len(vals) else 0.0
+
+
+def get_maps_with_optimal_resolution(
+    map_fn,
+    img_shape: tuple[int, int],
+    downsample: float = 4,
+    max_megapixels: float = 5,
+    detection_threshold: float = 0.2,
+    adaptive_downsample: bool = True,
+    pixel_adapt_threshold: int = 100,
+    min_line_height: float = 9,
+    max_line_height: float = 15,
+    optimal_line_height: float = 12,
+    min_downsample: float = 1,
+    max_downsample: float = 8,
+) -> tuple[np.ndarray, float]:
+    """L4: memory-safe adaptive downsampling
+    (torch_parsenet.get_maps_with_optimal_resolution:60-93): run at
+    the default/memory-capped factor, measure the median detected line
+    height, and re-run at a corrected factor when heights fall outside
+    the net's sweet spot (a >±20% change gate avoids needless reruns).
+    ``map_fn(downsample) -> (H, W, 5) map`` abstracts the net forward
+    pass (or the synthetic map renderer here)."""
+    mp_floor = np.sqrt((img_shape[0] * img_shape[1]) / (max_megapixels * 10e5))
+    first = max(downsample, mp_floor)
+    out_map = map_fn(first)
+    if not adaptive_downsample:
+        return out_map, first
+    if (out_map[:, :, 2] > detection_threshold).sum() > pixel_adapt_threshold:
+        med = median_line_height(out_map, detection_threshold)
+        if med > max_line_height or med < min_line_height:
+            second = first * (med / optimal_line_height)
+            second = min(max(second, min_downsample), max_downsample)
+            second = max(second, mp_floor)
+            if second / first < 0.8 or second / first > 1.2:
+                return map_fn(second), second
+    return out_map, first
+
+
 def nonmaxima_suppression(x: np.ndarray, win: int = 5) -> np.ndarray:
     """Vertical NMS (cnn_layout_engine.py:374-386): keep values equal
     to their windowed column max."""

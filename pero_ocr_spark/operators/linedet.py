@@ -202,6 +202,49 @@ def snap_lines_to_intensity(
     )
 
 
+def render_debug_overlays(
+    bitmaps: DataFrame, lines: DataFrame, value: int = 128, thickness: int = 3
+) -> DataFrame:
+    """S10: render/debug sink — page rasters with detected baselines
+    drawn over them (the reference's cv2 draw_lines visualization,
+    core/layout.py:850, in numpy). Cogroup on doc_id; write the result
+    with ``df.write.parquet`` wherever the debug output should live."""
+
+    def per_doc(bdf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "height", "width", "img", "n_drawn"]
+            )
+        img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
+            int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
+        ).copy()
+        for r in ldf.itertuples(index=False):
+            imageproc.draw_polyline(
+                img,
+                [[r.x0, r.y], [r.x1, r.y]],
+                value=value,
+                thickness=thickness,
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": bdf["doc_id"].iloc[:1],
+                "height": bdf["height"].iloc[:1],
+                "width": bdf["width"].iloc[:1],
+                "img": [img.tobytes()],
+                "n_drawn": [len(ldf)],
+            }
+        )
+
+    return (
+        bitmaps.groupBy("doc_id")
+        .cogroup(lines.groupBy("doc_id"))
+        .applyInPandas(
+            per_doc,
+            schema="doc_id long, height int, width int, img binary, n_drawn long",
+        )
+    )
+
+
 def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
     """Page raster with BOTH text orientations: orientation 0 rows are
     horizontal ink bands (rows pos-10..pos × cols [a0, a1)), 1 are

@@ -145,6 +145,30 @@ class TestSegmentation:
         assert [b[0][1] for b in out] == [51.0, 81.0]
 
 
+class TestDebugSink:
+    def test_draw_polyline(self):
+        img = np.full((50, 50), 255, dtype=np.uint8)
+        imageproc.draw_polyline(img, [[5, 10], [40, 10], [40, 30]], value=0, thickness=1)
+        assert (img[10, 5:41] == 0).all()
+        assert (img[10:31, 40] == 0).all()
+        assert img[20, 20] == 255
+
+    def test_render_debug_overlays(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        lines = spark.createDataFrame(
+            [(1, "l0", 10.0, 200.0, 50.0)],
+            "doc_id long, line_id string, x0 double, x1 double, y double",
+        )
+        bitmaps = linedet.render_page_bitmaps(lines)
+        (row,) = linedet.render_debug_overlays(bitmaps, lines, value=128).collect()
+        assert row["n_drawn"] == 1
+        img = np.frombuffer(row["img"], dtype=np.uint8).reshape(
+            row["height"], row["width"]
+        )
+        assert (img[50, 20:190] == 128).all()  # baseline drawn over ink
+
+
 class TestMultiOrientation:
     def test_union_of_orientations(self, spark):
         from pero_ocr_spark.operators import linedet

@@ -66,6 +66,64 @@ class TestParseKernels:
         bls, _ = mapparse.parse_baseline_map(m, downsample=1)
         assert len(bls) == 2
 
+    def test_adaptive_downsample_reruns_when_lines_too_tall(self):
+        calls = []
+
+        def map_fn(ds):
+            calls.append(ds)
+            m = np.zeros((100, 100, 5), dtype=np.float32)
+            m[:, :, 0] = 120.0 / ds  # true ascender 120 px
+            m[40, 10:90, 2] = 1.0
+            m[70, 10:90, 2] = 1.0
+            return m
+
+        out, ds = mapparse.get_maps_with_optimal_resolution(
+            map_fn, (4000, 4000), downsample=4
+        )
+        # med height at ds=4 is 30 > 15 → rerun at 4·30/12 = 10 → cap 8
+        assert calls == [4, 8.0]
+        assert ds == 8.0
+
+    def test_adaptive_downsample_keeps_sweet_spot(self):
+        calls = []
+
+        def map_fn(ds):
+            calls.append(ds)
+            m = np.zeros((100, 100, 5), dtype=np.float32)
+            m[:, :, 0] = 12.0
+            m[40, 10:90, 2] = 1.0
+            m[70, 10:90, 2] = 1.0
+            return m
+
+        _, ds = mapparse.get_maps_with_optimal_resolution(
+            map_fn, (1000, 1000), downsample=4
+        )
+        assert calls == [4] and ds == 4
+
+    def test_adaptive_downsample_skips_sparse_pages(self):
+        calls = []
+
+        def map_fn(ds):
+            calls.append(ds)
+            m = np.zeros((100, 100, 5), dtype=np.float32)
+            m[:, :, 0] = 100.0
+            m[40, 10:30, 2] = 1.0  # only 20 detected pixels
+            return m
+
+        _, ds = mapparse.get_maps_with_optimal_resolution(
+            map_fn, (1000, 1000), downsample=4
+        )
+        assert calls == [4] and ds == 4
+
+    def test_megapixel_floor(self):
+        def map_fn(ds):
+            return np.zeros((10, 10, 5), dtype=np.float32)
+
+        _, ds = mapparse.get_maps_with_optimal_resolution(
+            map_fn, (20000, 20000), downsample=1
+        )
+        assert ds == pytest.approx(np.sqrt(20000 * 20000 / 5e6))
+
     def test_spark_fused_stage(self, spark):
         from pero_ocr_spark.operators import linedet
 
