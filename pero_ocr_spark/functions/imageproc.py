@@ -276,6 +276,7 @@ def segment_regions(
     close_gap: int = 13,
     margin: int = 5,
     min_pixels: int = 100,
+    downsample: int = 1,
 ) -> list[dict]:
     """L2: CV region segmentation (simple_region_engine.py:48-137
     semantics, numpy-only): adaptive threshold → vertical close
@@ -283,7 +284,20 @@ def segment_regions(
     components → per-component bbox, ordered left-to-right then
     top-to-bottom. Returns dicts with rx0/ry0/rx1/ry1 (inclusive pixel
     bbox) and n_pixels; polygon retrace (L16) turns a bbox + its ink
-    into a hull downstream when needed."""
+    into a hull downstream when needed.
+
+    ``downsample`` > 1 segments ``img[::ds, ::ds]`` (the reference
+    downscales by 4 before segmenting, simple_region_engine.py:80) —
+    gap/margin apply at the working resolution, n_pixels counts
+    working pixels, and bboxes scale back by ds."""
+    if downsample > 1:
+        out = segment_regions(
+            img[::downsample, ::downsample], close_gap, margin, min_pixels
+        )
+        for r in out:
+            for k in ("rx0", "ry0", "rx1", "ry1"):
+                r[k] *= downsample
+        return out
     ink = adaptive_threshold_mask(img)
     blocks = dilate_chebyshev(close_vertical(ink, close_gap), margin)
     return component_bboxes(blocks, min_pixels)
@@ -303,6 +317,16 @@ def gaussian_blur_rows(img: np.ndarray, sigma: float = 3.0) -> np.ndarray:
     return out
 
 
+def _blur_1d(sig: np.ndarray, sigma: float = 3.0) -> np.ndarray:
+    """1D gaussian (truncate 4σ, symmetric pad) — the same kernel as
+    gaussian_blur_rows applied to a vector."""
+    radius = int(round(4 * sigma))
+    ks = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    ks /= ks.sum()
+    padded = np.pad(sig, radius, mode="symmetric")
+    return np.convolve(padded, ks, mode="valid")
+
+
 def snap_baselines_to_intensity(
     baselines: list[np.ndarray], img: np.ndarray, tolerance: int = 5
 ) -> list[np.ndarray]:
@@ -311,22 +335,50 @@ def snap_baselines_to_intensity(
     smoothed y-gradient under it
     (layout_helpers.adjust_baselines_to_intensity:393-410). Straight
     2-point baselines stay 2-point; the gradient is sampled at every
-    integer x along the chord like the reference's resample."""
-    grad = np.gradient(img.astype(np.float64))[0]
-    grad = gaussian_blur_rows(grad, 3.0)
-    h, w = grad.shape
+    integer x along the chord like the reference's resample.
+
+    Horizontal baselines take an exactly-equivalent fast path: the
+    score is Σ_x blur_rows(grad)[y+o, x] and blur/gradient/sum are all
+    linear, so collapse columns FIRST — per-line row sums over a local
+    band, then one 1-D gradient + blur. Identical numbers, ~50x less
+    arithmetic than blurring the full raster. Tilted baselines fall
+    back to the 2-D path."""
+    h, w = img.shape
+    radius = 12  # blur truncation (4σ, σ=3)
+    # exact row needs: blurred scores at y−tol..y+tol−1 read gsum rows
+    # y−tol−radius..y+tol−1+radius, whose gradients read one img row
+    # further on each side
+    lo_off = tolerance + radius + 1
+    hi_off = tolerance - 1 + radius + 1
     out = []
+    grad2d = None
     for bl in baselines:
         bl = np.asarray(bl, dtype=np.float64)
         x0, x1 = int(round(bl[0][0])), int(round(bl[-1][0]))
         xs = np.clip(np.arange(min(x0, x1), max(x0, x1) + 1), 0, w - 1)
         y = int(round(bl[0][1]))
-        best_score, best_offset = -np.inf, 0
-        for offset in range(-tolerance, tolerance):
-            rows = np.clip(y + offset, 0, h - 1)
-            score = grad[rows, xs].sum()
-            if score > best_score:
-                best_score, best_offset = score, offset
+        if np.all(bl[:, 1] == bl[0][1]) and y - lo_off >= 0 and y + hi_off < h:
+            rows = img[y - lo_off : y + hi_off + 1, xs].astype(np.float64)
+            rowsum = rows.sum(axis=1)
+            gsum = (rowsum[2:] - rowsum[:-2]) / 2  # Σ_x np.gradient rows
+            # gsum[i] = row y - (lo_off-1) + i; scores aligned the same
+            scores = _blur_1d(gsum, 3.0)
+            base = lo_off - 1 - tolerance  # index of offset -tolerance
+            window = scores[base : base + 2 * tolerance]
+            best_offset = int(np.argmax(window)) - tolerance
+            # argmax returns the FIRST max, matching the reference's
+            # strict `score > best` scan from -tolerance
+        else:
+            if grad2d is None:
+                grad2d = gaussian_blur_rows(
+                    np.gradient(img.astype(np.float64))[0], 3.0
+                )
+            best_score, best_offset = -np.inf, 0
+            for offset in range(-tolerance, tolerance):
+                r = np.clip(y + offset, 0, h - 1)
+                score = grad2d[r, xs].sum()
+                if score > best_score:
+                    best_score, best_offset = score, offset
         shifted = bl.copy()
         shifted[:, 1] += best_offset
         out.append(shifted)
@@ -359,6 +411,8 @@ def detect_lines_in_region(
     adaptive_threshold: float = 91,
     block_size: int = 21,
     minimum_length: int = 6,
+    downsample: int = 1,
+    probe_offset: int = 10,
 ) -> tuple[list[np.ndarray], list[list[int]]]:
     """Projection-profile line detection in one region
     (simple_baseline_engine.py:21-101 semantics, numpy-only):
@@ -372,9 +426,29 @@ def detect_lines_in_region(
     full-width baseline is still clipped against the ORIGINAL polygon
     like the reference.
 
+    ``downsample`` > 1 runs the whole chain on ``img[::ds, ::ds]``
+    with region coords divided by ds, scaling outputs back — the same
+    resolution knob the reference's engines expose (their default
+    downsample is 4); heights quantize to the stride-3 scan at the
+    working resolution times ds.
+
     Returns (baselines, heights): baseline = [[x, y], [x, y]] page
     coords, heights = [up, down].
     """
+    if downsample > 1:
+        baselines, heights = detect_lines_in_region(
+            img[::downsample, ::downsample],
+            np.asarray(region, dtype=np.float64) / downsample,
+            adaptive_threshold,
+            block_size,
+            minimum_length,
+            downsample=1,
+            probe_offset=max(1, probe_offset // downsample),
+        )
+        return (
+            [bl * downsample for bl in baselines],
+            [[h[0] * downsample, h[1] * downsample] for h in heights],
+        )
     region = np.asarray(region)
     x1 = int(np.clip(region[:, 0].min(), 0, img.shape[1]))
     x2 = int(np.clip(region[:, 0].max(), 0, img.shape[1]))
@@ -400,7 +474,10 @@ def detect_lines_in_region(
     used: set[int] = set()
     for bc in baseline_coords[::-1]:
         bc = int(bc)
-        probe_row = max(bc - 10, 0)
+        # the reference probes 10 rows above the baseline for the
+        # component (simple_baseline_engine.py:69); at a reduced
+        # working resolution the offset scales with it
+        probe_row = max(bc - probe_offset, 0)
         objs = np.unique(labeled[probe_row, :])
         objs = objs[objs > 0]
         if len(objs) == 0:

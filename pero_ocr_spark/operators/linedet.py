@@ -9,9 +9,9 @@ the numpy-only kernels in ``functions/imageproc.py``.
 In the sandbox the bitmaps are RENDERED deterministically from the
 synthetic line geometry (solid ink bands of asc=10 rows above each
 baseline), so detection output is closed-form and SQL-checkable:
-baseline at y with the region's x extent; heights [12, 3] from the
-detector's stride-3 component scans (up: first probe past the 10-row
-band at −12; down: first probe below the baseline at +3).
+baseline at y with the region's x extent; heights quantize to the
+stride-3 component scans at the working resolution ([12, 3] at full
+res, [12, 6] at the default downsample 2 the queries use).
 
 Scale notes: rendering and detection are both per-document Arrow
 groups — data-parallel, no shuffle beyond the groupBys; the bitmap
@@ -31,6 +31,16 @@ from pero_ocr_spark.functions import imageproc
 PAGE_W = 1000
 ASC_INK = 10  # ink band rows above (and including) the baseline row
 
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Explicit hash repartition on doc_id before per-document Arrow
+    groups: a user repartition is exempt from AQE small-partition
+    coalescing, which otherwise collapses the tiny line-row exchange
+    (~20 MB) to one or two partitions and SERIALIZES the downstream
+    render/kernel python stages (the dominant cost at sf0.1)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, "doc_id")
+
 DETECT_DDL = (
     "doc_id long, region_id string, bx0 double, bx1 double, y double, "
     "height_up double, height_down double"
@@ -44,7 +54,10 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = int(pdf["doc_id"].iloc[0])
-        h = int(pdf["y"].max()) + 20
+        # +40 bottom margin: keeps the last line's snap window
+        # (±tolerance+blur radius) inside the raster so the exact
+        # 1-D fast path applies to every line
+        h = int(pdf["y"].max()) + 40
         img = np.full((h, PAGE_W), 255, dtype=np.uint8)
         for r in pdf.itertuples(index=False):
             y = int(r.y)
@@ -58,7 +71,7 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
             }
         )
 
-    return lines.groupBy("doc_id").applyInPandas(
+    return _pin(lines).groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, height int, width int, img binary"
     )
 
@@ -116,7 +129,7 @@ def parse_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
         ]
         return pd.DataFrame(rows, columns=cols)
 
-    return lines.groupBy("doc_id").applyInPandas(per_doc, schema=PARSE_DDL)
+    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=PARSE_DDL)
 
 
 SEGMENT_DDL = (
@@ -125,7 +138,11 @@ SEGMENT_DDL = (
 
 
 def segment_page_regions(
-    bitmaps: DataFrame, close_gap: int = 13, margin: int = 5
+    bitmaps: DataFrame,
+    close_gap: int = 13,
+    margin: int = 5,
+    min_pixels: int = 100,
+    downsample: int = 1,
 ) -> DataFrame:
     """L2: CV region segmentation per page bitmap
     (simple_region_engine.py:48-137 in numpy — threshold, vertical
@@ -143,7 +160,11 @@ def segment_page_regions(
             ):
                 img = np.frombuffer(buf, dtype=np.uint8).reshape(int(h), int(w))
                 regs = imageproc.segment_regions(
-                    img, close_gap=close_gap, margin=margin
+                    img,
+                    close_gap=close_gap,
+                    margin=margin,
+                    min_pixels=min_pixels,
+                    downsample=downsample,
                 )
                 for i, r in enumerate(regs):
                     rows.append(
@@ -196,8 +217,8 @@ def snap_lines_to_intensity(
         )
 
     return (
-        bitmaps.groupBy("doc_id")
-        .cogroup(lines.groupBy("doc_id"))
+        _pin(bitmaps).groupBy("doc_id")
+        .cogroup(_pin(lines).groupBy("doc_id"))
         .applyInPandas(per_doc, schema="doc_id long, line_id string, y_snapped double")
     )
 
@@ -236,8 +257,8 @@ def render_debug_overlays(
         )
 
     return (
-        bitmaps.groupBy("doc_id")
-        .cogroup(lines.groupBy("doc_id"))
+        _pin(bitmaps).groupBy("doc_id")
+        .cogroup(_pin(lines).groupBy("doc_id"))
         .applyInPandas(
             per_doc,
             schema="doc_id long, height int, width int, img binary, n_drawn long",
@@ -273,13 +294,13 @@ def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
             }
         )
 
-    return segments.groupBy("doc_id").applyInPandas(
+    return _pin(segments).groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, height int, width int, img binary"
     )
 
 
 def detect_lines_multi_orientation(
-    bitmaps: DataFrame, regions: DataFrame
+    bitmaps: DataFrame, regions: DataFrame, downsample: int = 1
 ) -> DataFrame:
     """L10: multi-orientation detect + union (page_parser.py:237-259 /
     cnn_layout_engine.rotate_layout semantics): each region carries an
@@ -320,7 +341,9 @@ def detect_lines_multi_orientation(
                     dtype=np.float64,
                 )
             )
-            baselines, heights = imageproc.detect_lines_in_region(frame, poly)
+            baselines, heights = imageproc.detect_lines_in_region(
+                frame, poly, downsample=downsample
+            )
             for bl, ht in zip(baselines, heights):
                 if rot:  # (x_t, y_t) -> (y_t, x_t) in page coords
                     p0 = (float(bl[0][1]), float(bl[0][0]))
@@ -344,8 +367,8 @@ def detect_lines_multi_orientation(
         return pd.DataFrame(rows, columns=cols)
 
     return (
-        bitmaps.groupBy("doc_id")
-        .cogroup(regions.groupBy("doc_id"))
+        _pin(bitmaps).groupBy("doc_id")
+        .cogroup(_pin(regions).groupBy("doc_id"))
         .applyInPandas(
             per_doc,
             schema="doc_id long, region_id string, orientation long, "
@@ -396,7 +419,7 @@ def cluster_lines_graph(lines: DataFrame, threshold: float = 0.5) -> DataFrame:
             }
         )
 
-    return lines.groupBy("doc_id").applyInPandas(
+    return _pin(lines).groupBy("doc_id").applyInPandas(
         per_doc,
         schema="doc_id long, line_id string, cluster_y0 double, cluster_size long",
     )
@@ -439,8 +462,8 @@ def crop_lines(
         return pd.DataFrame(rows, columns=cols)
 
     return (
-        bitmaps.groupBy("doc_id")
-        .cogroup(lines.groupBy("doc_id"))
+        _pin(bitmaps).groupBy("doc_id")
+        .cogroup(_pin(lines).groupBy("doc_id"))
         .applyInPandas(
             per_doc,
             schema="doc_id long, line_id string, crop_h long, crop_w long, "
@@ -449,7 +472,9 @@ def crop_lines(
     )
 
 
-def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame:
+def detect_lines_projection(
+    bitmaps: DataFrame, regions: DataFrame, downsample: int = 1
+) -> DataFrame:
     """Run the projection-profile detector per (page, region): cogroup
     the bitmap table with the region table on doc_id and emit one row
     per detected baseline — page coords, [up, down] heights."""
@@ -474,7 +499,9 @@ def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame
                 ],
                 dtype=np.float64,
             )
-            baselines, heights = imageproc.detect_lines_in_region(img, poly)
+            baselines, heights = imageproc.detect_lines_in_region(
+                img, poly, downsample=downsample
+            )
             for bl, ht in zip(baselines, heights):
                 rows.append(
                     {
@@ -490,7 +517,7 @@ def detect_lines_projection(bitmaps: DataFrame, regions: DataFrame) -> DataFrame
         return pd.DataFrame(rows, columns=cols)
 
     return (
-        bitmaps.groupBy("doc_id")
-        .cogroup(regions.groupBy("doc_id"))
+        _pin(bitmaps).groupBy("doc_id")
+        .cogroup(_pin(regions).groupBy("doc_id"))
         .applyInPandas(per_doc, schema=DETECT_DDL)
     )

@@ -747,7 +747,7 @@ def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM page GROUP BY doc_id, region_id)
 SELECT DISTINCT l.doc_id, l.region_id,
        r.rx0 AS bx0, r.rx1 AS bx1, l.y,
-       12.0 AS height_up, 3.0 AS height_down
+       12.0 AS height_up, 6.0 AS height_down
 FROM page l
 JOIN regions r ON l.doc_id = r.doc_id AND l.region_id = r.region_id
 """,
@@ -758,7 +758,9 @@ def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needlessly shuffles tens of MB per row)
     from pero_ocr_spark.operators import layout, linedet
 
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    # persist: the lines frame feeds BOTH the render branch and the
+    # regions aggregate — without it the extraction pipeline runs twice
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
     bitmaps = linedet.render_page_bitmaps(lines)
     regions = lines.groupBy("doc_id", "region_id").agg(
         F.min("x0").alias("rx0"),
@@ -766,7 +768,9 @@ def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("y") - 15).alias("ry0"),
         (F.max("y") + 15).alias("ry1"),
     )
-    return linedet.detect_lines_projection(bitmaps, regions)
+    # downsample 2: the reference engines run downsampled by default;
+    # the stride-3 height scans quantize to [12, 6] at this resolution
+    return linedet.detect_lines_projection(bitmaps, regions, downsample=2)
 
 
 # ---------------------------------------------------------------------------
@@ -830,13 +834,13 @@ def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 , vr AS (SELECT doc_id, min(a0) AS mn, max(a1) AS mx FROM vseg GROUP BY doc_id)
 SELECT h.doc_id, 'h' AS region_id, CAST(0 AS BIGINT) AS orientation,
        r.mn AS bx0, h.pos AS by0, r.mx AS bx1, h.pos AS by1,
-       12.0 AS height_up, 3.0 AS height_down
+       12.0 AS height_up, 6.0 AS height_down
 FROM (SELECT DISTINCT doc_id, pos FROM hseg) h
 JOIN hr r ON h.doc_id = r.doc_id
 UNION ALL
 SELECT v.doc_id, 'v' AS region_id, CAST(1 AS BIGINT) AS orientation,
        v.pos AS bx0, r.mn AS by0, v.pos AS bx1, r.mx AS by1,
-       12.0 AS height_up, 3.0 AS height_down
+       12.0 AS height_up, 6.0 AS height_down
 FROM (SELECT DISTINCT doc_id, pos FROM vseg) v
 JOIN vr r ON v.doc_id = r.doc_id
 """,
@@ -865,7 +869,7 @@ def q_layout_detect_multi_orientation(spark: SparkSession, sf_dir: str) -> DataF
         .cast("double")
         .alias("pos"),
     )
-    segments = hseg.unionByName(vseg)
+    segments = hseg.unionByName(vseg).persist()
     bitmaps = linedet.render_mixed_bitmaps(segments)
     regions = segments.groupBy("doc_id", "orientation").agg(
         F.min("a0").alias("mn_a"),
@@ -891,7 +895,7 @@ def q_layout_detect_multi_orientation(spark: SparkSession, sf_dir: str) -> DataF
         .otherwise(F.col("mx_a"))
         .alias("ry1"),
     )
-    return linedet.detect_lines_multi_orientation(bitmaps, regions)
+    return linedet.detect_lines_multi_orientation(bitmaps, regions, downsample=2)
 
 
 @register(
@@ -955,7 +959,7 @@ def q_line_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixel content is pytest-verified (tests/test_cropper.py)
     from pero_ocr_spark.operators import layout, linedet
 
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
     bitmaps = linedet.render_page_bitmaps(lines)
     return linedet.crop_lines(bitmaps, lines).select(
         "doc_id", "line_id", "crop_h", "crop_w"
@@ -980,9 +984,13 @@ def q_line_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
            OVER (PARTITION BY doc_id, region_id ORDER BY y) AS island
   FROM ys)
 , comp AS (
+  -- working resolution ds=2: close_gap 7 / margin 3 on img[::2,::2];
+  -- bboxes scale back by 2 (x bounds snap to the even-pixel grid)
   SELECT p.doc_id,
-         min(p.x0) - 5 AS rx0, min(p.y) - 15 AS ry0,
-         max(p.x1) - 1 + 5 AS rx1, max(p.y) + 5 AS ry1
+         2 * ((CAST(min(p.x0) AS BIGINT) + 1) // 2 - 3) AS rx0,
+         min(p.y) - 16 AS ry0,
+         2 * ((CAST(max(p.x1) AS BIGINT) - 1) // 2 + 3) AS rx1,
+         max(p.y) + 6 AS ry1
   FROM page p
   JOIN isl i ON p.doc_id = i.doc_id
             AND p.region_id = i.region_id AND p.y = i.y
@@ -999,7 +1007,13 @@ def q_layout_segment_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout, linedet
 
     lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
-    return linedet.segment_page_regions(linedet.render_page_bitmaps(lines))
+    return linedet.segment_page_regions(
+        linedet.render_page_bitmaps(lines),
+        close_gap=7,
+        margin=3,
+        min_pixels=25,
+        downsample=2,
+    )
 
 
 @register(
@@ -1013,7 +1027,7 @@ FROM lines WHERE ord < 60
 def q_layout_snap_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout, linedet
 
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
     bitmaps = linedet.render_page_bitmaps(lines)
     jittered = lines.select(
         "doc_id",
