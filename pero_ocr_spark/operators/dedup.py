@@ -31,7 +31,7 @@ would be capped with a per-bucket limit + salting, noted inline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime for permutation hashing
@@ -168,10 +168,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs at scale: LSH banding for candidates, exact
     jaccard verification for the final answer (so results match
-    ngram_jaccard_pairs while touching ~0 non-candidate pairs)."""
+    ngram_jaccard_pairs while touching ~0 non-candidate pairs).
+
+    ``max_bucket``: web-scale guard against degenerate buckets
+    (identical boilerplate across millions of docs makes a bucket of B
+    docs yield B²/2 candidate pairs). When set, each band bucket keeps
+    only its ``max_bucket`` smallest doc ids before the self-join —
+    bounded quadratic cost at the price of possibly missing pairs that
+    ONLY co-bucket in oversized buckets (each true near-dup pair still
+    has 31 other bands to meet in). Default None = exact candidates.
+    """
     sh = shingles(docs, n)
     sig = minhash_signatures(sh, n_perm)
     rows_per_band = n_perm // n_bands
@@ -185,10 +195,13 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     )
-    # candidate pairs: docs sharing any band bucket.
-    # NOTE (scale): a degenerate bucket with B docs yields B^2/2 pairs;
-    # for web-scale corpora cap bucket size (window row_number ≤ L) or
-    # salt the band key before the self-join.
+    if max_bucket is not None:
+        w = Window.partitionBy("bk").orderBy("doc_id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     left = buckets.select(F.col("doc_id").alias("doc_a"), "bk")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "bk")
     cands = (
