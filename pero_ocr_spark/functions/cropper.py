@@ -91,6 +91,13 @@ def crop_line(
     target_height: int = 32,
 ) -> np.ndarray:
     """Rectified line crop (crop_engine.py:16-30): baseline-following
-    resample of the page raster to a fixed-height strip."""
-    grid = get_crop_inputs(baseline, heights, target_height)
-    return bilinear_remap(img, grid)
+    resample of the page raster to a fixed-height strip. Degenerate
+    baselines (rotated x-extent < 1 px — e.g. a repeated point from an
+    external PAGE file) return a blank target_height×32 strip instead
+    of failing the task, like the reference's except branch
+    (crop_engine.py:20-23)."""
+    try:
+        grid = get_crop_inputs(baseline, heights, target_height)
+        return bilinear_remap(img, grid)
+    except (ValueError, IndexError, ZeroDivisionError):
+        return np.zeros((target_height, 32), dtype=img.dtype)

@@ -42,21 +42,6 @@ def _window_sum(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
     return np.take(p, hi, axis=axis) - np.take(p, lo, axis=axis)
 
 
-def box_mean(img: np.ndarray, block: int) -> np.ndarray:
-    """Local mean over a block×block window with replicated borders —
-    the cv2.boxFilter underneath ADAPTIVE_THRESH_MEAN_C."""
-    r = block // 2
-    padded = np.pad(img, r, mode="edge").astype(np.int64)
-    ii = np.zeros((padded.shape[0] + 1, padded.shape[1] + 1), dtype=np.int64)
-    ii[1:, 1:] = padded.cumsum(0).cumsum(1)
-    h, w = img.shape
-    s = (
-        ii[block : block + h, block : block + w]
-        - ii[block : block + h, 0:w]
-        - ii[0:h, block : block + w]
-        + ii[0:h, 0:w]
-    )
-    return s / (block * block)
 
 
 def adaptive_threshold_mask(img: np.ndarray, block: int = 21, c: int = 91) -> np.ndarray:
@@ -97,16 +82,12 @@ def rolling_max(a: np.ndarray, win: int, axis: int = 0) -> np.ndarray:
     return out
 
 
-def label_components(
-    mask: np.ndarray, connectivity: int = 4
-) -> tuple[np.ndarray, int]:
-    """Connected-component labeling (ndimage.label semantics):
-    row-run union-find, two passes. connectivity 4 (cross) or 8 (full
-    3×3 structure). Returns (labels, n_components); labels are 1..n,
-    background 0."""
-    h, w = mask.shape
-    slack = 1 if connectivity == 8 else 0
-    labels = np.zeros((h, w), dtype=np.int32)
+def _union_find_runs(mask: np.ndarray, slack: int):
+    """Shared single pass of the run-based union-find labeler: yields
+    (all_runs, find) where all_runs = [(y, start, end_excl, label)]
+    and find() resolves a run label to its component root. slack=1
+    gives 8-connectivity (diagonal run adjacency), 0 gives 4."""
+    h = mask.shape[0]
     parent: list[int] = [0]
 
     def find(x: int) -> int:
@@ -115,7 +96,8 @@ def label_components(
             x = parent[x]
         return x
 
-    prev_runs: list[tuple[int, int, int]] = []  # (start, end_excl, label)
+    all_runs: list[tuple[int, int, int, int]] = []
+    prev_runs: list[tuple[int, int, int]] = []
     for y in range(h):
         row = mask[y]
         if not row.any():
@@ -135,57 +117,36 @@ def label_components(
             if lab == 0:
                 parent.append(len(parent))
                 lab = len(parent) - 1
-            labels[y, s:e] = lab
-            runs.append((int(s), int(e), lab))
-        prev_runs = runs
-    # second pass: compress to dense 1..n
-    roots = {}
-    remap = np.zeros(len(parent), dtype=np.int32)
-    for i in range(1, len(parent)):
-        r = find(i)
-        if r not in roots:
-            roots[r] = len(roots) + 1
-        remap[i] = roots[r]
-    return remap[labels], len(roots)
-
-
-def component_bboxes(mask: np.ndarray, min_pixels: int = 0) -> list[dict]:
-    """Per-component inclusive bbox + pixel count WITHOUT building the
-    label image: the same run-based union-find as label_components,
-    aggregating over runs (a page has ~100s of runs vs ~10⁶ pixels)."""
-    h, _ = mask.shape
-    parent: list[int] = [0]
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    all_runs: list[tuple[int, int, int, int]] = []  # (y, start, end, label)
-    prev_runs: list[tuple[int, int, int]] = []
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        edges = np.flatnonzero(np.diff(np.concatenate(([False], row, [False]))))
-        runs = []
-        for s, e in zip(edges[::2], edges[1::2]):
-            lab = 0
-            for ps, pe, pl in prev_runs:
-                if ps < e and s < pe:
-                    root = find(pl)
-                    if lab == 0:
-                        lab = root
-                    elif root != lab:
-                        parent[root] = find(lab)
-            if lab == 0:
-                parent.append(len(parent))
-                lab = len(parent) - 1
             runs.append((int(s), int(e), lab))
             all_runs.append((y, int(s), int(e), lab))
         prev_runs = runs
+    return all_runs, find
+
+
+def label_components(
+    mask: np.ndarray, connectivity: int = 4
+) -> tuple[np.ndarray, int]:
+    """Connected-component labeling (ndimage.label semantics) over the
+    shared run scan. connectivity 4 (cross) or 8 (full 3x3 structure).
+    Returns (labels, n_components); labels are 1..n, background 0."""
+    all_runs, find = _union_find_runs(mask, 1 if connectivity == 8 else 0)
+    labels = np.zeros(mask.shape, dtype=np.int32)
+    roots: dict[int, int] = {}
+    for y, s, e, lab in all_runs:
+        r = find(lab)
+        if r not in roots:
+            roots[r] = len(roots) + 1
+        labels[y, s:e] = roots[r]
+    return labels, len(roots)
+
+
+def component_bboxes(
+    mask: np.ndarray, min_pixels: int = 0, connectivity: int = 4
+) -> list[dict]:
+    """Per-component inclusive bbox + pixel count WITHOUT building the
+    label image: aggregate over the shared run scan (a page has ~100s
+    of runs vs ~10⁶ pixels)."""
+    all_runs, find = _union_find_runs(mask, 1 if connectivity == 8 else 0)
     agg: dict[int, list[int]] = {}
     for y, s, e, lab in all_runs:
         r = find(lab)

@@ -473,9 +473,14 @@ def best_overlap(left: str, right: str) -> int:
     m = min(len(left), len(right))
     if m == 0:
         return 0
-    pi = _kmp_failure(right[:m] + "\x00" + left[-m:])
-    if pi[-1] > 0:
-        return pi[-1]
+    # the KMP sentinel must not occur in either window, or a border
+    # could cross it and report an overlap longer than the strings
+    for sep in "\x00\x01\x02\x03":
+        if sep not in left[-m:] and sep not in right[:m]:
+            pi = _kmp_failure(right[:m] + sep + left[-m:])
+            if pi[-1] > 0:
+                return pi[-1]
+            break
     best_cer, best = 1.0, 0
     for i in range(1, m + 1):
         cer = _lev_dist_np(left[-i:], right[:i]) / i

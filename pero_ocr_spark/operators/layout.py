@@ -66,8 +66,11 @@ def lines_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partials incorrectly — observed on the broadcast side of the
     # assign join)
     mid = (F.col("x0") + F.col("x1")) / 2
+    # the width guard keeps split halves non-degenerate: a 1-2 char
+    # line (w <= 20) split around mid±5 would produce x1 < x0 halves
+    # that render no ink and break every image-query oracle
     seg = F.when(
-        F.col("ord") % 5 == 4,
+        (F.col("ord") % 5 == 4) & (F.col("x1") - F.col("x0") > 20),
         F.array(
             F.struct(
                 F.concat(F.col("line_id"), F.lit("a")).alias("line_id"),

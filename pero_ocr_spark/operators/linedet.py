@@ -27,8 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from pero_ocr_spark.functions import imageproc
+from pero_ocr_spark.operators.layout import PAGE_W
 
-PAGE_W = 1000
 ASC_INK = 10  # ink band rows above (and including) the baseline row
 
 

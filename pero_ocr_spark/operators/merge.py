@@ -29,9 +29,16 @@ def merge_ocr_results(engines: list[DataFrame]) -> DataFrame:
     (-confidence, engine) — lexicographic struct order gives exactly
     that, and unlike row_number it partial-aggregates map-side)."""
     unioned = reduce(DataFrame.unionByName, engines)
+    # leading null flag: struct comparison would otherwise sort a NULL
+    # -confidence FIRST, letting a missing confidence beat every real
+    # one (row_number over confidence.desc() ranked nulls last)
     best = F.min_by(
         F.struct("transcription", "engine"),
-        F.struct((-F.col("confidence")).alias("nc"), F.col("engine").alias("e")),
+        F.struct(
+            F.col("confidence").isNull().cast("int").alias("nul"),
+            (-F.col("confidence")).alias("nc"),
+            F.col("engine").alias("e"),
+        ),
     ).alias("best")
     return (
         unioned.groupBy("doc_id", "line_id")

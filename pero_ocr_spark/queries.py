@@ -603,13 +603,13 @@ _LINES_CTE = f"""
   FROM tl)
 , lines AS (
   SELECT doc_id, region_id, line_id, ord, x0, x1, y
-  FROM lbase WHERE ord % 5 <> 4
+  FROM lbase WHERE ord % 5 <> 4 OR x1 - x0 <= 20
   UNION ALL
   SELECT doc_id, region_id, line_id || 'a', ord, x0, (x0 + x1) / 2 - 5, y
-  FROM lbase WHERE ord % 5 = 4
+  FROM lbase WHERE ord % 5 = 4 AND x1 - x0 > 20
   UNION ALL
   SELECT doc_id, region_id, line_id || 'b', ord, (x0 + x1) / 2 + 5, x1, y
-  FROM lbase WHERE ord % 5 = 4)
+  FROM lbase WHERE ord % 5 = 4 AND x1 - x0 > 20)
 """
 
 

@@ -123,12 +123,20 @@ def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame
                 f'<Coords points="{rcoords}"/>'
             )
             for r in rpdf.sort_values(["idx", "line_id"]).itertuples(index=False):
+                # omit conf when absent — the reference only writes it
+                # for lines that have one (core/layout.py:390-392);
+                # formatting a null would emit conf="nan"
+                conf_attr = (
+                    f' conf="{r.confidence:.3f}"'
+                    if r.confidence is not None and not np.isnan(r.confidence)
+                    else ""
+                )
                 parts.append(
                     f"<TextLine id={quoteattr(r.line_id)} index=\"{int(r.idx)}\" "
                     f'custom="heights_v2:[{r.height_up:.1f},{r.height_down:.1f}]">'
                     f'<Coords points="{U.points_array_to_string(r.polygon)}"/>'
                     f'<Baseline points="{U.points_array_to_string(r.baseline)}"/>'
-                    f'<TextEquiv conf="{r.confidence:.3f}">'
+                    f"<TextEquiv{conf_attr}>"
                     f"<Unicode>{escape(r.transcription)}</Unicode>"
                     "</TextEquiv></TextLine>"
                 )

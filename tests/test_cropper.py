@@ -88,3 +88,13 @@ class TestSparkCrops:
         # first row is ink, the last (y+4, below descenders) is not
         assert (crop[0, 5:-5] == 0).all()
         assert (crop[-1] == 255).all()
+
+
+class TestDegenerateBaseline:
+    def test_repeated_point_returns_blank_strip(self):
+        img = _page_with_band()
+        crop = cropper.crop_line(
+            img, np.array([[10.0, 20.0], [10.0, 20.0]]), (10.0, 4.0), 32
+        )
+        assert crop.shape == (32, 32)
+        assert (crop == 0).all()

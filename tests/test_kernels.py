@@ -190,3 +190,13 @@ class TestEditStats:
         assert path == [("a", "a"), ("b", "x"), ("c", "c")]
         path = kernels.align_strings("abc", "ac")
         assert ("b", None) in path
+
+
+class TestBestOverlapSentinel:
+    def test_nul_in_text_does_not_break_overlap(self):
+        from pero_ocr_spark.functions import kernels
+
+        # the KMP sentinel must not be confusable with text content
+        assert kernels.best_overlap("a\x00", "\x00a") <= 2
+        assert kernels.best_overlap("\x00\x00", "\x00\x00") == 2
+        assert kernels.best_overlap("xyab", "abxy") == 2

@@ -14,10 +14,6 @@ def _page(ys, x0=10, x1=300, h=220, w=400):
 
 
 class TestKernels:
-    def test_box_mean_uniform(self):
-        img = np.full((30, 30), 100, dtype=np.uint8)
-        assert np.allclose(imageproc.box_mean(img, 21), 100.0)
-
     def test_adaptive_threshold_finds_ink(self):
         img = _page([50])
         mask = imageproc.adaptive_threshold_mask(img)

@@ -201,3 +201,57 @@ class TestPageUtils:
         assert h is not None
         assert h[0] == pytest.approx(20.0)
         assert h[1] == pytest.approx(6.0)
+
+
+class TestReviewRegressions:
+    def test_export_omits_null_confidence(self, spark):
+        row = {
+            "doc_id": 3, "page_id": "p", "page_h": 100, "page_w": 100,
+            "region_id": "r1", "region_type": "", "region_order": 0,
+            "line_id": "l1", "idx": 0,
+            "baseline": [[0.0, 30.0], [50.0, 30.0]],
+            "polygon": [[0.0, 20.0], [50.0, 20.0], [50.0, 34.0], [0.0, 34.0]],
+            "height_up": 10.0, "height_down": 4.0,
+            "transcription": "t", "confidence": None,
+        }
+        src = spark.createDataFrame([row], schema=pcgts.LINES_DDL)
+        (x,) = pcgts.export_pcgts(src).collect()
+        assert 'conf="nan"' not in x["xml"] and "conf=" not in x["xml"]
+        (back,) = pcgts.import_pcgts(
+            spark.createDataFrame([(3, x["xml"])], "doc_id long, xml string")
+        ).collect()
+        assert back["confidence"] is None
+
+
+class TestMergeNullConfidence:
+    def test_null_confidence_loses_to_real(self, spark):
+        from pero_ocr_spark.operators import merge
+
+        a = spark.createDataFrame(
+            [(1, "l0", "from-a", None, "engA")],
+            "doc_id long, line_id string, transcription string, "
+            "confidence double, engine string",
+        )
+        b = spark.createDataFrame(
+            [(1, "l0", "from-b", 0.9, "engB")],
+            "doc_id long, line_id string, transcription string, "
+            "confidence double, engine string",
+        )
+        (row,) = merge.merge_ocr_results([a, b]).collect()
+        assert row["transcription"] == "from-b" and row["engine"] == "engB"
+
+    def test_all_null_deterministic(self, spark):
+        from pero_ocr_spark.operators import merge
+
+        a = spark.createDataFrame(
+            [(1, "l0", "ta", None, "engB")],
+            "doc_id long, line_id string, transcription string, "
+            "confidence double, engine string",
+        )
+        b = spark.createDataFrame(
+            [(1, "l0", "tb", None, "engA")],
+            "doc_id long, line_id string, transcription string, "
+            "confidence double, engine string",
+        )
+        (row,) = merge.merge_ocr_results([a, b]).collect()
+        assert row["engine"] == "engA"  # name tiebreak still applies
