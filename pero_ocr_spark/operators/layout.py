@@ -188,30 +188,67 @@ def textline_polygons(lines: DataFrame) -> DataFrame:
 
 def merge_lines_stage(lines: DataFrame) -> DataFrame:
     """L11: merge horizontally adjacent baselines per (doc, region) —
-    applyInPandas group kernel using the union-find closure."""
+    union-find closure per group.
 
-    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
-        baselines = [
-            np.array([[x0, y], [x1, y]])
-            for x0, x1, y in zip(pdf["x0"], pdf["x1"], pdf["y"])
-        ]
-        heights = [(a, d) for a, d in zip(pdf["asc"], pdf["desc"])]
-        merged_b, merged_h = G.merge_lines(baselines, heights)
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].iloc[0],
-                "region_id": pdf["region_id"].iloc[0],
-                "line_idx": range(len(merged_b)),
-                "x0": [b[:, 0].min() for b in merged_b],
-                "x1": [b[:, 0].max() for b in merged_b],
-                "y": [b[0, 1] for b in merged_b],
-                "asc": [h[0] for h in merged_h],
-                "desc": [h[1] for h in merged_h],
-            }
-        )
+    Group mechanics: the kernel is sub-millisecond per group, so
+    per-group Arrow batches (applyInPandas: one JVM↔python round trip
+    for EACH of the ~10k tiny groups) dominate wall time. Instead the
+    input is hash-repartitioned and sorted by the group key, and one
+    ``mapInPandas`` walks contiguous groups inside each big Arrow
+    batch, carrying a possibly-split trailing group into the next
+    batch — identical results, ~300x fewer Arrow round trips."""
+    n = int(lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    packed = lines.repartition(n, "doc_id", "region_id").sortWithinPartitions(
+        "doc_id", "region_id"
+    )
 
-    return lines.groupBy("doc_id", "region_id").applyInPandas(
-        per_region,
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        # flat column accumulators: one output frame per Arrow batch,
+        # not one per group (building + concatenating ~150k tiny
+        # DataFrames costs more than every merge kernel combined)
+        cols: dict[str, list] = {
+            k: []
+            for k in ("doc_id", "region_id", "line_idx", "x0", "x1", "y", "asc", "desc")
+        }
+        for (doc, rid), g in pdf.groupby(["doc_id", "region_id"], sort=False):
+            baselines = [
+                np.array([[x0, y], [x1, y]])
+                for x0, x1, y in zip(g["x0"], g["x1"], g["y"])
+            ]
+            heights = [(a, d) for a, d in zip(g["asc"], g["desc"])]
+            merged_b, merged_h = G.merge_lines(baselines, heights)
+            for i, (b, h) in enumerate(zip(merged_b, merged_h)):
+                cols["doc_id"].append(doc)
+                cols["region_id"].append(rid)
+                cols["line_idx"].append(i)
+                cols["x0"].append(float(b[:, 0].min()))
+                cols["x1"].append(float(b[:, 0].max()))
+                cols["y"].append(float(b[0, 1]))
+                cols["asc"].append(float(h[0]))
+                cols["desc"].append(float(h[1]))
+        return pd.DataFrame(cols)
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            # defer the trailing group — it may continue in the next batch
+            last_doc = pdf["doc_id"].iloc[-1]
+            last_rid = pdf["region_id"].iloc[-1]
+            is_last = (pdf["doc_id"] == last_doc) & (pdf["region_id"] == last_rid)
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            if len(body):
+                yield process(body)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return packed.mapInPandas(
+        run,
         schema="doc_id long, region_id string, line_idx int, x0 double, "
         "x1 double, y double, asc double, desc double",
     )
