@@ -166,6 +166,97 @@ def merge_lines(
     return [out_b[i] for i in order], [out_h[i] for i in order]
 
 
+def merge_lines_straight(
+    x0: np.ndarray,
+    x1: np.ndarray,
+    y: np.ndarray,
+    asc: np.ndarray,
+    desc: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """Array-based ``merge_lines`` for straight 2-point horizontal
+    baselines ([[x0, y], [x1, y]]): identical components, values and
+    output order, but the per-line Python object churn (one np.array
+    per baseline + list-of-tuples heights) is replaced by five flat
+    input arrays and five flat output arrays — the shape Arrow hands a
+    pandas group to begin with. Merged components reproduce the
+    general kernel bit-for-bit (same concat order, same stable x sort,
+    same deg-2 polyfit through resample_baseline).
+
+    Returns (x0, x1, y, asc, desc) arrays ordered by (y, x0) —
+    the general kernel's deterministic output order."""
+    n = len(x0)
+    x0 = np.asarray(x0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    asc = np.asarray(asc, dtype=np.float64)
+    desc = np.asarray(desc, dtype=np.float64)
+    if n == 1:
+        return x0.copy(), x1.copy(), y.copy(), asc.copy(), desc.copy()
+
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    hsum = asc + desc
+    min_h = np.minimum.outer(hsum, hsum)
+    lo = np.maximum.outer(y - asc, y - asc)
+    hi = np.minimum.outer(y + desc, y + desc)
+    h_overlap = hi - lo
+    contained_half = np.logical_and(
+        np.greater.outer(x0, x0), np.less.outer(x1, x1)
+    )
+    contained = contained_half | contained_half.T
+    gap = np.maximum(
+        np.subtract.outer(x0, x1), np.subtract.outer(x0, x1).T
+    )
+    ok = (h_overlap > 0.7 * min_h) & ~contained & (gap < 2 * min_h)
+    ii, jj = np.nonzero(np.triu(ok, k=1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    uniq, inverse, counts = np.unique(
+        roots, return_inverse=True, return_counts=True
+    )
+    k = len(uniq)
+    ox0 = np.full(k, np.inf)
+    ox1 = np.full(k, -np.inf)
+    oy = np.empty(k)
+    oasc = np.zeros(k)
+    odesc = np.zeros(k)
+    np.minimum.at(ox0, inverse, x0)
+    np.maximum.at(ox1, inverse, x1)
+    np.maximum.at(oasc, inverse, asc)
+    np.maximum.at(odesc, inverse, desc)
+    single = counts == 1
+    if single.any():
+        # union always parents max→min, so a component's root IS its
+        # lowest member index — a singleton keeps its own y
+        oy[single] = y[uniq[single]]
+    for c in np.flatnonzero(~single):
+        members = np.flatnonzero(inverse == c)
+        # same point construction as the general kernel: member points
+        # in index order, stable sort by x, deg-2 polyfit, y at min x
+        pts = np.empty((2 * len(members), 2))
+        pts[0::2, 0] = x0[members]
+        pts[0::2, 1] = y[members]
+        pts[1::2, 0] = x1[members]
+        pts[1::2, 1] = y[members]
+        pts = pts[np.argsort(pts[:, 0], kind="stable")]
+        rb = resample_baseline(pts)
+        oy[c] = rb[0, 1]
+        ox0[c] = rb[:, 0].min()
+        ox1[c] = rb[:, 0].max()
+    order = np.lexsort((ox0, oy))
+    return ox0[order], ox1[order], oy[order], oasc[order], odesc[order]
+
+
 # ---------------------------------------------- polygon ops (J1 exact)
 
 def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:

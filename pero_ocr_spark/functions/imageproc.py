@@ -334,15 +334,88 @@ def snap_baselines_to_intensity(
                 grad2d = gaussian_blur_rows(
                     np.gradient(img.astype(np.float64))[0], 3.0
                 )
+            # sample the blurred gradient ALONG the chord: interpolate
+            # the baseline's y at every integer x (the reference indexes
+            # per-point y, layout_helpers.py:402-404) — a constant row
+            # would mis-score tilted baselines
+            order = np.argsort(bl[:, 0])
+            ys = np.round(
+                np.interp(xs, bl[order, 0], bl[order, 1])
+            ).astype(int)
             best_score, best_offset = -np.inf, 0
             for offset in range(-tolerance, tolerance):
-                r = np.clip(y + offset, 0, h - 1)
-                score = grad2d[r, xs].sum()
+                rows_i = np.clip(ys + offset, 0, h - 1)
+                score = grad2d[rows_i, xs].sum()
                 if score > best_score:
                     best_score, best_offset = score, offset
         shifted = bl.copy()
         shifted[:, 1] += best_offset
         out.append(shifted)
+    return out
+
+
+def snap_horizontal_baselines_batch(
+    img: np.ndarray,
+    x0: np.ndarray,
+    x1: np.ndarray,
+    y: np.ndarray,
+    tolerance: int = 5,
+) -> np.ndarray:
+    """Vectorized L18 fast path: snap ALL of a page's horizontal
+    baselines in one shot. Exactly the numbers of
+    ``snap_baselines_to_intensity``'s 1-D fast path — per-line row sums
+    come from one column prefix-sum of the raster, then the gradient +
+    gaussian blur + argmax run batched over a (n_lines × window)
+    matrix instead of a Python loop per line.
+
+    Lines whose snap window leaves the raster (or with out-of-range x)
+    fall back to the scalar kernel. Returns the per-line snapped y.
+    """
+    h, w = img.shape
+    x0 = np.asarray(x0, dtype=np.int64)
+    x1 = np.asarray(x1, dtype=np.int64)
+    y = np.round(np.asarray(y, dtype=np.float64)).astype(np.int64)
+    radius = 12  # 4σ, σ=3 — must match _blur_1d
+    lo_off = tolerance + radius + 1
+    hi_off = tolerance - 1 + radius + 1
+    xs_lo = np.minimum(x0, x1)
+    xs_hi = np.maximum(x0, x1)
+    fast = (
+        (y - lo_off >= 0)
+        & (y + hi_off < h)
+        & (xs_lo >= 0)
+        & (xs_hi <= w - 1)
+    )
+    out = y.astype(np.float64)
+    if fast.any():
+        csum = np.zeros((h, w + 1), dtype=np.float64)
+        np.cumsum(img, axis=1, out=csum[:, 1:])
+        yi = y[fast]
+        rows_idx = yi[:, None] + np.arange(-lo_off, hi_off + 1)[None, :]
+        # rowsum over inclusive cols [lo, hi] = csum[:, hi+1] - csum[:, lo]
+        rowsum = (
+            csum[rows_idx, (xs_hi[fast] + 1)[:, None]]
+            - csum[rows_idx, xs_lo[fast][:, None]]
+        )
+        gsum = (rowsum[:, 2:] - rowsum[:, :-2]) / 2
+        ks = np.exp(-0.5 * (np.arange(-radius, radius + 1) / 3.0) ** 2)
+        ks /= ks.sum()
+        padded = np.pad(gsum, ((0, 0), (radius, radius)), mode="symmetric")
+        scores = np.zeros_like(gsum)
+        for i, k in enumerate(ks):
+            scores += k * padded[:, i : i + gsum.shape[1]]
+        base = lo_off - 1 - tolerance
+        window = scores[:, base : base + 2 * tolerance]
+        out[fast] = yi + (np.argmax(window, axis=1) - tolerance)
+    if not fast.all():
+        slow = np.flatnonzero(~fast)
+        bls = [
+            np.array([[x0[i], y[i]], [x1[i], y[i]]], dtype=np.float64)
+            for i in slow
+        ]
+        snapped = snap_baselines_to_intensity(bls, img, tolerance=tolerance)
+        for i, b in zip(slow, snapped):
+            out[i] = b[0][1]
     return out
 
 

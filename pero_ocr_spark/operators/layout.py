@@ -203,30 +203,37 @@ def merge_lines_stage(lines: DataFrame) -> DataFrame:
     )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        # flat column accumulators: one output frame per Arrow batch,
-        # not one per group (building + concatenating ~150k tiny
-        # DataFrames costs more than every merge kernel combined)
-        cols: dict[str, list] = {
-            k: []
-            for k in ("doc_id", "region_id", "line_idx", "x0", "x1", "y", "asc", "desc")
-        }
+        # array-in/array-out per group (``G.merge_lines_straight``):
+        # no per-line np.array objects, no per-row list appends — the
+        # group's Arrow columns go straight into the kernel and the
+        # per-group output arrays concatenate once per batch
+        docs, rids, idxs = [], [], []
+        outs: list[tuple[np.ndarray, ...]] = []
         for (doc, rid), g in pdf.groupby(["doc_id", "region_id"], sort=False):
-            baselines = [
-                np.array([[x0, y], [x1, y]])
-                for x0, x1, y in zip(g["x0"], g["x1"], g["y"])
-            ]
-            heights = [(a, d) for a, d in zip(g["asc"], g["desc"])]
-            merged_b, merged_h = G.merge_lines(baselines, heights)
-            for i, (b, h) in enumerate(zip(merged_b, merged_h)):
-                cols["doc_id"].append(doc)
-                cols["region_id"].append(rid)
-                cols["line_idx"].append(i)
-                cols["x0"].append(float(b[:, 0].min()))
-                cols["x1"].append(float(b[:, 0].max()))
-                cols["y"].append(float(b[0, 1]))
-                cols["asc"].append(float(h[0]))
-                cols["desc"].append(float(h[1]))
-        return pd.DataFrame(cols)
+            m = G.merge_lines_straight(
+                g["x0"].to_numpy(),
+                g["x1"].to_numpy(),
+                g["y"].to_numpy(),
+                g["asc"].to_numpy(),
+                g["desc"].to_numpy(),
+            )
+            k = len(m[0])
+            docs.append(np.full(k, doc, dtype=np.int64))
+            rids.extend([rid] * k)
+            idxs.append(np.arange(k, dtype=np.int32))
+            outs.append(m)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(docs),
+                "region_id": rids,
+                "line_idx": np.concatenate(idxs),
+                "x0": np.concatenate([m[0] for m in outs]),
+                "x1": np.concatenate([m[1] for m in outs]),
+                "y": np.concatenate([m[2] for m in outs]),
+                "asc": np.concatenate([m[3] for m in outs]),
+                "desc": np.concatenate([m[4] for m in outs]),
+            }
+        )
 
     def run(batches):
         carry: pd.DataFrame | None = None

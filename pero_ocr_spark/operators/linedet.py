@@ -47,6 +47,19 @@ DETECT_DDL = (
 )
 
 
+def _render_lines_raster(pdf: pd.DataFrame, h: int) -> np.ndarray:
+    """Shared raster builder: background 255, a solid 0-ink band on
+    rows [y-ASC_INK, y] × cols [x0, x1) per line; the band start clamps
+    at row 0 so top-edge lines (y < ASC_INK) keep their visible ink
+    instead of producing a wrapped negative slice."""
+    img = np.full((h, PAGE_W), 255, dtype=np.uint8)
+    for y, x0, x1 in zip(
+        pdf["y"].astype(int), pdf["x0"].astype(int), pdf["x1"].astype(int)
+    ):
+        img[max(y - ASC_INK, 0) : y + 1, x0:x1] = 0
+    return img
+
+
 def render_page_bitmaps(lines: DataFrame) -> DataFrame:
     """Deterministic page raster per document: background 255, a solid
     0-ink band on rows [y-10, y] × cols [x0, x1) per line. One binary
@@ -58,10 +71,7 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
         # (±tolerance+blur radius) inside the raster so the exact
         # 1-D fast path applies to every line
         h = int(pdf["y"].max()) + 40
-        img = np.full((h, PAGE_W), 255, dtype=np.uint8)
-        for r in pdf.itertuples(index=False):
-            y = int(r.y)
-            img[y - ASC_INK : y + 1, int(r.x0) : int(r.x1)] = 0
+        img = _render_lines_raster(pdf, h)
         return pd.DataFrame(
             {
                 "doc_id": [doc_id],
@@ -266,6 +276,32 @@ def render_debug_overlays(
     )
 
 
+def _mixed_raster_height(pdf: pd.DataFrame) -> int:
+    horiz = pdf[pdf["orientation"] == 0]
+    vert = pdf[pdf["orientation"] == 1]
+    h = 20
+    if len(horiz):
+        h = max(h, int(horiz["pos"].max()) + 20)
+    if len(vert):
+        h = max(h, int(vert["a1"].max()) + 10)
+    return h
+
+
+def _render_mixed_raster(pdf: pd.DataFrame, h: int) -> np.ndarray:
+    """Raster with BOTH orientations: orientation 0 = horizontal ink
+    band rows [pos-10, pos] × cols [a0, a1); orientation 1 = vertical
+    band rows [a0, a1) × cols [pos-10, pos]. Band starts clamp at 0
+    (no wrapped negative slices for edge-hugging lines)."""
+    img = np.full((h, PAGE_W), 255, dtype=np.uint8)
+    for r in pdf.itertuples(index=False):
+        pos, a0, a1 = int(r.pos), int(r.a0), int(r.a1)
+        if int(r.orientation) == 0:
+            img[max(pos - ASC_INK, 0) : pos + 1, a0:a1] = 0
+        else:
+            img[a0:a1, max(pos - ASC_INK, 0) : pos + 1] = 0
+    return img
+
+
 def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
     """Page raster with BOTH text orientations: orientation 0 rows are
     horizontal ink bands (rows pos-10..pos × cols [a0, a1)), 1 are
@@ -273,18 +309,8 @@ def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = int(pdf["doc_id"].iloc[0])
-        horiz = pdf[pdf["orientation"] == 0]
-        vert = pdf[pdf["orientation"] == 1]
-        h = 20
-        if len(horiz):
-            h = max(h, int(horiz["pos"].max()) + 20)
-        if len(vert):
-            h = max(h, int(vert["a1"].max()) + 10)
-        img = np.full((h, PAGE_W), 255, dtype=np.uint8)
-        for r in horiz.itertuples(index=False):
-            img[int(r.pos) - ASC_INK : int(r.pos) + 1, int(r.a0) : int(r.a1)] = 0
-        for r in vert.itertuples(index=False):
-            img[int(r.a0) : int(r.a1), int(r.pos) - ASC_INK : int(r.pos) + 1] = 0
+        h = _mixed_raster_height(pdf)
+        img = _render_mixed_raster(pdf, h)
         return pd.DataFrame(
             {
                 "doc_id": [doc_id],
@@ -469,6 +495,243 @@ def crop_lines(
             schema="doc_id long, line_id string, crop_h long, crop_w long, "
             "ink_frac double, crop binary",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused render→consume stages (the parse_lines_from_maps pattern): the
+# page raster is synthesized AND consumed inside ONE per-document Arrow
+# group, so full-page bitmaps (~1.8 MB each) never cross the JVM↔Python
+# boundary at all. The two-frame cogrouped operators above remain the
+# production API — at 10^12 docs the raster comes from an S1 image-store
+# scan, not a renderer — but when the geometry and the raster derive
+# from the same table (every sandbox query), fusing removes two full
+# raster transfers per page plus the bitmap shuffle into the cogroup.
+# ---------------------------------------------------------------------------
+
+
+def render_segment_regions(
+    lines: DataFrame,
+    close_gap: int = 13,
+    margin: int = 5,
+    min_pixels: int = 100,
+    downsample: int = 1,
+) -> DataFrame:
+    """L2 fused: render the page raster and segment it in one per-doc
+    Arrow stage (same semantics as render_page_bitmaps →
+    segment_page_regions)."""
+
+    cols = ["doc_id", "region_idx", "rx0", "ry0", "rx1", "ry1"]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(pdf["doc_id"].iloc[0])
+        img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+        regs = imageproc.segment_regions(
+            img,
+            close_gap=close_gap,
+            margin=margin,
+            min_pixels=min_pixels,
+            downsample=downsample,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": doc_id,
+                    "region_idx": i,
+                    "rx0": r["rx0"],
+                    "ry0": r["ry0"],
+                    "rx1": r["rx1"],
+                    "ry1": r["ry1"],
+                }
+                for i, r in enumerate(regs)
+            ],
+            columns=cols,
+        )
+
+    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=SEGMENT_DDL)
+
+
+def render_detect_lines(
+    lines: DataFrame, downsample: int = 1, pad: int = 15
+) -> DataFrame:
+    """L8/L9 fused: render the page raster, derive each region's bbox
+    from its own lines (min/max x, y extent ± pad), and run the
+    projection-profile detector per region — one Arrow stage, no
+    bitmap shuffle (same output as render_page_bitmaps + the
+    lines-derived regions aggregate + detect_lines_projection)."""
+
+    cols = ["doc_id", "region_id", "bx0", "bx1", "y", "height_up", "height_down"]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(pdf["doc_id"].iloc[0])
+        img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+        rows = []
+        for rid, g in pdf.groupby("region_id", sort=False):
+            rx0, rx1 = float(g["x0"].min()), float(g["x1"].max())
+            ry0, ry1 = float(g["y"].min()) - pad, float(g["y"].max()) + pad
+            poly = np.asarray(
+                [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]],
+                dtype=np.float64,
+            )
+            baselines, heights = imageproc.detect_lines_in_region(
+                img, poly, downsample=downsample
+            )
+            for bl, ht in zip(baselines, heights):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "region_id": rid,
+                        "bx0": float(bl[0][0]),
+                        "bx1": float(bl[1][0]),
+                        "y": float(bl[0][1]),
+                        "height_up": float(ht[0]),
+                        "height_down": float(ht[1]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=DETECT_DDL)
+
+
+def render_crop_lines(
+    lines: DataFrame, target_height: int = 32, with_pixels: bool = True
+) -> DataFrame:
+    """R1 fused: render the page raster and warp every line crop in the
+    same per-doc stage. ``with_pixels=False`` skips serializing the
+    crop strips (geometry/ink-stat consumers) — the strips then never
+    exist outside the stage."""
+    from pero_ocr_spark.functions import cropper
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+        rows = []
+        for r in pdf.itertuples(index=False):
+            baseline = np.array([[r.x0, r.y], [r.x1, r.y]])
+            crop = cropper.crop_line(
+                img, baseline, (r.asc, r.desc), target_height
+            )
+            rows.append(
+                {
+                    "doc_id": int(r.doc_id),
+                    "line_id": r.line_id,
+                    "crop_h": crop.shape[0],
+                    "crop_w": crop.shape[1],
+                    "ink_frac": float((crop < 128).mean()),
+                    "crop": crop.tobytes() if with_pixels else b"",
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "line_id", "crop_h", "crop_w", "ink_frac", "crop"],
+        )
+
+    return _pin(lines).groupBy("doc_id").applyInPandas(
+        per_doc,
+        schema="doc_id long, line_id string, crop_h long, crop_w long, "
+        "ink_frac double, crop binary",
+    )
+
+
+def render_snap_baselines(lines: DataFrame, tolerance: int = 5) -> DataFrame:
+    """L18 fused: render the raster from the TRUE line geometry (y) and
+    snap the JITTERED baselines (column ``y_jit``) against it — one
+    per-doc stage, batched across the page's lines via the vectorized
+    kernel (``imageproc.snap_horizontal_baselines_batch``)."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+        snapped = imageproc.snap_horizontal_baselines_batch(
+            img,
+            pdf["x0"].to_numpy(),
+            pdf["x1"].to_numpy(),
+            pdf["y_jit"].to_numpy(),
+            tolerance=tolerance,
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "line_id": pdf["line_id"],
+                "y_snapped": snapped.astype(np.float64),
+            }
+        )
+
+    return _pin(lines).groupBy("doc_id").applyInPandas(
+        per_doc, schema="doc_id long, line_id string, y_snapped double"
+    )
+
+
+def render_detect_multi_orientation(
+    segments: DataFrame, downsample: int = 1, pad: int = 15
+) -> DataFrame:
+    """L10 fused: render the mixed-orientation raster and run both
+    detection passes (frame + transposed frame) in one per-doc stage.
+    Per-orientation region bboxes derive from the segments themselves
+    (extent ± pad on the cross axis), matching the table-level
+    aggregate the unfused query built."""
+
+    cols = [
+        "doc_id", "region_id", "orientation",
+        "bx0", "by0", "bx1", "by1", "height_up", "height_down",
+    ]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = int(pdf["doc_id"].iloc[0])
+        img = _render_mixed_raster(pdf, _mixed_raster_height(pdf))
+        img_t = np.ascontiguousarray(img.T)
+        rows = []
+        for rot, g in pdf.groupby("orientation", sort=False):
+            rot = int(rot)
+            mn_a, mx_a = float(g["a0"].min()), float(g["a1"].max())
+            mn_p, mx_p = float(g["pos"].min()), float(g["pos"].max())
+            if rot == 0:
+                rid = "h"
+                rx0, rx1, ry0, ry1 = mn_a, mx_a, mn_p - pad, mx_p + pad
+            else:
+                rid = "v"
+                rx0, rx1, ry0, ry1 = mn_p - pad, mx_p + pad, mn_a, mx_a
+            frame = img_t if rot else img
+            # transposed region rect = swapped axes
+            poly = (
+                np.asarray(
+                    [[ry0, rx0], [ry1, rx0], [ry1, rx1], [ry0, rx1]],
+                    dtype=np.float64,
+                )
+                if rot
+                else np.asarray(
+                    [[rx0, ry0], [rx1, ry0], [rx1, ry1], [rx0, ry1]],
+                    dtype=np.float64,
+                )
+            )
+            baselines, heights = imageproc.detect_lines_in_region(
+                frame, poly, downsample=downsample
+            )
+            for bl, ht in zip(baselines, heights):
+                if rot:  # (x_t, y_t) -> (y_t, x_t) in page coords
+                    p0 = (float(bl[0][1]), float(bl[0][0]))
+                    p1 = (float(bl[1][1]), float(bl[1][0]))
+                else:
+                    p0 = (float(bl[0][0]), float(bl[0][1]))
+                    p1 = (float(bl[1][0]), float(bl[1][1]))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "region_id": rid,
+                        "orientation": rot,
+                        "bx0": p0[0],
+                        "by0": p0[1],
+                        "bx1": p1[0],
+                        "by1": p1[1],
+                        "height_up": float(ht[0]),
+                        "height_down": float(ht[1]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    return _pin(segments).groupBy("doc_id").applyInPandas(
+        per_doc,
+        schema="doc_id long, region_id string, orientation long, "
+        "bx0 double, by0 double, bx1 double, by1 double, "
+        "height_up double, height_down double",
     )
 
 

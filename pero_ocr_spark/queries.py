@@ -758,19 +758,13 @@ def q_layout_detect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needlessly shuffles tens of MB per row)
     from pero_ocr_spark.operators import layout, linedet
 
-    # persist: the lines frame feeds BOTH the render branch and the
-    # regions aggregate — without it the extraction pipeline runs twice
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
-    bitmaps = linedet.render_page_bitmaps(lines)
-    regions = lines.groupBy("doc_id", "region_id").agg(
-        F.min("x0").alias("rx0"),
-        F.max("x1").alias("rx1"),
-        (F.min("y") - 15).alias("ry0"),
-        (F.max("y") + 15).alias("ry1"),
-    )
+    # fused render+detect: the raster and the per-region bboxes both
+    # derive from the same lines frame inside ONE per-doc Arrow stage —
+    # no bitmap transfer, no second pipeline run, no persist needed.
     # downsample 2: the reference engines run downsampled by default;
     # the stride-3 height scans quantize to [12, 6] at this resolution
-    return linedet.detect_lines_projection(bitmaps, regions, downsample=2)
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    return linedet.render_detect_lines(lines, downsample=2)
 
 
 # ---------------------------------------------------------------------------
@@ -869,33 +863,10 @@ def q_layout_detect_multi_orientation(spark: SparkSession, sf_dir: str) -> DataF
         .cast("double")
         .alias("pos"),
     )
-    segments = hseg.unionByName(vseg).persist()
-    bitmaps = linedet.render_mixed_bitmaps(segments)
-    regions = segments.groupBy("doc_id", "orientation").agg(
-        F.min("a0").alias("mn_a"),
-        F.max("a1").alias("mx_a"),
-        F.min("pos").alias("mn_p"),
-        F.max("pos").alias("mx_p"),
-    ).select(
-        "doc_id",
-        F.when(F.col("orientation") == 0, F.lit("h")).otherwise(F.lit("v")).alias(
-            "region_id"
-        ),
-        "orientation",
-        F.when(F.col("orientation") == 0, F.col("mn_a"))
-        .otherwise(F.col("mn_p") - 15)
-        .alias("rx0"),
-        F.when(F.col("orientation") == 0, F.col("mx_a"))
-        .otherwise(F.col("mx_p") + 15)
-        .alias("rx1"),
-        F.when(F.col("orientation") == 0, F.col("mn_p") - 15)
-        .otherwise(F.col("mn_a"))
-        .alias("ry0"),
-        F.when(F.col("orientation") == 0, F.col("mx_p") + 15)
-        .otherwise(F.col("mx_a"))
-        .alias("ry1"),
-    )
-    return linedet.detect_lines_multi_orientation(bitmaps, regions, downsample=2)
+    # fused render+detect (both orientation passes in one Arrow stage;
+    # per-orientation bboxes derive from the segments in-stage)
+    segments = hseg.unionByName(vseg)
+    return linedet.render_detect_multi_orientation(segments, downsample=2)
 
 
 @register(
@@ -959,9 +930,10 @@ def q_line_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixel content is pytest-verified (tests/test_cropper.py)
     from pero_ocr_spark.operators import layout, linedet
 
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
-    bitmaps = linedet.render_page_bitmaps(lines)
-    return linedet.crop_lines(bitmaps, lines).select(
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    # fused render+warp; with_pixels=False keeps the crop strips inside
+    # the stage (this query checks geometry only)
+    return linedet.render_crop_lines(lines, with_pixels=False).select(
         "doc_id", "line_id", "crop_h", "crop_w"
     )
 
@@ -1007,12 +979,9 @@ def q_layout_segment_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout, linedet
 
     lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
-    return linedet.segment_page_regions(
-        linedet.render_page_bitmaps(lines),
-        close_gap=7,
-        margin=3,
-        min_pixels=25,
-        downsample=2,
+    # fused render+segment — the raster never leaves the Arrow stage
+    return linedet.render_segment_regions(
+        lines, close_gap=7, margin=3, min_pixels=25, downsample=2
     )
 
 
@@ -1027,16 +996,18 @@ FROM lines WHERE ord < 60
 def q_layout_snap_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout, linedet
 
-    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60).persist()
-    bitmaps = linedet.render_page_bitmaps(lines)
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    # fused render+snap: the raster renders from the TRUE y, the
+    # vectorized batch kernel snaps the jittered y — one Arrow stage
     jittered = lines.select(
         "doc_id",
         "line_id",
         "x0",
         "x1",
-        (F.col("y") + (F.col("ord") % 5) - 2).alias("y"),
+        "y",
+        (F.col("y") + (F.col("ord") % 5) - 2).alias("y_jit"),
     )
-    return linedet.snap_lines_to_intensity(bitmaps, jittered)
+    return linedet.render_snap_baselines(jittered)
 
 
 # ---------------------------------------------------------------------------
