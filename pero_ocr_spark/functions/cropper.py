@@ -84,6 +84,26 @@ def bilinear_remap(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
     return np.round(out).astype(img.dtype)
 
 
+def bilinear_remap_float(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Float-preserving remap (no rounding/dtype cast) — for sampling
+    probability maps rather than pixel rasters."""
+    h, w = img.shape[:2]
+    x = np.clip(grid[:, :, 0], 0, w - 1)
+    y = np.clip(grid[:, :, 1], 0, h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx, fy = x - x0, y - y0
+    img_f = img.astype(np.float64)
+    return (
+        img_f[y0, x0] * (1 - fy) * (1 - fx)
+        + img_f[y0, x1] * (1 - fy) * fx
+        + img_f[y1, x0] * fy * (1 - fx)
+        + img_f[y1, x1] * fy * fx
+    )
+
+
 def crop_line(
     img: np.ndarray,
     baseline: np.ndarray,

@@ -77,6 +77,87 @@ def get_maps_with_optimal_resolution(
     return out_map, first
 
 
+def refine_baseline(
+    baseline: np.ndarray,
+    heights: tuple[float, float],
+    out_map: np.ndarray,
+    downsample: float = 1,
+    target_height: int = 32,
+    detection_threshold: float = 0.3,
+) -> np.ndarray:
+    """L13: refine a baseline against the baseline-detection channel
+    (``layout_engines/baseline_refiner.py:8-68`` semantics, numpy-only):
+
+      crop the detection map (channel 2) along the input line with
+      vertical tolerance (asc+desc)/(2·ds) using the rectification
+      grid → zero sub-threshold responses → fit a deg-3 polynomial to
+      the response pixels, weighted by response × a triangular
+      positional prior peaking at the expected baseline row → trim to
+      the x-range where the fitted curve still sits on response ≥
+      threshold (±10 px slack) → re-emit ≤10 points along the fit,
+      mapped back to page coordinates through the crop's forward grid.
+
+    Any failure (empty crop, degenerate fit) returns the input
+    baseline unchanged, like the reference's except-branch.
+    """
+    from pero_ocr_spark.functions import cropper
+
+    bl_in = np.asarray(baseline, dtype=np.float64)
+    try:
+        bl = bl_in / downsample
+        tol = (heights[0] + heights[1]) / (2 * downsample)
+        grid = cropper.get_crop_inputs(bl, (tol, tol), target_height)
+        line_crop = cropper.bilinear_remap_float(out_map[:, :, 2], grid)
+        line_crop[line_crop < detection_threshold] = 0
+        rows, cols = np.where(line_crop)
+        if len(rows) == 0:
+            return bl_in
+
+        bs_pos = int(
+            np.round(target_height * heights[0] / (heights[0] + heights[1]))
+        )
+        positional = np.concatenate(
+            [
+                np.linspace(0, 1.0, bs_pos),
+                np.linspace(1.0, 0, target_height - bs_pos),
+            ]
+        )
+        weights = line_crop[rows, cols] * positional[rows]
+        fit = np.poly1d(np.polyfit(cols, rows, 3, w=weights))
+
+        xs = np.arange(line_crop.shape[1])
+        ys = np.round(
+            np.clip(fit(xs), 0, line_crop.shape[0] - 1)
+        ).astype(int)
+        on_line = line_crop[ys, xs] >= detection_threshold
+        xs = xs[on_line]
+        if len(xs) == 0:
+            return bl_in
+        min_x = max(int(xs.min()) - 10, 0)
+        max_x = min(int(xs.max()) + 10, line_crop.shape[1] - 1)
+
+        line_length = (
+            grid[bs_pos, np.clip(max_x, 0, grid.shape[1] - 1), 0]
+            - grid[bs_pos, np.clip(min_x, 0, grid.shape[1] - 1), 0]
+        )
+        num_steps = int(
+            np.minimum(
+                10, int(np.round(np.maximum(2, line_length / (tol * 2))))
+            )
+        )
+        new_x = np.linspace(min_x, max_x, num_steps)
+        new_y = np.round(fit(new_x)).astype(int)
+        new_x = np.round(new_x).astype(int)
+        new_y = np.clip(new_y, 0, grid.shape[0] - 1)
+        new_x = np.clip(new_x, 0, grid.shape[1] - 1)
+        return (
+            np.stack([grid[new_y, new_x, 0], grid[new_y, new_x, 1]], axis=1)
+            * downsample
+        )
+    except (ValueError, IndexError, ZeroDivisionError, np.linalg.LinAlgError):
+        return bl_in
+
+
 def nonmaxima_suppression(x: np.ndarray, win: int = 5) -> np.ndarray:
     """Vertical NMS (cnn_layout_engine.py:374-386): keep values equal
     to their windowed column max."""

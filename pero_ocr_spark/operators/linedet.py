@@ -498,6 +498,47 @@ def crop_lines(
     )
 
 
+def refine_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
+    """L13: baseline refinement against the ParseNet detection channel
+    (``layout_engines/baseline_refiner.py:8-68``), fused with the map
+    synthesis like parse_lines_from_maps — the map never leaves the
+    per-doc Arrow stage. Input rows carry the TRUE geometry (x0, x1, y
+    — renders the map) plus the possibly-off input baseline ``y_in``
+    and heights (asc, desc); each line's crop of the detection channel
+    gets the weighted deg-3 refit and re-emits ≤10 points. Output is
+    the refined polyline's summary (endpoints + y + point count) —
+    points are collinear for straight detections."""
+    from pero_ocr_spark.functions import mapparse
+
+    cols = ["doc_id", "line_id", "x_first", "x_last", "y_refined", "n_points"]
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = synthesize_parsenet_map(pdf, downsample)
+        rows = []
+        for r in pdf.itertuples(index=False):
+            bl = np.array([[r.x0, r.y_in], [r.x1, r.y_in]])
+            out = mapparse.refine_baseline(
+                bl, (r.asc, r.desc), m, downsample=downsample
+            )
+            rows.append(
+                {
+                    "doc_id": int(r.doc_id),
+                    "line_id": r.line_id,
+                    "x_first": float(out[0, 0]),
+                    "x_last": float(out[-1, 0]),
+                    "y_refined": float(out[0, 1]),
+                    "n_points": len(out),
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return _pin(lines).groupBy("doc_id").applyInPandas(
+        per_doc,
+        schema="doc_id long, line_id string, x_first double, x_last double, "
+        "y_refined double, n_points long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fused render→consume stages (the parse_lines_from_maps pattern): the
 # page raster is synthesized AND consumed inside ONE per-document Arrow

@@ -814,6 +814,60 @@ def q_layout_parse_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_refine_baselines",
+    _LINES_CTE
+    + """
+, page AS (
+  SELECT doc_id, line_id, ord, x0, x1, y
+  FROM lines WHERE ord < 60 AND ord % 5 <> 4)
+SELECT doc_id, line_id,
+       x0 AS x_first,
+       x1 - 2 AS x_last,
+       round(y + (3 * (ord % 5) + 1) / 31.0, 6) AS y_refined,
+       CAST(least(10, CAST(round(greatest(2.0, ((x1 - x0) / 2 - 1) / 7.0))
+                           AS BIGINT)) AS BIGINT) AS n_points
+FROM page
+""",
+)
+def q_layout_refine_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L13: jittered baselines (y ± 2 by ord, like the snap query) refit
+    # against the synthesized detection channel. Closed form on the
+    # synthetic maps (ds=2, heights 10/4 → crop tolerance 3.5, 32-row
+    # crop): the weighted deg-3 fit collapses to the response's
+    # positional-weighted mean row, so the refined y lands at
+    # y + (3·(ord%5)+1)/31 for jitter j=ord%5-2, the refined x spans
+    # [x0, x1-2] (the crop grid's exact endpoints), and the point count
+    # is the reference's min(10, round(max(2, line_length/(2·tol)))).
+    # Split halves (ord%5==4) are excluded: their half-integer
+    # downsampled x bounds make the crop's column phase line-specific
+    # (not SQL-expressible); the snap/crop queries cover those lines.
+    from pero_ocr_spark.operators import layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(
+        (F.col("ord") < 60) & (F.col("ord") % 5 != 4)
+    )
+    jittered = lines.select(
+        "doc_id",
+        "line_id",
+        "x0",
+        "x1",
+        "y",
+        "asc",
+        "desc",
+        (F.col("y") + (F.col("ord") % 5) - 2).alias("y_in"),
+    )
+    refined = linedet.refine_lines_from_maps(jittered, downsample=2)
+    return refined.select(
+        "doc_id",
+        "line_id",
+        "x_first",
+        "x_last",
+        F.round("y_refined", 6).alias("y_refined"),
+        "n_points",
+    )
+
+
+@register(
     "layout_detect_multi_orientation",
     _LINES_CTE
     + """

@@ -141,3 +141,44 @@ class TestParseKernels:
         r = got[(1, 18.0)]
         assert (r["bx0"], r["bx1"]) == (2.0 * (5 - 2), 2.0 * (55 + 1))
         assert (r["height_up"], r["height_down"]) == (10.0, 4.0)
+
+
+class TestRefineBaseline:
+    """L13 (baseline_refiner.py:8-68 semantics) against synthetic maps."""
+
+    def test_recovers_jittered_baseline(self):
+        # ink row 20, detection spans cols 10..70; input jittered +3
+        m = _map([(20, 10, 70)], h=60, w=80)
+        bl_in = np.array([[20.0, 46.0], [140.0, 46.0]])  # page coords, ds=2
+        out = mapparse.refine_baseline(bl_in, (10.0, 4.0), m, downsample=2)
+        # refined y returns to the detection row (±1 crop-grid quantum)
+        assert np.all(np.abs(out[:, 1] - 40.0) < 1.0)
+        assert out[0, 0] == 20.0 and out[-1, 0] == 138.0
+        assert 2 <= len(out) <= 10
+
+    def test_point_count_follows_line_length(self):
+        m = _map([(20, 10, 70)], h=60, w=80)
+        short = mapparse.refine_baseline(
+            np.array([[20.0, 40.0], [52.0, 40.0]]), (10.0, 4.0), m, downsample=2
+        )
+        longl = mapparse.refine_baseline(
+            np.array([[20.0, 40.0], [140.0, 40.0]]), (10.0, 4.0), m, downsample=2
+        )
+        assert len(short) < len(longl) <= 10
+
+    def test_empty_map_returns_input(self):
+        m = _map([], h=60, w=80)
+        bl_in = np.array([[20.0, 40.0], [140.0, 40.0]])
+        out = mapparse.refine_baseline(bl_in, (10.0, 4.0), m, downsample=2)
+        assert np.array_equal(out, bl_in)
+
+    def test_curved_detection_refits(self):
+        # detection rows step 18→22 across x: the deg-3 fit follows
+        m = np.zeros((60, 120, 5), dtype=np.float32)
+        for i, (x0, x1) in enumerate([(5, 35), (35, 75), (75, 115)]):
+            m[18 + 2 * i, x0:x1, 2] = 1.0
+        bl_in = np.array([[10.0, 40.0], [230.0, 40.0]])
+        out = mapparse.refine_baseline(bl_in, (10.0, 4.0), m, downsample=2)
+        # refined ys trend downward following the stepped detections
+        assert out[0, 1] < out[-1, 1]
+        assert 36.0 - 3 < out[:, 1].min() and out[:, 1].max() < 44.0 + 3
