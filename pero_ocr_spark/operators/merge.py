@@ -50,3 +50,50 @@ def merge_ocr_results(engines: list[DataFrame]) -> DataFrame:
             F.col("best.engine").alias("engine"),
         )
     )
+
+
+def confusion_network_stage(
+    hyps_df: DataFrame, visual_weight: float = 1.0, lm_weight: float = 1.0
+) -> DataFrame:
+    """R14: per-line confusion networks (sausages) from K hypotheses
+    (``decoding/confusion_networks.py:13-129`` semantics via
+    ``kernels.add_hypothesis``/``confusion_network``).
+
+    Input: one row per line with ``hyps: array<struct<text string,
+    vis double, lm double>>`` — the hypothesis list is an ARRAY COLUMN
+    rather than K rows, so the whole stage is narrow (mapInPandas, no
+    shuffle at all; at 10^12 lines the K-way grouping that builds the
+    array is one map-side collect_list if the hypotheses arrive as
+    rows). Emits the best path through each sausage plus its size
+    (positions / total arcs)."""
+    import pandas as pd
+
+    from pero_ocr_spark.functions import kernels
+
+    def run(batches):
+        for pdf in batches:
+            best, npos, narcs = [], [], []
+            for hl in pdf["hyps"]:
+                cn = kernels.confusion_network(
+                    [(h["text"], float(h["vis"]), float(h["lm"])) for h in hl],
+                    visual_weight=visual_weight,
+                    lm_weight=lm_weight,
+                )
+                best.append(kernels.best_cn_path(cn))
+                npos.append(len(cn))
+                narcs.append(sum(len(p) for p in cn))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ord": pdf["ord"],
+                    "best_path": best,
+                    "n_positions": npos,
+                    "n_arcs": narcs,
+                }
+            )
+
+    return hyps_df.mapInPandas(
+        run,
+        schema="doc_id long, ord long, best_path string, "
+        "n_positions long, n_arcs long",
+    )

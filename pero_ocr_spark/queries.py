@@ -1164,6 +1164,135 @@ def q_alto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cn_best_path",
+    _DECODE_ORACLE.replace(
+        "SELECT doc_id, 'l' || CAST(ord AS VARCHAR) AS line_id, "
+        "text AS transcription\nFROM extracted WHERE kind = 'text'",
+        "",
+    )
+    + """
+SELECT doc_id, ord, text AS best_path,
+       CAST(len(text) + 1 AS BIGINT) AS n_positions,
+       CAST(len(text) + (len(text) - len(replace(text, 'a', ''))) + 2
+            AS BIGINT) AS n_arcs
+FROM extracted WHERE kind = 'text'
+""",
+)
+def q_cn_best_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R14: three deterministic hypotheses per line — the transcript
+    # (weight e^0), its a→x corruption (e^-1), and the transcript plus
+    # a trailing 'z' (e^-2). Closed form: substitutions keep the pivot,
+    # so positions with an 'a' carry two arcs; the appended 'z' makes
+    # one epsilon-dominated extra position (mass ratio 1.37 : e^-2);
+    # best path = the transcript, sizes as in the oracle.
+    from pero_ocr_spark.operators import merge
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    t = spans.filter(F.col("kind") == "text")
+    hyp = lambda txt, sc: F.struct(  # noqa: E731
+        txt.alias("text"), F.lit(sc).alias("vis"), F.lit(0.0).alias("lm")
+    )
+    hyps = t.select(
+        "doc_id",
+        "ord",
+        F.array(
+            hyp(F.col("text"), 0.0),
+            hyp(F.translate("text", "a", "x"), -1.0),
+            hyp(F.concat(F.col("text"), F.lit("z")), -2.0),
+        ).alias("hyps"),
+    )
+    return merge.confusion_network_stage(hyps)
+
+
+@register(
+    "alto_word_roundtrip",
+    _LINES_CTE
+    + """
+, numbered AS (
+  SELECT l.doc_id, l.region_id, l.line_id, l.ord, l.x0, l.y,
+         e.text || ' ' || e.text AS txt,
+         row_number() OVER (
+           PARTITION BY l.doc_id, l.region_id ORDER BY l.ord, l.line_id) - 1
+           AS li
+  FROM lines l
+  JOIN extracted e
+    ON l.doc_id = e.doc_id AND l.ord = e.ord AND e.kind = 'text')
+, chars AS (
+  SELECT doc_id, region_id, li, x0, y, txt,
+         unnest(generate_series(1, len(txt))) AS i
+  FROM numbered)
+, kept AS (
+  SELECT doc_id, region_id, li, x0, y, i,
+         substr(txt, i, 1) AS ch,
+         len(substr(txt, 1, i - 1))
+           - len(replace(substr(txt, 1, i - 1), ' ', '')) AS w
+  FROM chars WHERE substr(txt, i, 1) <> ' ')
+, seq AS (
+  -- synth logits frame layout: one frame per kept char, +1 continued
+  -- frame for odd 0-based text positions (i%2=0 1-based), +1 blank
+  -- separator when the previous KEPT char repeats (spaces skipped)
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY doc_id, region_id, li ORDER BY i) - 1 AS k,
+         CASE WHEN ch = lag(ch) OVER (
+                PARTITION BY doc_id, region_id, li ORDER BY i)
+              THEN 1 ELSE 0 END AS blk,
+         CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS dbl
+  FROM kept)
+, frames AS (
+  SELECT *,
+         k + sum(blk) OVER (PARTITION BY doc_id, region_id, li ORDER BY i)
+           + sum(dbl) OVER (PARTITION BY doc_id, region_id, li ORDER BY i)
+           - dbl AS ff
+  FROM seq)
+SELECT doc_id, region_id,
+       CAST(substr(region_id, 2) AS BIGINT) AS region_order,
+       CAST(li AS BIGINT) AS idx,
+       CAST(w AS BIGINT) AS word_idx,
+       string_agg(ch, '' ORDER BY i) AS content,
+       CAST(x0 + 8 * min(ff) AS BIGINT) AS hpos,
+       CAST(y - 10 AS BIGINT) AS vpos,
+       CAST(8 * (max(ff) - min(ff) + 1) AS BIGINT) AS width,
+       CAST(14 AS BIGINT) AS height,
+       1.0 AS wc
+FROM frames
+GROUP BY doc_id, region_id, li, x0, y, w
+""",
+)
+def q_alto_word_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6+R10+R11 through the full XML round trip: two-word
+    # transcriptions force-align to the synthetic logits (Viterbi,
+    # kernels.force_align), word boxes derive from the aligned frame
+    # spans (8 px/frame anchored at the line HPOS), WC is the mean
+    # aligned letter confidence (exactly 1.0 on one-hot logits), the
+    # XML re-imports word-losslessly via import_alto_words. The oracle
+    # recomputes the synth-logits frame layout in SQL (one frame per
+    # char, continued frames at odd text positions, blank separators
+    # between repeated chars — crossing spaces, like the synthesizer).
+    from pero_ocr_spark.operators import layout
+    from pero_ocr_spark.sources import pcgts
+
+    src = layout.lines_with_geometry(spark, sf_dir).withColumn(
+        "transcription",
+        F.concat_ws(" ", "transcription", "transcription"),
+    )
+    words = pcgts.import_alto_words(pcgts.export_alto_layout(src))
+    return words.select(
+        "doc_id",
+        "region_id",
+        "region_order",
+        "idx",
+        "word_idx",
+        "content",
+        "hpos",
+        "vpos",
+        "width",
+        "height",
+        F.round("wc", 6).alias("wc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A1/A2/A3/J5 — error summary two-phase aggregation, confusion matrix,
 # power-mean quality, hyp↔ref compare. Hypotheses are a deterministic

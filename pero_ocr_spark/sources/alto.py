@@ -13,10 +13,7 @@ Deterministic: injected timestamps, stable word order.
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from pero_ocr_spark.functions import kernels
@@ -68,28 +65,40 @@ def word_boxes(text: str) -> list[dict]:
 
 
 def export_alto(extracted: DataFrame) -> DataFrame:
-    """Ordered text spans → one ALTO-shaped XML string per document,
-    with <String> word boxes from forced alignment."""
+    """Ordered text spans → ALTO XML per document, via the ONE
+    canonical exporter (``pcgts.export_alto_layout``) with default page
+    geometry (single block, 30 px line pitch, 8 px/char line extents).
+    Word <String> boxes + WC come from forced alignment inside the
+    unified exporter, and the output round-trips through
+    ``pcgts.import_alto`` / ``import_alto_words``."""
+    from pyspark.sql import functions as F
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["kind"] == "text"].sort_values("ord")
-        doc_id = int(pdf["doc_id"].iloc[0])
-        parts = [
-            '<?xml version="1.0" encoding="utf-8"?>',
-            '<alto xmlns="pero:alto:2026"><Layout><Page>',
-        ]
-        for r in pdf.itertuples(index=False):
-            parts.append(f'<TextLine ID="l{r.ord}" VPOS="{int(r.ord) * 30}">')
-            for b in word_boxes(r.text):
-                parts.append(
-                    f'<String CONTENT="{escape(b["content"])}" '
-                    f'HPOS="{b["hpos"]}" WIDTH="{b["width"]}" '
-                    f'WC="{b["confidence"]}"/>'
-                )
-            parts.append("</TextLine>")
-        parts.append("</Page></Layout></alto>")
-        return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
+    from pero_ocr_spark.sources import pcgts
 
-    return extracted.groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, xml string"
+    t = extracted.filter(F.col("kind") == "text")
+    y = (F.col("ord") * 30 + 20).cast("double")
+    x1 = F.greatest(F.length("text") * 8, F.lit(8)).cast("double")
+    pt = lambda x, yy: F.array(x, yy)  # noqa: E731
+    lines = t.select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("page_id"),
+        F.lit(2000).cast("long").alias("page_h"),
+        F.lit(1000).cast("long").alias("page_w"),
+        F.lit("r0").alias("region_id"),
+        F.lit("paragraph").alias("region_type"),
+        F.lit(0).cast("long").alias("region_order"),
+        F.concat(F.lit("l"), F.col("ord")).alias("line_id"),
+        F.col("ord").alias("idx"),
+        F.array(pt(F.lit(0.0), y), pt(x1, y)).alias("baseline"),
+        F.array(
+            pt(F.lit(0.0), y - 10),
+            pt(x1, y - 10),
+            pt(x1, y + 4),
+            pt(F.lit(0.0), y + 4),
+        ).alias("polygon"),
+        F.lit(10.0).alias("height_up"),
+        F.lit(4.0).alias("height_down"),
+        F.col("text").alias("transcription"),
+        F.lit(None).cast("double").alias("confidence"),
     )
+    return pcgts.export_alto_layout(lines)

@@ -241,11 +241,16 @@ def import_pcgts(xml_df: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- ALTO (S3)
 
 def export_alto_layout(lines: DataFrame) -> DataFrame:
-    """Lines table → ALTO layout XML per document: PrintSpace with
-    TextBlock rects and TextLine HPOS/VPOS/WIDTH/HEIGHT/BASELINE
-    geometry, one <String> per word (deterministic 8px/char word
-    layout) — the exporter counterpart of the reference's ALTO import
-    contract (core/layout.py:602-651)."""
+    """THE ALTO exporter (S6): PrintSpace with TextBlock rects and
+    TextLine HPOS/VPOS/WIDTH/HEIGHT/BASELINE geometry, one <String>
+    per word with the reference's force-aligned word geometry
+    (core/layout.py:400-597): word frame spans from the Viterbi
+    alignment of the transcription to its logits, pixel boxes anchored
+    at the line's HPOS, WC = mean aligned letter confidence. The
+    layout contract matches the reference's ALTO import
+    (core/layout.py:602-651), so export → ``import_alto`` /
+    ``import_alto_words`` round-trips line AND word fields."""
+    from pero_ocr_spark.sources.alto import word_boxes
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = int(pdf["doc_id"].iloc[0])
@@ -282,14 +287,13 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
                     f'<TextLine HPOS="{hpos}" VPOS="{vpos}" WIDTH="{width}" '
                     f'HEIGHT="{height}" BASELINE="{int(bl[0][1])}">'
                 )
-                x = hpos
-                for word in r.transcription.split(" "):
-                    w = max(8 * len(word), 8)
+                for b in word_boxes(r.transcription):
                     parts.append(
-                        f"<String CONTENT={quoteattr(word)} HPOS=\"{x}\" "
-                        f'VPOS="{vpos}" WIDTH="{w}" HEIGHT="{height}"/>'
+                        f"<String CONTENT={quoteattr(b['content'])} "
+                        f"HPOS=\"{hpos + b['hpos']}\" VPOS=\"{vpos}\" "
+                        f"WIDTH=\"{b['width']}\" HEIGHT=\"{height}\" "
+                        f"WC=\"{b['confidence']}\"/>"
                     )
-                    x += w + 8
                 parts.append("</TextLine>")
             parts.append("</TextBlock>")
         parts.extend(["</PrintSpace></Page></Layout></alto>"])
@@ -368,3 +372,59 @@ def import_alto(xml_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows) if rows else _empty_lines_pdf()
 
     return xml_df.mapInPandas(run, schema=LINES_DDL)
+
+
+WORDS_DDL = (
+    "doc_id long, region_id string, region_order long, idx long, "
+    "word_idx long, content string, hpos long, vpos long, width long, "
+    "height long, wc double"
+)
+
+
+def import_alto_words(xml_df: DataFrame) -> DataFrame:
+    """(doc_id, xml) ALTO strings → one row per <String> word with its
+    full geometry and WC — the lossless word-level complement of
+    ``import_alto`` (which joins CONTENTs into line transcriptions).
+    The reference reads the same attributes when logits/transcription
+    need word re-anchoring (core/layout.py:602-651 String handling)."""
+    import xml.etree.ElementTree as _ET
+
+    cols = [
+        "doc_id", "region_id", "region_order", "idx",
+        "word_idx", "content", "hpos", "vpos", "width", "height", "wc",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, xml in zip(pdf["doc_id"], pdf["xml"]):
+                root = _ET.fromstring(xml)
+                ns = U.element_schema(root.tag)
+                ps = root.find(f"{ns}Layout/{ns}Page/{ns}PrintSpace")
+                for ri, block in enumerate(ps.iter(f"{ns}TextBlock")):
+                    rid = block.get("ID")
+                    for li, line in enumerate(block.iter(f"{ns}TextLine")):
+                        for wi, s in enumerate(line.iter(f"{ns}String")):
+                            wc = s.get("WC")
+                            rows.append(
+                                {
+                                    "doc_id": int(doc_id),
+                                    "region_id": rid,
+                                    "region_order": ri,
+                                    "idx": li,
+                                    "word_idx": wi,
+                                    "content": s.get("CONTENT"),
+                                    "hpos": int(s.get("HPOS")),
+                                    "vpos": int(s.get("VPOS")),
+                                    "width": int(s.get("WIDTH")),
+                                    "height": int(s.get("HEIGHT")),
+                                    "wc": float(wc) if wc is not None else None,
+                                }
+                            )
+            yield (
+                pd.DataFrame(rows)
+                if rows
+                else pd.DataFrame({c: [] for c in cols})
+            )
+
+    return xml_df.mapInPandas(run, schema=WORDS_DDL)
