@@ -383,9 +383,174 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
-def retrace_region(line_polygons: list[np.ndarray]) -> np.ndarray:
-    """L16: region polygon = hull of all its textline polygon points."""
-    return convex_hull(np.concatenate([np.asarray(p) for p in line_polygons]))
+def point_in_polygon(
+    x: float, y: float, poly: np.ndarray, eps: float = 1e-9
+) -> bool:
+    """Ray-cast point-in-polygon with an on-boundary tolerance: points
+    within eps of an edge count as inside (textline vertices sit
+    EXACTLY on the alpha-shape boundary)."""
+    poly = np.asarray(poly, dtype=np.float64)
+    n = len(poly)
+    inside = False
+    for i in range(n):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n]
+        # on-segment check
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        if L2 > 0:
+            t = max(0.0, min(1.0, ((x - x0) * dx + (y - y0) * dy) / L2))
+            if (x - (x0 + t * dx)) ** 2 + (y - (y0 + t * dy)) ** 2 <= eps:
+                return True
+        elif (x - x0) ** 2 + (y - y0) ** 2 <= eps:
+            return True
+        if (y0 > y) != (y1 > y):
+            xi = x0 + (y - y0) * dx / dy
+            if x < xi:
+                inside = not inside
+    return inside
+
+
+def delaunay(points: np.ndarray) -> np.ndarray:
+    """Delaunay triangulation (Bowyer–Watson, numpy-only — the
+    scipy.spatial.Delaunay stand-in for the alpha-shape retrace).
+    Returns an (m, 3) int array of point indices. Incremental insert
+    with a vectorized circumcircle test per insertion — O(n²) in the
+    point count, fine for per-region point clouds (10²–10³)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    mn, mx = pts.min(axis=0), pts.max(axis=0)
+    d = float(max(mx[0] - mn[0], mx[1] - mn[1])) * 10 + 1.0
+    c = (mn + mx) / 2
+    allp = np.vstack(
+        [pts, [[c[0] - 2 * d, c[1] - d], [c[0] + 2 * d, c[1] - d], [c[0], c[1] + 2 * d]]]
+    )
+    tris = np.array([[n, n + 1, n + 2]], dtype=np.int64)
+    for i in range(n):
+        a, b, cc = allp[tris[:, 0]], allp[tris[:, 1]], allp[tris[:, 2]]
+        # orient CCW, then in-circumcircle determinant vs point i
+        area2 = (b[:, 0] - a[:, 0]) * (cc[:, 1] - a[:, 1]) - (
+            b[:, 1] - a[:, 1]
+        ) * (cc[:, 0] - a[:, 0])
+        swap = area2 < 0
+        b2 = np.where(swap[:, None], cc, b)
+        c2 = np.where(swap[:, None], b, cc)
+        p = allp[i]
+        ax, ay = a[:, 0] - p[0], a[:, 1] - p[1]
+        bx, by = b2[:, 0] - p[0], b2[:, 1] - p[1]
+        cx, cy = c2[:, 0] - p[0], c2[:, 1] - p[1]
+        det = (
+            (ax * ax + ay * ay) * (bx * cy - cx * by)
+            - (bx * bx + by * by) * (ax * cy - cx * ay)
+            + (cx * cx + cy * cy) * (ax * by - bx * ay)
+        )
+        bad = det > 1e-12
+        if not bad.any():
+            # duplicate/degenerate point: skip (it adds no area)
+            continue
+        # cavity boundary = bad-triangle edges appearing exactly once
+        edges: dict[tuple[int, int], int] = {}
+        for t in tris[bad]:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        boundary = [e for e, cnt in edges.items() if cnt == 1]
+        new = np.array([[i, e0, e1] for e0, e1 in boundary], dtype=np.int64)
+        tris = np.vstack([tris[~bad], new])
+    keep = (tris < n).all(axis=1)
+    return tris[keep]
+
+
+def alpha_shape(points: np.ndarray, alpha: float) -> np.ndarray:
+    """Concave boundary polygon of a point cloud
+    (``layout_helpers.py:160-181`` semantics, shapely/scipy-free):
+    Delaunay triangles with circumradius ≤ alpha (the reference's
+    +1e-4 area epsilon kept), boundary = edges used by exactly one
+    kept triangle, chained into a ring. Point clouds under 4 points,
+    chains that don't close into ONE ring (the reference's
+    MultiPolygon branch), and empty filters fall back to the convex
+    hull — the reference collapses those to ``convex_hull`` too."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) < 4:
+        return convex_hull(pts)
+    try:
+        tris = delaunay(pts)
+    except Exception:
+        return convex_hull(pts)
+    if len(tris) == 0:
+        return convex_hull(pts)
+    t = pts[tris]
+    a = np.hypot(t[:, 0, 0] - t[:, 1, 0], t[:, 0, 1] - t[:, 1, 1])
+    b = np.hypot(t[:, 1, 0] - t[:, 2, 0], t[:, 1, 1] - t[:, 2, 1])
+    c = np.hypot(t[:, 2, 0] - t[:, 0, 0], t[:, 2, 1] - t[:, 0, 1])
+    s = (a + b + c) / 2.0
+    areas = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
+    circums = a * b * c / (4.0 * (areas + 0.0001))
+    kept = tris[circums <= alpha]
+    if len(kept) == 0:
+        return convex_hull(pts)
+    edges: dict[tuple[int, int], int] = {}
+    for t3 in kept:
+        for e in ((t3[0], t3[1]), (t3[1], t3[2]), (t3[2], t3[0])):
+            k = (min(e), max(e))
+            edges[k] = edges.get(k, 0) + 1
+    boundary = [e for e, cnt in edges.items() if cnt == 1]
+    if not boundary:
+        return convex_hull(pts)
+    adj: dict[int, list[int]] = {}
+    for e0, e1 in boundary:
+        adj.setdefault(e0, []).append(e1)
+        adj.setdefault(e1, []).append(e0)
+    if any(len(v) != 2 for v in adj.values()):
+        return convex_hull(pts)  # pinched/multi-ring boundary
+    start = boundary[0][0]
+    ring = [start]
+    prev, cur = -1, start
+    while True:
+        nxt = adj[cur][0] if adj[cur][0] != prev else adj[cur][1]
+        if nxt == start:
+            break
+        ring.append(nxt)
+        prev, cur = cur, nxt
+        if len(ring) > len(boundary):
+            return convex_hull(pts)  # not a single closed ring
+    if len(ring) < len(adj):
+        return convex_hull(pts)  # disconnected rings (MultiPolygon)
+    poly = pts[ring]
+    if _signed_area(poly) < 0:
+        poly = poly[::-1]
+    return poly
+
+
+def retrace_region(
+    line_polygons: list[np.ndarray], concave: bool = False
+) -> np.ndarray:
+    """L16/L7: region polygon recomputed from its textline polygons.
+    Default: convex hull of all points. ``concave=True`` runs the
+    reference's alpha-shape retrace (``layout_helpers.py:78-92,
+    126-147``): alpha = the max per-textline vertex spacing, falling
+    back to the hull when the shape degenerates. Deviation
+    (documented): the reference unions in any textline the alpha
+    polygon misses; here a missed textline VERTEX triggers the hull
+    fallback instead — always covering, never self-intersecting."""
+    all_pts = np.concatenate([np.asarray(p, dtype=np.float64) for p in line_polygons])
+    if not concave:
+        return convex_hull(all_pts)
+    spacings = [
+        np.linalg.norm(np.diff(np.asarray(p, dtype=np.float64), axis=0), axis=1).max()
+        for p in line_polygons
+        if len(p) > 1
+    ]
+    if not spacings:
+        return convex_hull(all_pts)
+    poly = alpha_shape(all_pts, float(max(spacings)))
+    for p in line_polygons:
+        if not all(
+            point_in_polygon(float(v[0]), float(v[1]), poly)
+            for v in np.asarray(p, dtype=np.float64)
+        ):
+            return convex_hull(all_pts)
+    return poly
 
 
 # ------------------------------------------- reading order (O3 / O4)

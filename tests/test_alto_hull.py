@@ -64,3 +64,61 @@ class TestConvexHull:
         assert abs(x0) < 1e-9 and x1 == 60.0
         assert y0 == 10.0 and y1 == 54.0
         assert G.polygon_area(region) > 0
+
+
+class TestAlphaShape:
+    """L7: concave region retrace (layout_helpers.py:126-181 semantics)."""
+
+    def _l_shaped_lines(self):
+        # two stacks of textlines forming an L: a tall left column and a
+        # short bottom bar reaching right
+        lines = []
+        for i in range(6):  # left column x:[0,40], y rows 0..170
+            y = i * 30
+            lines.append(np.array(
+                [[0, y], [40, y], [40, y + 14], [0, y + 14]], dtype=float))
+        for j in range(3):  # bottom bar x:[40,160], only lowest rows
+            x = 40 + j * 40
+            lines.append(np.array(
+                [[x, 150], [x + 40, 150], [x + 40, 164], [x, 164]], dtype=float))
+        return lines
+
+    def test_concave_retrace_excludes_notch(self):
+        lines = self._l_shaped_lines()
+        poly = G.retrace_region(lines, concave=True)
+        hull = G.retrace_region(lines)
+        # the notch (upper right, far from any line) is inside the hull
+        # but outside the alpha shape
+        assert G.point_in_polygon(100.0, 90.0, hull)
+        assert not G.point_in_polygon(100.0, 90.0, poly)
+        # every textline vertex is covered
+        for p in lines:
+            for v in p:
+                assert G.point_in_polygon(v[0], v[1], poly)
+        # area strictly between the union floor and the hull
+        assert G.polygon_area(poly) < G.polygon_area(hull)
+
+    def test_small_cloud_falls_back_to_hull(self):
+        pts = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 8.0]])
+        poly = G.alpha_shape(pts, alpha=100.0)
+        assert len(poly) == 3
+
+    def test_tight_alpha_falls_back_to_hull(self):
+        lines = self._l_shaped_lines()
+        pts = np.concatenate(lines)
+        # alpha smaller than any circumradius -> no kept triangles -> hull
+        poly = G.alpha_shape(pts, alpha=0.5)
+        assert G.polygon_area(poly) == G.polygon_area(G.convex_hull(pts))
+
+    def test_delaunay_covers_cloud(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 100, size=(40, 2))
+        tris = G.delaunay(pts)
+        # triangulation area == hull area (a Delaunay triangulation
+        # tiles the convex hull exactly)
+        t = pts[tris]
+        area = np.abs(
+            (t[:, 1, 0] - t[:, 0, 0]) * (t[:, 2, 1] - t[:, 0, 1])
+            - (t[:, 1, 1] - t[:, 0, 1]) * (t[:, 2, 0] - t[:, 0, 0])
+        ).sum() / 2
+        assert abs(area - G.polygon_area(G.convex_hull(pts))) < 1e-6
