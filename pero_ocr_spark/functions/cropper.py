@@ -63,9 +63,15 @@ def get_crop_inputs(
     return (grid @ rot).astype(np.float64)
 
 
-def bilinear_remap(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
+def bilinear_remap(
+    img: np.ndarray, grid: np.ndarray, out_dtype=None
+) -> np.ndarray:
     """Sample img at the (H, W, 2) x/y grid with bilinear weights,
-    clamp-to-edge (the cv2.remap INTER_LINEAR step)."""
+    clamp-to-edge (the cv2.remap INTER_LINEAR step). Pass a float64
+    ``img`` + explicit ``out_dtype`` when cropping many lines from one
+    page — converting the full raster per line is the dominant cost
+    otherwise (the gather touches only the crop's pixels; the astype
+    touches every pixel)."""
     h, w = img.shape[:2]
     x = np.clip(grid[:, :, 0], 0, w - 1)
     y = np.clip(grid[:, :, 1], 0, h - 1)
@@ -74,14 +80,14 @@ def bilinear_remap(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
     fx, fy = x - x0, y - y0
-    img_f = img.astype(np.float64)
+    img_f = img if img.dtype == np.float64 else img.astype(np.float64)
     out = (
         img_f[y0, x0] * (1 - fy) * (1 - fx)
         + img_f[y0, x1] * (1 - fy) * fx
         + img_f[y1, x0] * fy * (1 - fx)
         + img_f[y1, x1] * fy * fx
     )
-    return np.round(out).astype(img.dtype)
+    return np.round(out).astype(out_dtype or img.dtype)
 
 
 def bilinear_remap_float(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
@@ -95,7 +101,7 @@ def bilinear_remap_float(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
     fx, fy = x - x0, y - y0
-    img_f = img.astype(np.float64)
+    img_f = img if img.dtype == np.float64 else img.astype(np.float64)
     return (
         img_f[y0, x0] * (1 - fy) * (1 - fx)
         + img_f[y0, x1] * (1 - fy) * fx
@@ -109,15 +115,18 @@ def crop_line(
     baseline: np.ndarray,
     heights: tuple[float, float],
     target_height: int = 32,
+    out_dtype=None,
 ) -> np.ndarray:
     """Rectified line crop (crop_engine.py:16-30): baseline-following
     resample of the page raster to a fixed-height strip. Degenerate
     baselines (rotated x-extent < 1 px — e.g. a repeated point from an
     external PAGE file) return a blank target_height×32 strip instead
     of failing the task, like the reference's except branch
-    (crop_engine.py:20-23)."""
+    (crop_engine.py:20-23). Pass a pre-float64 ``img`` + ``out_dtype``
+    when cropping a whole page's lines (see bilinear_remap)."""
+    dtype = out_dtype or img.dtype
     try:
         grid = get_crop_inputs(baseline, heights, target_height)
-        return bilinear_remap(img, grid)
+        return bilinear_remap(img, grid, out_dtype=dtype)
     except (ValueError, IndexError, ZeroDivisionError):
-        return np.zeros((target_height, 32), dtype=img.dtype)
+        return np.zeros((target_height, 32), dtype=dtype)

@@ -103,11 +103,15 @@ def refine_baseline(
     from pero_ocr_spark.functions import cropper
 
     bl_in = np.asarray(baseline, dtype=np.float64)
+    # accept either the full (H, W, 5) map or just the detection
+    # channel — callers refining many lines should pass a float64 2-D
+    # channel once (per-line full-map conversions dominate otherwise)
+    det = out_map if out_map.ndim == 2 else out_map[:, :, 2]
     try:
         bl = bl_in / downsample
         tol = (heights[0] + heights[1]) / (2 * downsample)
         grid = cropper.get_crop_inputs(bl, (tol, tol), target_height)
-        line_crop = cropper.bilinear_remap_float(out_map[:, :, 2], grid)
+        line_crop = cropper.bilinear_remap_float(det, grid)
         line_crop[line_crop < detection_threshold] = 0
         rows, cols = np.where(line_crop)
         if len(rows) == 0:

@@ -469,11 +469,13 @@ def crop_lines(
         img = np.frombuffer(bdf["img"].iloc[0], dtype=np.uint8).reshape(
             int(bdf["height"].iloc[0]), int(bdf["width"].iloc[0])
         )
+        imgf = img.astype(np.float64)  # once per page, not per line
         rows = []
         for r in ldf.itertuples(index=False):
             baseline = np.array([[r.x0, r.y], [r.x1, r.y]])
             crop = cropper.crop_line(
-                img, baseline, (r.asc, r.desc), target_height
+                imgf, baseline, (r.asc, r.desc), target_height,
+                out_dtype=np.uint8,
             )
             rows.append(
                 {
@@ -513,12 +515,19 @@ def refine_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
     cols = ["doc_id", "line_id", "x_first", "x_last", "y_refined", "n_points"]
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = synthesize_parsenet_map(pdf, downsample)
+        # only the detection channel is consumed, so synthesize just it
+        # (float64 once — the refiner's per-line crop then never casts)
+        h = (int(pdf["y"].max()) + 20) // downsample
+        det = np.zeros((h, PAGE_W // downsample), dtype=np.float64)
+        for y, x0, x1 in zip(
+            pdf["y"].astype(int), pdf["x0"].astype(int), pdf["x1"].astype(int)
+        ):
+            det[y // downsample, x0 // downsample : x1 // downsample] = 1.0
         rows = []
         for r in pdf.itertuples(index=False):
             bl = np.array([[r.x0, r.y_in], [r.x1, r.y_in]])
             out = mapparse.refine_baseline(
-                bl, (r.asc, r.desc), m, downsample=downsample
+                bl, (r.asc, r.desc), det, downsample=downsample
             )
             rows.append(
                 {
@@ -645,11 +654,15 @@ def render_crop_lines(
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+        # ONE float conversion per page, not one per line (the astype
+        # touches every raster pixel; the crop gather touches ~1%)
+        imgf = img.astype(np.float64)
         rows = []
         for r in pdf.itertuples(index=False):
             baseline = np.array([[r.x0, r.y], [r.x1, r.y]])
             crop = cropper.crop_line(
-                img, baseline, (r.asc, r.desc), target_height
+                imgf, baseline, (r.asc, r.desc), target_height,
+                out_dtype=np.uint8,
             )
             rows.append(
                 {
