@@ -212,3 +212,73 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroid_offset: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN — the coarse-quantizer scale path complementing the LSH
+    variant: every corpus row is assigned to its nearest centroid cell
+    (argmax cosine, ties to the lowest cell id), queries probe their
+    ``n_probe`` best cells, and the exact ranking runs over the probed
+    cells only. Candidates arrive through an equi-join on cell id with
+    the tiny probe side broadcast — the cross join never exists.
+
+    Centroids are a deterministic corpus sample (``vec_id ∈ [offset,
+    offset+n_cells)``) standing in for a trained k-means codebook: the
+    data flow (assign → inverted cells → probe) is exactly the
+    production IVF shape; swap the centroid frame for trained
+    centroids at scale. Assignment is ONE shuffle (groupBy vec_id with
+    map-side partial max_by); at 10^12 rows the scored frame is a
+    broadcast nested-loop against n_cells rows — linear, no pairwise
+    blowup."""
+    base = with_norm(emb)
+    cents = base.filter(
+        (F.col(id_col) >= centroid_offset)
+        & (F.col(id_col) < centroid_offset + n_cells)
+    ).select(
+        (F.col(id_col) - centroid_offset).alias("cell"),
+        F.col("embedding").alias("cent"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cs = _dot(_to_double(F.col("embedding")), _to_double(F.col("cent"))) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn("cs", cs)
+    assign = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("cell", "embedding", "nrm"),
+                F.struct(F.col("cs").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("b")
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.embedding").alias("c_emb"),
+            F.col("b.nrm").alias("c_nrm"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cell"))
+    probes = (
+        scored.filter(F.col(id_col).isin(query_ids))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    joined = assign.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return _ranked_topk(joined, k)

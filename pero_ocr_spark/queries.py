@@ -313,6 +313,58 @@ def q_similarity_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ORACLE = (
+    _COS_E_CTE
+    + f"""
+, cents AS (
+  SELECT vec_id - 100 AS cell, emb AS cent, nrm AS cnrm
+  FROM e WHERE vec_id >= 100 AND vec_id < 116)
+, scored AS (
+  SELECT e.vec_id, e.emb, e.nrm, c.cell,
+         list_dot_product(e.emb, c.cent) / (e.nrm * c.cnrm) AS cs
+  FROM e, cents c)
+, assign AS (
+  SELECT vec_id, emb, nrm, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+    FROM scored) WHERE rn = 1)
+, probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+    FROM scored
+    WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})) WHERE rn <= 2)
+, sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6)
+           AS cosine
+  FROM probes p JOIN assign a
+    ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims)
+WHERE rn <= 5
+"""
+)
+
+
+@register("similarity_ann_ivf", _IVF_ORACLE)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN: deterministic 16-centroid codebook
+    # (corpus sample vec_ids 100..115), nearest-cell assignment with
+    # lowest-cell tiebreak, 2-probe query fan-out, exact rank within
+    # the probed cells. Both sides compute identical IEEE doubles
+    # (left-to-right dot-product fold), so assignment ties resolve
+    # identically.
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5,
+        n_cells=16, n_probe=2, centroid_offset=100,
+    )
+
+
 @register(
     "similarity_near_dup_pairs",
     f"""

@@ -62,3 +62,39 @@ def test_near_dup_pairs(spark):
     }
     assert (0, 1) in pairs
     assert (0, 3) not in pairs
+
+
+def test_ivf_recall_and_cell_structure(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    brute = similarity.cosine_topk(emb, qids, k=3).collect()
+    ivf = similarity.ivf_topk(emb, qids, k=3, n_cells=16, n_probe=4).collect()
+    top1_brute = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    top1_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf if r["rank"] == 1}
+    hits = sum(1 for q in top1_brute if top1_ivf.get(q) == top1_brute[q])
+    # 4 of 16 cells probed: require at least half the top-1s recovered
+    assert hits >= len(top1_brute) // 2, (top1_brute, top1_ivf)
+    # every query yields at most k ranked rows, ranks contiguous from 1
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in ivf)
+    assert all(v <= 3 for v in per_q.values())
+    for q in per_q:
+        ranks = sorted(r["rank"] for r in ivf if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_probe_widening_monotone(spark, sf_dir):
+    # more probes -> candidate set grows -> results approach brute force
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(6))
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.cosine_topk(emb, qids, k=3).collect()}
+    agree = []
+    for np_ in (1, 16):
+        ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in similarity.ivf_topk(emb, qids, k=3, n_cells=16, n_probe=np_).collect()}
+        agree.append(sum(1 for k_ in brute if ivf.get(k_) == brute[k_]))
+    # probing ALL cells = brute force exactly
+    assert agree[1] == len(brute)
+    assert agree[0] <= agree[1]
