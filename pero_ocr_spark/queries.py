@@ -599,6 +599,21 @@ def q_events_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming dedup with watermark-bounded state — the surviving key
+    # set equals DISTINCT because the delay spans the table (survivor
+    # ROWS are arrival-order-dependent, so only keys are emitted)
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.dedup_events_streaming(spark, sf_dir)
+
+
+@register(
     "events_sessionize",
     """
     WITH marked AS (

@@ -208,3 +208,43 @@ def sessionize_streaming(
         "user_id",
         "n_events",
     )
+
+
+def dedup_events_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    delay: str = "30 days",
+) -> DataFrame:
+    """Streaming deduplication with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): the first arrival per key
+    survives; state for a key is evicted once the watermark passes its
+    event time + delay, so memory is bounded by the key cardinality of
+    one delay window — THE dedup shape for an unbounded 100 TB event
+    stream (plain dropDuplicates would grow state forever).
+
+    Only the key columns are returned: which physical duplicate row
+    survives depends on arrival order across file-source partitions
+    (nondeterministic), but the surviving KEY SET equals SELECT
+    DISTINCT whenever every duplicate pair sits within the delay —
+    here the delay spans the whole table, which is also what makes the
+    result oracle-checkable."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(list(keys)).select(*keys)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

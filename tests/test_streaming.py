@@ -61,3 +61,20 @@ def test_lm_carry_decode(spark, sf_dir):
         assert plain[(r["doc_id"], r["line_id"])] == r["transcription"]
     # lm carry contributes a (negative) lm score — total < pure visual score
     assert all(r["score"] < 1.0 for r in carried)
+
+
+def test_stream_dedup_matches_distinct(spark, sf_dir):
+    from pero_ocr_spark.streaming import events as ev
+
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in ev.dedup_events_streaming(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
