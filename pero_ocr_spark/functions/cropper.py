@@ -72,22 +72,9 @@ def bilinear_remap(
     page — converting the full raster per line is the dominant cost
     otherwise (the gather touches only the crop's pixels; the astype
     touches every pixel)."""
-    h, w = img.shape[:2]
-    x = np.clip(grid[:, :, 0], 0, w - 1)
-    y = np.clip(grid[:, :, 1], 0, h - 1)
-    x0 = np.floor(x).astype(np.int64)
-    y0 = np.floor(y).astype(np.int64)
-    x1 = np.minimum(x0 + 1, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    fx, fy = x - x0, y - y0
-    img_f = img if img.dtype == np.float64 else img.astype(np.float64)
-    out = (
-        img_f[y0, x0] * (1 - fy) * (1 - fx)
-        + img_f[y0, x1] * (1 - fy) * fx
-        + img_f[y1, x0] * fy * (1 - fx)
-        + img_f[y1, x1] * fy * fx
+    return np.round(bilinear_remap_float(img, grid)).astype(
+        out_dtype or img.dtype
     )
-    return np.round(out).astype(out_dtype or img.dtype)
 
 
 def bilinear_remap_float(img: np.ndarray, grid: np.ndarray) -> np.ndarray:

@@ -191,7 +191,14 @@ def merge_lines_straight(
     asc = np.asarray(asc, dtype=np.float64)
     desc = np.asarray(desc, dtype=np.float64)
     if n == 1:
-        return x0.copy(), x1.copy(), y.copy(), asc.copy(), desc.copy()
+        # extent = min/max like the general kernel's b[:,0].min()/max()
+        return (
+            np.minimum(x0, x1),
+            np.maximum(x0, x1),
+            y.copy(),
+            asc.copy(),
+            desc.copy(),
+        )
 
     parent = list(range(n))
 
@@ -201,17 +208,21 @@ def merge_lines_straight(
             i = parent[i]
         return i
 
+    # extents via min/max like the general kernel (b[:,0].min/max), so
+    # reversed segments (x0 > x1) evaluate the same predicate
+    xlo = np.minimum(x0, x1)
+    xhi = np.maximum(x0, x1)
     hsum = asc + desc
     min_h = np.minimum.outer(hsum, hsum)
     lo = np.maximum.outer(y - asc, y - asc)
     hi = np.minimum.outer(y + desc, y + desc)
     h_overlap = hi - lo
     contained_half = np.logical_and(
-        np.greater.outer(x0, x0), np.less.outer(x1, x1)
+        np.greater.outer(xlo, xlo), np.less.outer(xhi, xhi)
     )
     contained = contained_half | contained_half.T
     gap = np.maximum(
-        np.subtract.outer(x0, x1), np.subtract.outer(x0, x1).T
+        np.subtract.outer(xlo, xhi), np.subtract.outer(xlo, xhi).T
     )
     ok = (h_overlap > 0.7 * min_h) & ~contained & (gap < 2 * min_h)
     ii, jj = np.nonzero(np.triu(ok, k=1))
@@ -230,15 +241,18 @@ def merge_lines_straight(
     oy = np.empty(k)
     oasc = np.zeros(k)
     odesc = np.zeros(k)
-    np.minimum.at(ox0, inverse, x0)
-    np.maximum.at(ox1, inverse, x1)
+    okey = np.empty(k)  # sort key = first POINT's x (b[0,0]), not min
+    np.minimum.at(ox0, inverse, xlo)
+    np.maximum.at(ox1, inverse, xhi)
     np.maximum.at(oasc, inverse, asc)
     np.maximum.at(odesc, inverse, desc)
     single = counts == 1
     if single.any():
         # union always parents max→min, so a component's root IS its
-        # lowest member index — a singleton keeps its own y
+        # lowest member index — a singleton keeps its own y and its
+        # original first-point x as the order key
         oy[single] = y[uniq[single]]
+        okey[single] = x0[uniq[single]]
     for c in np.flatnonzero(~single):
         members = np.flatnonzero(inverse == c)
         # same point construction as the general kernel: member points
@@ -253,7 +267,8 @@ def merge_lines_straight(
         oy[c] = rb[0, 1]
         ox0[c] = rb[:, 0].min()
         ox1[c] = rb[:, 0].max()
-    order = np.lexsort((ox0, oy))
+        okey[c] = rb[0, 0]
+    order = np.lexsort((okey, oy))
     return ox0[order], ox1[order], oy[order], oasc[order], odesc[order]
 
 
@@ -387,10 +402,11 @@ def point_in_polygon(
     x: float, y: float, poly: np.ndarray, eps: float = 1e-9
 ) -> bool:
     """Ray-cast point-in-polygon with an on-boundary tolerance: points
-    within eps of an edge count as inside (textline vertices sit
-    EXACTLY on the alpha-shape boundary)."""
+    within eps (linear distance) of an edge count as inside (textline
+    vertices sit EXACTLY on the alpha-shape boundary)."""
     poly = np.asarray(poly, dtype=np.float64)
     n = len(poly)
+    eps2 = eps * eps  # comparisons are in squared distance
     inside = False
     for i in range(n):
         x0, y0 = poly[i]
@@ -400,9 +416,9 @@ def point_in_polygon(
         L2 = dx * dx + dy * dy
         if L2 > 0:
             t = max(0.0, min(1.0, ((x - x0) * dx + (y - y0) * dy) / L2))
-            if (x - (x0 + t * dx)) ** 2 + (y - (y0 + t * dy)) ** 2 <= eps:
+            if (x - (x0 + t * dx)) ** 2 + (y - (y0 + t * dy)) ** 2 <= eps2:
                 return True
-        elif (x - x0) ** 2 + (y - y0) ** 2 <= eps:
+        elif (x - x0) ** 2 + (y - y0) ** 2 <= eps2:
             return True
         if (y0 > y) != (y1 > y):
             xi = x0 + (y - y0) * dx / dy

@@ -372,25 +372,31 @@ def snap_horizontal_baselines_batch(
     fall back to the scalar kernel. Returns the per-line snapped y.
     """
     h, w = img.shape
-    x0 = np.asarray(x0, dtype=np.int64)
-    x1 = np.asarray(x1, dtype=np.int64)
-    y = np.round(np.asarray(y, dtype=np.float64)).astype(np.int64)
+    x0f = np.asarray(x0, dtype=np.float64)
+    x1f = np.asarray(x1, dtype=np.float64)
+    yf = np.asarray(y, dtype=np.float64)
+    # match the scalar kernel exactly: x endpoints and the index row
+    # are ROUNDED (int(round(...)) there); the returned y is the
+    # ORIGINAL float y plus the integer offset
+    x0i = np.round(x0f).astype(np.int64)
+    x1i = np.round(x1f).astype(np.int64)
+    yi_all = np.round(yf).astype(np.int64)
     radius = 12  # 4σ, σ=3 — must match _blur_1d
     lo_off = tolerance + radius + 1
     hi_off = tolerance - 1 + radius + 1
-    xs_lo = np.minimum(x0, x1)
-    xs_hi = np.maximum(x0, x1)
+    xs_lo = np.minimum(x0i, x1i)
+    xs_hi = np.maximum(x0i, x1i)
     fast = (
-        (y - lo_off >= 0)
-        & (y + hi_off < h)
+        (yi_all - lo_off >= 0)
+        & (yi_all + hi_off < h)
         & (xs_lo >= 0)
         & (xs_hi <= w - 1)
     )
-    out = y.astype(np.float64)
+    out = yf.copy()
     if fast.any():
         csum = np.zeros((h, w + 1), dtype=np.float64)
         np.cumsum(img, axis=1, out=csum[:, 1:])
-        yi = y[fast]
+        yi = yi_all[fast]
         rows_idx = yi[:, None] + np.arange(-lo_off, hi_off + 1)[None, :]
         # rowsum over inclusive cols [lo, hi] = csum[:, hi+1] - csum[:, lo]
         rowsum = (
@@ -406,11 +412,11 @@ def snap_horizontal_baselines_batch(
             scores += k * padded[:, i : i + gsum.shape[1]]
         base = lo_off - 1 - tolerance
         window = scores[:, base : base + 2 * tolerance]
-        out[fast] = yi + (np.argmax(window, axis=1) - tolerance)
+        out[fast] = yf[fast] + (np.argmax(window, axis=1) - tolerance)
     if not fast.all():
         slow = np.flatnonzero(~fast)
         bls = [
-            np.array([[x0[i], y[i]], [x1[i], y[i]]], dtype=np.float64)
+            np.array([[x0f[i], yf[i]], [x1f[i], yf[i]]])
             for i in slow
         ]
         snapped = snap_baselines_to_intensity(bls, img, tolerance=tolerance)

@@ -103,28 +103,36 @@ def run_extraction_with_lineage(
             f"{out_dir}/spans"
         )
         elapsed = time.perf_counter() - t0
-        stats = (
-            spark.read.parquet(f"{out_dir}/spans")
-            .filter(F.col("bucket").isin([int(b) for b in todo]))
-            .groupBy("bucket")
-            .agg(
-                F.approx_count_distinct("doc_id").alias("n_docs"),
-                F.count("*").alias("n_spans"),
-                F.sum(F.length("text")).alias("n_chars"),
+        try:
+            stats = (
+                spark.read.parquet(f"{out_dir}/spans")
+                .filter(F.col("bucket").isin([int(b) for b in todo]))
+                .groupBy("bucket")
+                .agg(
+                    F.approx_count_distinct("doc_id").alias("n_docs"),
+                    F.count("*").alias("n_spans"),
+                    F.sum(F.length("text")).alias("n_chars"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        except Exception:  # zero rows written overall → no readable files
+            stats = []
+        by_bucket = {int(r["bucket"]): r for r in stats}
+        # every TODO bucket gets a manifest row — a bucket whose docs
+        # produce zero spans writes no partition dir and so has no
+        # stats row, but it IS done (otherwise resume re-runs it forever)
         manifest_rows = [
             (
-                int(r["bucket"]),
+                int(b),
                 "done",
-                int(r["n_docs"]),
-                int(r["n_spans"]),
-                int(r["n_chars"] or 0),
+                int(r["n_docs"]) if r is not None else 0,
+                int(r["n_spans"]) if r is not None else 0,
+                int(r["n_chars"] or 0) if r is not None else 0,
                 round(elapsed, 3),
-                round(r["n_spans"] / elapsed, 1),
+                round((r["n_spans"] if r is not None else 0) / elapsed, 1),
             )
-            for r in stats
+            for b in todo
+            for r in (by_bucket.get(int(b)),)
         ]
         spark.createDataFrame(manifest_rows, LINEAGE_SCHEMA).write.mode(
             "append"

@@ -648,8 +648,9 @@ def render_crop_lines(
 ) -> DataFrame:
     """R1 fused: render the page raster and warp every line crop in the
     same per-doc stage. ``with_pixels=False`` skips serializing the
-    crop strips (geometry/ink-stat consumers) — the strips then never
-    exist outside the stage."""
+    crop strips AND the ink statistic (geometry-only consumers) — the
+    strips then never exist outside the stage and no per-pixel stat is
+    computed for a column the caller drops."""
     from pero_ocr_spark.functions import cropper
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -670,7 +671,7 @@ def render_crop_lines(
                     "line_id": r.line_id,
                     "crop_h": crop.shape[0],
                     "crop_w": crop.shape[1],
-                    "ink_frac": float((crop < 128).mean()),
+                    "ink_frac": float((crop < 128).mean()) if with_pixels else 0.0,
                     "crop": crop.tobytes() if with_pixels else b"",
                 }
             )

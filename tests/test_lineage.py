@@ -72,3 +72,26 @@ def test_repartition_weighted_bounds_partition_weight(spark):
     # no partition materially exceeds target + one max row
     assert max(r["w"] for r in sizes) <= 1500 + 1000
     assert len(sizes) >= 5
+
+
+def test_zero_span_bucket_is_marked_done(spark, out_dir, tmp_path):
+    # doc 1's only word is 'the' (stop-listed by extract) -> bucket 1
+    # produces ZERO spans; it must still get a 'done' manifest row or
+    # resume re-runs it forever
+    # doc_id 1: corpus MULT is 1 (ids divisible by 97/13 get 8-64x
+    # word repeats, which would synthesize media spans too)
+    docs = spark.createDataFrame(
+        [(1, "the"), (2, "alpha beta gamma delta"), (3, "epsilon zeta"),
+         (4, "eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    lineage.run_extraction_with_lineage(spark, sf, out_dir, n_buckets=4)
+    manifest = spark.read.parquet(f"{out_dir}/_lineage")
+    assert manifest.count() == 4
+    row0 = manifest.filter(F.col("bucket") == 1).collect()[0]
+    assert row0["status"] == "done" and row0["n_spans"] == 0
+    # second run: nothing pending, manifest unchanged
+    lineage.run_extraction_with_lineage(spark, sf, out_dir, n_buckets=4)
+    assert spark.read.parquet(f"{out_dir}/_lineage").count() == 4

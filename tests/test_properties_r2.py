@@ -94,3 +94,57 @@ class TestArabicProperties:
         s = " ".join(words)
         h = arabic.ArabicHelper()
         assert h.visual_form_to_string(h.string_to_visual_form(s)) == s
+
+
+def test_merge_straight_parity_with_reversed_segments():
+    """merge_lines_straight == merge_lines bit-for-bit, including
+    reversed (x0 > x1) segments and singletons (review finding)."""
+    import numpy as np
+
+    from pero_ocr_spark.functions import geometry as G
+
+    rng = np.random.default_rng(11)
+    for _ in range(120):
+        n = int(rng.integers(1, 25))
+        x0 = rng.uniform(0, 900, n).round(1)
+        x1 = x0 + rng.uniform(5, 200, n).round(1)
+        rev = rng.random(n) < 0.3
+        x0r = np.where(rev, x1, x0)
+        x1r = np.where(rev, x0, x1)
+        y = (rng.integers(0, 12, n) * 30 + 20).astype(float) + rng.uniform(
+            -3, 3, n
+        ).round(1)
+        asc = rng.uniform(5, 15, n).round(1)
+        desc = rng.uniform(2, 8, n).round(1)
+        bls = [np.array([[a, yy], [b, yy]]) for a, b, yy in zip(x0r, x1r, y)]
+        mb, mh = G.merge_lines(bls, list(zip(asc, desc)))
+        ref = np.array(
+            [[b[:, 0].min(), b[:, 0].max(), b[0, 1], h[0], h[1]]
+             for b, h in zip(mb, mh)]
+        )
+        got = np.stack(G.merge_lines_straight(x0r, x1r, y, asc, desc), axis=1)
+        assert ref.shape == got.shape and np.array_equal(ref, got)
+
+
+def test_snap_batch_parity_fractional_coords():
+    """snap_horizontal_baselines_batch == the scalar kernel on
+    arbitrary float coordinates (review finding: rounding/truncation
+    divergence)."""
+    import numpy as np
+
+    from pero_ocr_spark.functions import imageproc as I
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        h, w = 300, 400
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        n = int(rng.integers(1, 15))
+        x0 = rng.uniform(5, 200, n)
+        x1 = x0 + rng.uniform(10, 150, n)
+        y = rng.uniform(5, 295, n)  # includes rows outside the fast gate
+        bls = [np.array([[a, yy], [b, yy]]) for a, b, yy in zip(x0, x1, y)]
+        ref = np.array(
+            [b[0][1] for b in I.snap_baselines_to_intensity(bls, img)]
+        )
+        got = I.snap_horizontal_baselines_batch(img, x0, x1, y)
+        assert np.array_equal(ref, got)
