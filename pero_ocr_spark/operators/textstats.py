@@ -27,13 +27,19 @@ def _words(col: str = "text") -> Column:
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc token counts: whitespace tokens, BPE-ish subword count
-    (chars/4 heuristic ceiling), char count, mean token length."""
+    """Per-doc token counts: whitespace tokens, a BPE-style
+    pre-tokenizer count (maximal letter runs / digit runs — the
+    GPT-2-family pre-tokenization classes for this corpus's alphabet),
+    a chars/4 subword-count ceiling, char count, mean token length.
+    All pure Catalyst (regexp_count runs in codegen)."""
     w = _words()
     return docs.select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("long").alias(
+            "n_pretokens"
+        ),
         F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
         F.round(
             F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))

@@ -400,6 +400,8 @@ def q_similarity_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_pretokens,
            CAST(ceil(length(text) / 4) AS BIGINT) AS n_subwords_est,
            round(list_sum(list_transform(string_split(text, ' '),
                  w -> length(w))) * 1.0 / len(string_split(text, ' ')), 6)
