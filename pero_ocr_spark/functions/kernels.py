@@ -306,14 +306,19 @@ def force_align(
         if i < len(symbol_seq) and symbol_seq[i] != symbol_seq[i - 1]:
             can_skip[s] = True
 
+    # transition table reuses one (3, S) buffer per frame instead of
+    # concatenate+stack allocations — the DP is numpy-call-overhead
+    # bound at word-alignment sizes (S ~ 35)
+    work = np.full((3, n_states), INF)
+    idx = np.arange(n_states)
+    no_skip = ~can_skip[2:]
     for t in range(1, t_frames):
-        stay = cost
-        prev = np.concatenate([[INF], cost[:-1]])
-        skip = np.concatenate([[INF, INF], cost[:-2]])
-        skip = np.where(can_skip, skip, INF)
-        stacked = np.stack([stay, prev, skip])
-        choice = np.argmin(stacked, axis=0)
-        cost = stacked[choice, np.arange(n_states)] + neg[t]
+        work[0] = cost
+        work[1, 1:] = cost[:-1]
+        work[2, 2:] = cost[:-2]
+        work[2, 2:][no_skip] = INF
+        choice = np.argmin(work, axis=0)
+        cost = work[choice, idx] + neg[t]
         back[t] = choice
 
     end = n_states - 1 if cost[n_states - 1] <= cost[n_states - 2] else n_states - 2

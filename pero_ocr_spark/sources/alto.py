@@ -13,6 +13,8 @@ Deterministic: injected timestamps, stable word order.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from pyspark.sql import DataFrame
 
@@ -23,9 +25,16 @@ PX_PER_FRAME = 8
 BLANK = len(CHARSET) - 1
 
 
+@lru_cache(maxsize=65536)
 def word_boxes(text: str) -> list[dict]:
     """Force-align a line transcription to its logits and emit one
-    (content, hpos, width, confidence) box per word."""
+    (content, hpos, width, confidence) box per word.
+
+    Memoized per executor process (``lru_cache`` below): corpus line
+    texts follow a skewed word distribution, so across a long-lived
+    python worker most calls are repeats — alignment runs once per
+    DISTINCT transcription. Callers must treat the returned list as
+    read-only."""
     if not text.strip():
         return []
     dense = synth_line_logits(text)

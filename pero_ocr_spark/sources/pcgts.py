@@ -79,6 +79,15 @@ def _pts(p) -> np.ndarray:
 
 # ------------------------------------------------------------- export
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Explicit hash repartition on doc_id before the per-document
+    Arrow group: a user repartition is exempt from AQE small-partition
+    coalescing, which otherwise collapses the group exchange to a few
+    partitions and SERIALIZES the XML-building python stage."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, "doc_id")
+
+
 def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame:
     """Lines table (LINES_DDL columns) → one PcGts 2019 XML string per
     document. Region order: region_order then region_id; line order:
@@ -144,7 +153,7 @@ def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame
         parts.extend(["</Page>", "</PcGts>"])
         return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
 
-    return lines.groupBy("doc_id").applyInPandas(
+    return _pin(lines).groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, xml string"
     )
 
@@ -299,7 +308,7 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
         parts.extend(["</PrintSpace></Page></Layout></alto>"])
         return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
 
-    return lines.groupBy("doc_id").applyInPandas(
+    return _pin(lines).groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, xml string"
     )
 
