@@ -26,6 +26,7 @@ packing, ``line_ocr_engine.py:79-91``).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -73,6 +74,22 @@ LOGITS_DDL = (
 )
 
 
+@lru_cache(maxsize=200_000)
+def _synth_sparse(text: str) -> tuple:
+    """(t, c, data, indices, indptr) for one line — memoized per worker
+    (line texts follow a skewed vocabulary; arrays are treated as
+    read-only by the Arrow serializer)."""
+    dense = synth_line_logits(text)
+    data, indices, indptr = kernels.dense_to_sparse(dense)
+    return (
+        dense.shape[0],
+        dense.shape[1],
+        np.asarray(data, dtype=np.float32),
+        np.asarray(indices, dtype=np.int32),
+        np.asarray(indptr, dtype=np.int32),
+    )
+
+
 def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas generator: (doc_id, line_id, text) → sparse logits."""
     for pdf in batches:
@@ -86,13 +103,12 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "indptr": [],
         }
         for text in pdf["text"]:
-            dense = synth_line_logits(text)
-            data, indices, indptr = kernels.dense_to_sparse(dense)
-            out["t"].append(dense.shape[0])
-            out["c"].append(dense.shape[1])
-            out["data"].append(np.asarray(data, dtype=np.float32))
-            out["indices"].append(np.asarray(indices, dtype=np.int32))
-            out["indptr"].append(np.asarray(indptr, dtype=np.int32))
+            t, c, data, indices, indptr = _synth_sparse(text)
+            out["t"].append(t)
+            out["c"].append(c)
+            out["data"].append(data)
+            out["indices"].append(indices)
+            out["indptr"].append(indptr)
         yield pd.DataFrame(out)
 
 
