@@ -238,3 +238,84 @@ class TestSparkStages:
         r = out[(1, "r0", 50.0)]
         assert (r["bx0"], r["bx1"]) == (10.0, 200.0)
         assert (r["height_up"], r["height_down"]) == (12.0, 3.0)
+
+
+class TestFusedEqualsCogrouped:
+    """The fused render→consume stages must produce exactly what the
+    two-frame production operators (bitmaps from an image-store scan)
+    produce on the same geometry."""
+
+    def _lines(self, spark):
+        rows = []
+        for doc in (1, 2):
+            for ordv in range(8):
+                col = ordv % 2
+                rows.append(
+                    (doc, f"r{col}", f"l{ordv}", ordv,
+                     float(col * 500 + 10), float(col * 500 + 10 + 160 + 8 * ordv),
+                     float((ordv // 2) * 30 + 20), 10.0, 4.0)
+                )
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, region_id string, line_id string, ord long, "
+            "x0 double, x1 double, y double, asc double, desc double",
+        )
+
+    def _key(self, rows):
+        return sorted(tuple(r) for r in rows)
+
+    def test_segment(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        lines = self._lines(spark)
+        fused = linedet.render_segment_regions(
+            lines, close_gap=7, margin=3, min_pixels=25, downsample=2
+        ).collect()
+        cogrouped = linedet.segment_page_regions(
+            linedet.render_page_bitmaps(lines),
+            close_gap=7, margin=3, min_pixels=25, downsample=2,
+        ).collect()
+        assert self._key(fused) == self._key(cogrouped)
+
+    def test_detect(self, spark):
+        from pyspark.sql import functions as F
+
+        from pero_ocr_spark.operators import linedet
+
+        lines = self._lines(spark)
+        fused = linedet.render_detect_lines(lines, downsample=2).collect()
+        regions = lines.groupBy("doc_id", "region_id").agg(
+            F.min("x0").alias("rx0"), F.max("x1").alias("rx1"),
+            (F.min("y") - 15).alias("ry0"), (F.max("y") + 15).alias("ry1"),
+        )
+        cogrouped = linedet.detect_lines_projection(
+            linedet.render_page_bitmaps(lines), regions, downsample=2
+        ).collect()
+        assert self._key(fused) == self._key(cogrouped)
+
+    def test_crops(self, spark):
+        from pero_ocr_spark.operators import linedet
+
+        lines = self._lines(spark)
+        fused = linedet.render_crop_lines(lines).collect()
+        cogrouped = linedet.crop_lines(
+            linedet.render_page_bitmaps(lines), lines
+        ).collect()
+        assert self._key(fused) == self._key(cogrouped)
+
+    def test_snap(self, spark):
+        from pyspark.sql import functions as F
+
+        from pero_ocr_spark.operators import linedet
+
+        lines = self._lines(spark)
+        jit = lines.withColumn("y_jit", F.col("y") + (F.col("ord") % 5) - 2)
+        fused = linedet.render_snap_baselines(jit).collect()
+        jittered = lines.select(
+            "doc_id", "line_id", "x0", "x1",
+            (F.col("y") + (F.col("ord") % 5) - 2).alias("y"),
+        )
+        cogrouped = linedet.snap_lines_to_intensity(
+            linedet.render_page_bitmaps(lines), jittered
+        ).collect()
+        assert self._key(fused) == self._key(cogrouped)
