@@ -43,11 +43,18 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Buckets marked done in the manifest (empty frame if no manifest)."""
-    try:
-        m = spark.read.parquet(f"{out_dir}/_lineage")
-    except Exception:
+    """Buckets marked done in the manifest (empty frame if no manifest).
+
+    Existence is probed through the Hadoop FileSystem API (scheme-aware:
+    file://, hdfs://, s3a://) instead of a try/except around the read —
+    a failed read action logs an analyzer stack trace and trips any
+    registered observation listeners; a metadata probe is silent."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_lineage")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return spark.createDataFrame([], "bucket long")
+    m = spark.read.parquet(f"{out_dir}/_lineage")
     return m.filter(F.col("status") == "done").select("bucket").distinct()
 
 

@@ -24,6 +24,25 @@ def observe_spans(df: DataFrame, name: str = "spans") -> tuple[DataFrame, Observ
     return out, obs
 
 
+def observe_extraction(
+    df: DataFrame, name: str = "extraction"
+) -> tuple[DataFrame, Observation]:
+    """Exact extraction counters (counts/sums only — ``observe``
+    forbids DISTINCT aggregates, and exactness lets a SQL oracle
+    reproduce every metric bit-for-bit). The one-action analog of the
+    reference's per-run decoding summary (``page_parser.py:147-156``)."""
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+        F.sum((F.col("kind") == "media").cast("long")).alias("n_media"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.max("ord").alias("max_ord"),
+    )
+    return out, obs
+
+
 def observe_decode(df: DataFrame, name: str = "decode") -> tuple[DataFrame, Observation]:
     """Decode-stage counters: lines, mean confidence, low-confidence
     count (the 'lines examined / decoded' summary analog)."""

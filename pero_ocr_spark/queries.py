@@ -1778,3 +1778,187 @@ def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").cast("long").alias("pending"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 — decoding telemetry as df.observe metrics riding the extraction
+# action (page_parser.py:147-156, decoding_itf.py:107-136): no separate
+# count jobs; the observed values themselves are the query result.
+# ---------------------------------------------------------------------------
+
+_EXTRACTED_CTE = f"""
+{corpus.SPANS_CTE}
+, extracted AS (
+  SELECT doc_id, kind, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
+              AS BIGINT) AS ord
+  FROM spans
+  WHERE kind = 'media'
+     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
+)
+"""
+
+
+@register(
+    "telemetry_observe",
+    _EXTRACTED_CTE
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(max(ord) AS BIGINT) AS max_ord
+FROM extracted
+""",
+)
+def q_telemetry_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import telemetry
+
+    extracted = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    observed, obs = telemetry.observe_extraction(extracted)
+    # the noop sink materializes every row (the real pipeline's write);
+    # the metrics ride that action — zero extra jobs
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_spans"]),
+                int(m["n_text"]),
+                int(m["n_media"]),
+                int(m["n_chars"]),
+                int(m["max_ord"]),
+            )
+        ],
+        "n_spans long, n_text long, n_media long, n_chars long, max_ord long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — transcription sink round trip (transcription_io.py:1-10): write the
+# '{doc_id}-l{ord} {text}' file, read it back, recover every field.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transcriptions_roundtrip",
+    _EXTRACTED_CTE
+    + """
+SELECT doc_id, ord, text
+FROM extracted WHERE kind = 'text'
+""",
+)
+def q_transcriptions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pero_ocr_spark.sources import pagexml
+
+    extracted = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="pero_transcriptions_") + "/txt"
+    pagexml.write_transcriptions(extracted, path)
+    back = pagexml.read_transcriptions(spark, path)
+    key = r"^(\d+)-l(\d+)$"
+    return back.select(
+        F.regexp_extract("line_key", key, 1).cast("long").alias("doc_id"),
+        F.regexp_extract("line_key", key, 2).cast("long").alias("ord"),
+        "text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — line-crop sink round trip (parse_folder.py:189-199 JPEG-per-line /
+# :118-137 LMDB → bucket-partitioned parquet): warp the crops (geometry
+# only — pixel content is pytest-verified), sink, read back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_crop_sink",
+    _LINES_CTE
+    + """
+SELECT doc_id, line_id,
+       CAST(doc_id % 16 AS BIGINT) AS bucket,
+       CAST(32 AS BIGINT) AS crop_h,
+       CAST(floor((x1 - x0 - 1) * (32.0 / 14.0)) AS BIGINT) AS crop_w
+FROM lines WHERE ord < 60
+""",
+)
+def q_line_crop_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pero_ocr_spark.operators import layout, linedet
+    from pero_ocr_spark.sources import images
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    crops = linedet.render_crop_lines(lines, with_pixels=False).select(
+        "doc_id", "line_id", "crop_h", "crop_w"
+    )
+    out = tempfile.mkdtemp(prefix="pero_crops_")
+    images.write_line_crops(crops, out, n_buckets=16)
+    return images.read_line_crops(spark, out).select(
+        "doc_id",
+        "line_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "crop_h",
+        "crop_w",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — checkpointed lineage + resume as a driver query: crash after 5
+# buckets (injected), re-invoke, verify the resumed manifest covers every
+# bucket exactly once and its counters equal the closed-form totals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineage_resume",
+    _EXTRACTED_CTE
+    + """
+SELECT CAST(16 AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM extracted
+""",
+)
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pero_ocr_spark.operators import lineage
+
+    out = tempfile.mkdtemp(prefix="pero_lineage_")
+    try:
+        lineage.run_extraction_with_lineage(
+            spark, sf_dir, out, n_buckets=16, fail_after_buckets=5
+        )
+    except RuntimeError:
+        pass  # injected crash: 5 buckets committed, manifest persisted
+    lineage.run_extraction_with_lineage(spark, sf_dir, out, n_buckets=16)
+    manifest = spark.read.parquet(f"{out}/_lineage")
+    return manifest.agg(
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R18 — Arabic shaping + visual reorder at driver level. Contextual
+# presentation-form shaping is not SQL-expressible, so no oracle (driver
+# records the rows-only check); the kernel itself matches the executed
+# reference on all 13 of its fixtures (tests/test_arabic_lm.py).
+# ---------------------------------------------------------------------------
+
+
+@register("rtl_visual_form", None)
+def q_rtl_visual_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import rtl
+
+    latin = "abcdefghijklmnopqrstuvwxyz"
+    arabic = "ابتثجحخدذر" \
+        "زسشصضطظعغف" \
+        "قكلمنه"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.lower("text"), latin, arabic).alias("text")
+    )
+    return rtl.arabic_visual_form(docs, "text")

@@ -167,3 +167,22 @@ class TestFileNGramLM:
     def test_perplexity_prefers_training_text(self):
         m = lm.FileNGramLM({"ab": 90, "ba": 90}, list("abc") + ["␀"])
         assert m.perplexity("ababab") < m.perplexity("cccccc")
+
+
+class TestArabicSparkOp:
+    def test_visual_form_op_shapes_arabic_and_passes_latin(self, spark):
+        from pero_ocr_spark.operators import rtl
+
+        df = spark.createDataFrame(
+            [(1, "سم"), (2, "plain latin"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in rtl.arabic_visual_form(df, "text").collect()
+        }
+        helper = arabic.ArabicHelper()
+        assert out[1] == helper.string_to_visual_form("سم")
+        assert out[1] != "سم"  # actually shaped (presentation forms)
+        assert out[2] == "plain latin"
+        assert out[3] == ""
