@@ -1950,6 +1950,79 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Flagship end-to-end PageParser chain (page_parser.py:468-516 whole-page
+# flow): ONE query running layout detection over rendered page rasters
+# (fused render+detect), geometry→line attachment, batched CTC recognition
+# (synth logits + greedy decode in one Arrow stage — the net-inference
+# gate), and band reading order into an ordered span sequence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ocr_pipeline_e2e",
+    _LINES_CTE
+    + """
+, page AS (
+  -- detection sees one baseline per (region, y): split halves merge
+  SELECT DISTINCT doc_id, ord, ord % 2 AS col, y FROM lines WHERE ord < 60)
+SELECT p.doc_id,
+       'text' AS kind,
+       e.text,
+       CAST(row_number() OVER (
+         PARTITION BY p.doc_id ORDER BY p.col, p.y) - 1 AS BIGINT) AS ord
+FROM page p
+JOIN extracted e
+  ON p.doc_id = e.doc_id AND p.ord = e.ord AND e.kind = 'text'
+""",
+)
+def q_ocr_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import ctc, layout, linedet
+
+    lines = layout.lines_table(spark, sf_dir).filter(F.col("ord") < 60)
+    # 1. layout: fused render+detect — projection-profile baselines off
+    #    the page raster, one Arrow stage, no bitmap shuffle
+    detected = linedet.render_detect_lines(lines, downsample=2)
+    # 2. detected geometry → source line: the page grid is deterministic
+    #    (y = row*30+20, col = region index), so each detected baseline
+    #    addresses exactly one span ord. A real deployment recognizes
+    #    the crop pixels here; with nets gated, the ground-truth text at
+    #    that geometry feeds the logit synthesis inside the recognizer.
+    keyed = detected.select(
+        "doc_id",
+        (
+            F.round((F.col("y") - 20) / 30.0, 0).cast("long") * 2
+            + F.substring("region_id", 2, 10).cast("long")
+        ).alias("ord"),
+        "y",
+    )
+    texts = (
+        extract.extract_spans(corpus.spans_table(spark, sf_dir))
+        .filter(F.col("kind") == "text")
+        .select("doc_id", "ord", "text")
+    )
+    attached = keyed.join(texts, ["doc_id", "ord"])
+    # 3. recognition: length-packed batched synth+greedy-decode, one
+    #    mapInPandas stage (R2/R3); transcription == ground truth
+    rec = ctc.recognize_lines(
+        attached.select(
+            "doc_id",
+            F.concat(F.lit("l"), F.col("ord")).alias("line_id"),
+            "text",
+        )
+    )
+    # 4. reading order: band order (column-major — all of r0 top-down,
+    #    then r1), recovered from the line id's grid position
+    o = F.substring("line_id", 2, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(o % 2, F.floor(o / 2))
+    return rec.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.col("transcription").alias("text"),
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+    )
+
+
 @register("rtl_visual_form", None)
 def q_rtl_visual_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import rtl
