@@ -148,6 +148,34 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
+def common_passages(docs: DataFrame, n: int = 3, min_docs: int = 3) -> DataFrame:
+    """Repeated-passage statistics across the corpus — the shingle-level
+    analog of training-set substring deduplication: a passage is a word
+    n-gram occurring in ≥ ``min_docs`` DISTINCT documents; per document,
+    report its shingle count, how many are corpus-common, and the share.
+
+    Scale shape: shingles are already distinct per doc, so one
+    ``groupBy(shingle).count()`` IS the distinct-document frequency; the
+    surviving common-gram set is the frequency tail (tiny relative to
+    the corpus) and broadcasts back onto the per-doc shingle stream —
+    no self-join, no pair blowup, two key-shuffles total.
+    """
+    sh = shingles(docs, n)
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("shingle", F.lit(1).alias("is_common"))
+    )
+    flagged = sh.join(F.broadcast(common), "shingle", "left")
+    n_common = F.sum(F.coalesce(F.col("is_common"), F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        n_common.cast("long").alias("n_common"),
+        F.round(n_common / F.count("*"), 6).alias("common_frac"),
+    )
+
+
 def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, m0..m{n-1}) minhash signature — one groupBy, n_perm
     min-aggregates over (a_i * h + b_i) mod p; h = murmur3(shingle)

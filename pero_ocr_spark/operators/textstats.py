@@ -111,3 +111,40 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
         _poly_hash(F.col("text")).alias("fp_text"),
         F.array_min(gram_hashes).alias("fp_min_shingle"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    duplicate-word fraction and the share of the most frequent word
+    2-gram. Entirely within-row Catalyst — the 2-gram mode is computed
+    by a run-length scan over the SORTED gram array (aggregate with a
+    (prev, run, best) accumulator), so the operator is a narrow map
+    with ZERO shuffles at any corpus size."""
+    best = F.expr(
+        """
+        aggregate(
+          array_sort(zip_with(slice(ws, 1, size(ws) - 1),
+                              slice(ws, 2, size(ws) - 1),
+                              (a, b) -> concat(a, ' ', b))),
+          named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+                       'best', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+            'best', GREATEST(acc.best,
+                             IF(x = acc.prev, acc.run + 1,
+                                CAST(1 AS BIGINT)))),
+          acc -> acc.best)
+        """
+    )
+    return docs.select("doc_id", _words().alias("ws")).select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("ws")) / F.size("ws"), 6
+        ).alias("dup_word_frac"),
+        F.when(
+            F.size("ws") >= 2, F.round(best / (F.size("ws") - 1), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+    )

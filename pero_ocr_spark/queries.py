@@ -2035,3 +2035,104 @@ def q_rtl_visual_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.translate(F.lower("text"), latin, arabic).alias("text")
     )
     return rtl.arabic_visual_form(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline, continued: cross-corpus repeated-passage dedup,
+# Gopher-style repetition filters, deterministic stratified sampling, and
+# greedy token-budget sequence packing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_common_passages",
+    _SHINGLE_CTE
+    + """
+, common AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 3)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       round(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS common_frac
+FROM sh LEFT JOIN common c ON sh.s = c.s
+GROUP BY sh.doc_id
+""",
+)
+def q_dedup_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.common_passages(_t(spark, sf_dir, "documents"), n=3, min_docs=3)
+
+
+@register(
+    "text_repetition_stats",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM w WHERE len(ws) >= 2),
+top AS (
+  SELECT doc_id, max(c) AS best FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+SELECT w.doc_id,
+       round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+         AS dup_word_frac,
+       CASE WHEN len(ws) >= 2
+            THEN round(t.best * 1.0 / (len(ws) - 1), 6)
+            ELSE 0.0 END AS top_2gram_frac
+FROM w LEFT JOIN top t USING (doc_id)
+""",
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified",
+    """
+SELECT doc_id, source,
+       CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80 AS BIGINT)
+         AS keep_quota
+FROM documents
+WHERE doc_id % 100 < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.sample_stratified(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_pack_sequences",
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 32 AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY bucket ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+p AS (SELECT *, (cum - n_tokens) // 512 AS pack FROM c)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * 1000000 + pack AS BIGINT) AS seq_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(row_number() OVER (
+         PARTITION BY bucket, pack ORDER BY doc_id) - 1 AS BIGINT) AS seq_pos
+FROM p
+""",
+)
+def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, n_buckets=32
+    )

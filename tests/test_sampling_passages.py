@@ -1,0 +1,94 @@
+"""Unit tests for corpus sampling, sequence packing, repeated-passage
+dedup, and repetition statistics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pero_ocr_spark.operators import dedup, sampling
+from pero_ocr_spark.functions import kernels  # noqa: F401 (import sanity)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestCommonPassages:
+    def test_passage_shared_by_three_docs_is_common(self, spark):
+        shared = "lorem ipsum dolor"
+        rows = [
+            (1, f"{shared} alpha beta", "src1"),
+            (2, f"gamma {shared} delta", "src1"),
+            (3, f"{shared} epsilon zeta", "src2"),
+            (4, "totally unrelated words here now", "src3"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.common_passages(
+                _docs(spark, rows), n=3, min_docs=3
+            ).collect()
+        }
+        # docs 1-3 each contain the shared 3-gram; doc 4 has none common
+        for d in (1, 2, 3):
+            assert out[d]["n_common"] >= 1
+        assert out[4]["n_common"] == 0
+        assert out[4]["common_frac"] == 0.0
+
+    def test_short_docs_dropped_like_shingles(self, spark):
+        rows = [(1, "one two", "s")]  # < n words -> no shingles, no row
+        assert dedup.common_passages(_docs(spark, rows), n=3).count() == 0
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        rows = [
+            (1, "a a a b", "s"),  # 4 words, 2 distinct; grams: aa,aa,ab
+            (2, "x y z", "s"),  # all distinct; grams xy,yz unique
+            (3, "solo", "s"),  # 1 word: no grams
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in textstats.repetition_stats(
+                _docs(spark, rows).select("doc_id", "text")
+            ).collect()
+        }
+        assert out[1]["dup_word_frac"] == 0.5
+        assert out[1]["top_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2]["dup_word_frac"] == 0.0
+        assert out[2]["top_2gram_frac"] == 0.5
+        assert out[3]["dup_word_frac"] == 0.0
+        assert out[3]["top_2gram_frac"] == 0.0
+
+
+class TestSampling:
+    def test_stratified_rate_and_determinism(self, spark):
+        rows = [(i, "w", f"src{i % 4}") for i in range(400)]
+        df = _docs(spark, rows)
+        a = sorted(r["doc_id"] for r in sampling.sample_stratified(df).collect())
+        b = sorted(r["doc_id"] for r in sampling.sample_stratified(df).collect())
+        assert a == b  # rerun-stable, no RNG
+        # quota for srcK = 10 + 7K % 80; each stratum has ids covering
+        # all residues mod 100 exactly once per hundred
+        kept = sampling.sample_stratified(df).groupBy("source").count()
+        counts = {r["source"]: r["count"] for r in kept.collect()}
+        for k in range(4):
+            quota = 10 + (k * 7) % 80
+            assert counts.get(f"src{k}", 0) == pytest.approx(quota, abs=quota)
+
+    def test_pack_sequences_respects_budget(self, spark):
+        rows = [(i, " ".join(["w"] * (5 + i % 60)), "s") for i in range(300)]
+        df = _docs(spark, rows).select("doc_id", "text")
+        out = sampling.pack_sequences(df, budget=100, n_buckets=8).collect()
+        by_seq: dict[int, list] = {}
+        for r in out:
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        max_doc = max(r["n_tokens"] for r in out)
+        for seq, members in by_seq.items():
+            total = sum(r["n_tokens"] for r in members)
+            # start-offset rule: <= budget + one document of tokens
+            assert total <= 100 + max_doc
+            # seq_pos is a contiguous 0..k-1 ordering by doc_id
+            ordered = sorted(members, key=lambda r: r["doc_id"])
+            assert [r["seq_pos"] for r in ordered] == list(range(len(members)))
