@@ -113,6 +113,26 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# count of the most frequent word 2-gram, as a run-length scan over the
+# SORTED in-row gram array — a (prev, run, best) accumulator; expects the
+# words array aliased `ws`
+_TOP2_BEST_SQL = """
+aggregate(
+  array_sort(zip_with(slice(ws, 1, size(ws) - 1),
+                      slice(ws, 2, size(ws) - 1),
+                      (a, b) -> concat(a, ' ', b))),
+  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+               'best', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+    'best', GREATEST(acc.best,
+                     IF(x = acc.prev, acc.run + 1,
+                        CAST(1 AS BIGINT)))),
+  acc -> acc.best)
+"""
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
     duplicate-word fraction and the share of the most frequent word
@@ -120,23 +140,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     by a run-length scan over the SORTED gram array (aggregate with a
     (prev, run, best) accumulator), so the operator is a narrow map
     with ZERO shuffles at any corpus size."""
-    best = F.expr(
-        """
-        aggregate(
-          array_sort(zip_with(slice(ws, 1, size(ws) - 1),
-                              slice(ws, 2, size(ws) - 1),
-                              (a, b) -> concat(a, ' ', b))),
-          named_struct('prev', '', 'run', CAST(0 AS BIGINT),
-                       'best', CAST(0 AS BIGINT)),
-          (acc, x) -> named_struct(
-            'prev', x,
-            'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
-            'best', GREATEST(acc.best,
-                             IF(x = acc.prev, acc.run + 1,
-                                CAST(1 AS BIGINT)))),
-          acc -> acc.best)
-        """
-    )
+    best = F.expr(_TOP2_BEST_SQL)
     return docs.select("doc_id", _words().alias("ws")).select(
         "doc_id",
         F.round(
@@ -147,4 +151,62 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("top_2gram_frac"),
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_en_ratio: float = 0.04,
+    min_quality: float = 0.6,
+    max_dup_word_frac: float = 0.6,
+    max_top_2gram_frac: float = 0.3,
+) -> DataFrame:
+    """Composite C4/Gopher-style keep/drop verdict per document: exact
+    dedup (canonical = min doc_id per identical text), language gate,
+    structural quality gate, and both repetition gates — with the FIRST
+    failing rule as the drop reason.
+
+    Scale shape: every feature is computed in ONE narrow select over
+    the scan (the same expressions as language_id / quality_score /
+    repetition_stats — no joins between feature passes); the only
+    shuffle is the dedup-canonical window keyed on the text hash."""
+    from pyspark.sql import Window
+
+    w = _words()
+    d = docs.select("doc_id", "text", w.alias("ws"))
+    n = F.size("ws")
+    en_ratio = (
+        F.size(F.filter(F.col("ws"), lambda x: x.isin(*EN_STOPWORDS))) / n
+    )
+    diversity = F.size(F.array_distinct("ws")) / n
+    mean_len = (
+        F.aggregate(
+            F.col("ws"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        / n
+    )
+    len_band = F.when((n >= 50) & (n <= 5000), 1.0).otherwise(0.5)
+    word_band = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.5)
+    quality = (diversity + len_band + word_band) / 3.0
+    dup_frac = F.lit(1.0) - diversity
+    top2 = F.when(n >= 2, F.expr(_TOP2_BEST_SQL) / (n - 1)).otherwise(F.lit(0.0))
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    feat = d.select(
+        "doc_id",
+        en_ratio.alias("_en"),
+        quality.alias("_q"),
+        dup_frac.alias("_dup"),
+        top2.alias("_top2"),
+        rn.alias("_rn"),
+    )
+    reason = (
+        F.when(F.col("_rn") > 1, "exact_duplicate")
+        .when(F.col("_en") < min_en_ratio, "language")
+        .when(F.col("_q") < min_quality, "quality")
+        .when(F.col("_dup") > max_dup_word_frac, "repetition_words")
+        .when(F.col("_top2") > max_top_2gram_frac, "repetition_2gram")
+        .otherwise("ok")
+    )
+    return feat.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )

@@ -2136,3 +2136,52 @@ def q_training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.pack_sequences(
         _t(spark, sf_dir, "documents"), budget=512, n_buckets=32
     )
+
+
+@register(
+    "corpus_filter_pipeline",
+    """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+f AS (
+  SELECT doc_id, text, len(ws) AS n,
+         len(list_filter(ws, x -> x IN
+             ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) AS en_ratio,
+         len(list_distinct(ws)) * 1.0 / len(ws) AS diversity,
+         list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mean_len
+  FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM d WHERE len(ws) >= 2),
+top AS (
+  SELECT doc_id, max(c) AS best FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1),
+feat AS (
+  SELECT f.doc_id,
+         f.en_ratio,
+         (f.diversity
+          + (CASE WHEN f.n BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+          + (CASE WHEN f.mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         ) / 3.0 AS quality,
+         1.0 - f.diversity AS dup_frac,
+         CASE WHEN f.n >= 2 THEN coalesce(t.best, 0) * 1.0 / (f.n - 1)
+              ELSE 0.0 END AS top2,
+         row_number() OVER (PARTITION BY f.text ORDER BY f.doc_id) AS rn
+  FROM f LEFT JOIN top t USING (doc_id))
+SELECT doc_id,
+       CASE WHEN rn > 1 THEN 'exact_duplicate'
+            WHEN en_ratio < 0.04 THEN 'language'
+            WHEN quality < 0.6 THEN 'quality'
+            WHEN dup_frac > 0.6 THEN 'repetition_words'
+            WHEN top2 > 0.3 THEN 'repetition_2gram'
+            ELSE 'ok' END AS reason,
+       (rn = 1 AND en_ratio >= 0.04 AND quality >= 0.6
+        AND dup_frac <= 0.6 AND top2 <= 0.3) AS keep
+FROM feat
+""",
+)
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.corpus_filter(_t(spark, sf_dir, "documents"))

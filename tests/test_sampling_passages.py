@@ -92,3 +92,44 @@ class TestSampling:
             # seq_pos is a contiguous 0..k-1 ordering by doc_id
             ordered = sorted(members, key=lambda r: r["doc_id"])
             assert [r["seq_pos"] for r in ordered] == list(range(len(members)))
+
+
+class TestCorpusFilter:
+    def test_all_reasons_reachable(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        good = "the " + " ".join(f"word{i} of" for i in range(40))  # diverse, en
+        rows = [
+            (1, good, "s"),
+            (2, good, "s"),  # exact duplicate of 1 -> canonical is doc 1
+            (3, "zz yy xx ww vv", "s"),  # no stopwords -> language
+            # stopword-rich (en passes) but 2 distinct / 80 words
+            (4, " ".join(["the"] * 10 + ["spam"] * 70), "s"),
+            # diversity ~0.51 (dup gate passes) but 'the of' is ~26% of
+            # grams — above the tightened 0.2 threshold
+            (5, "the of " + " ".join(
+                f"u{i} v{i} the of" for i in range(30)), "s"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["doc_id"]: r
+            for r in textstats.corpus_filter(
+                df, max_top_2gram_frac=0.2
+            ).collect()
+        }
+        assert out[1]["reason"] == "ok" and out[1]["keep"]
+        assert out[2]["reason"] == "exact_duplicate" and not out[2]["keep"]
+        assert out[3]["reason"] == "language"
+        assert out[4]["reason"] == "repetition_words"
+        assert out[5]["reason"] == "repetition_2gram"
+
+    def test_quality_reason_on_degenerate_length(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        # 3 tokens: length band 0.5, mean_len 1.0 -> word band 0.5,
+        # diversity 1.0 -> quality = 2/3... lower diversity to drop below 0.6
+        rows = [(1, "the the a", "s")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        r = textstats.corpus_filter(df).collect()[0]
+        # diversity 2/3: quality = (0.667+0.5+0.5)/3 = 0.556 < 0.6
+        assert r["reason"] == "quality"
