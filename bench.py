@@ -63,6 +63,10 @@ def main() -> None:
         "spans": n_spans,
         "pages_per_sec": round(n_pages / extract_sec, 1),
         "spans_per_sec": round(n_spans / extract_sec, 1),
+        # round 3+: timings include query construction (eager work in
+        # sink round trips / lineage / iterative clustering was
+        # previously hidden); totals are NOT comparable to r1/r2 raw
+        "timing_includes_construction": True,
     }
     print(json.dumps(result))
     spark.stop()
