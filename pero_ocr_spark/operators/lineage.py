@@ -54,7 +54,13 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return spark.createDataFrame([], "bucket long")
-    m = spark.read.parquet(f"{out_dir}/_lineage")
+    try:
+        m = spark.read.parquet(f"{out_dir}/_lineage")
+    except Exception:
+        # dir exists but holds no committed parquet (a kill mid-append
+        # leaves only _temporary/): treat as no manifest — resume
+        # restarts from scratch rather than failing forever
+        return spark.createDataFrame([], "bucket long")
     return m.filter(F.col("status") == "done").select("bucket").distinct()
 
 

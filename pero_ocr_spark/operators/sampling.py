@@ -22,11 +22,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+HASH_P = 2_147_483_647  # 2^31 - 1; LCG modulus for the portable residue
+
+
+def _residue(mod: int) -> F.Column:
+    """Deterministic pseudo-random residue of doc_id in [0, mod) —
+    an LCG step mod a Mersenne prime, then mod ``mod``. Portable
+    integer arithmetic (reproducible in ANSI SQL, no overflow for
+    doc_id < 2^47) and DECORRELATED from any doc_id % k stratum
+    structure (the raw residue is not: e.g. source = src(doc_id % 20)
+    makes doc_id % 100 take only 5 values per stratum)."""
+    return F.pmod(F.col("doc_id") * 69_069 + 12_345, F.lit(HASH_P)) % mod
+
+
 def sample_stratified(docs: DataFrame, mod: int = 100) -> DataFrame:
     """Deterministic stratified sampling: each source stratum keeps a
     quota of ``10 + (stratum_index * 7) % 80`` docs per ``mod`` — a doc
-    survives iff its id residue falls under its stratum's quota. The
-    doc-id residue is uniform and independent of the stratum, so the
+    survives iff its hashed id residue falls under its stratum's quota.
+    The hash residue is uniform and independent of the stratum, so the
     realized rate converges to quota/mod per stratum."""
     quota = (
         F.lit(10)
@@ -34,7 +47,7 @@ def sample_stratified(docs: DataFrame, mod: int = 100) -> DataFrame:
     ).cast("long")
     return (
         docs.select("doc_id", "source", quota.alias("keep_quota"))
-        .filter(F.col("doc_id") % mod < F.col("keep_quota"))
+        .filter(_residue(mod) < F.col("keep_quota"))
     )
 
 
@@ -44,9 +57,11 @@ def pack_sequences(
     """Greedy token-budget packing: within each doc bucket, documents
     (in deterministic doc_id order) are assigned to the training
     sequence their cumulative-token START offset falls into — every
-    sequence holds ≤ budget + one document of tokens. seq_id is unique
-    across buckets; seq_pos is the document's position inside its
-    sequence."""
+    sequence holds ≤ budget + one document of tokens. seq_id encodes
+    (pack, bucket) as ``pack * n_buckets + bucket`` — collision-free
+    for unbounded pack counts (a fixed per-bucket stride would alias
+    adjacent buckets once a bucket exceeds stride·budget tokens).
+    seq_pos is the document's position inside its sequence."""
     nt = F.size(F.split(F.col("text"), " ")).cast("long")
     d = docs.select(
         "doc_id",
@@ -66,7 +81,7 @@ def pack_sequences(
     return d.select(
         "doc_id",
         "bucket",
-        (F.col("bucket") * 1_000_000 + F.col("pack")).cast("long").alias(
+        (F.col("pack") * n_buckets + F.col("bucket")).cast("long").alias(
             "seq_id"
         ),
         "n_tokens",

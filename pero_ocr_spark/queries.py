@@ -34,6 +34,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(name: str) -> str:
+    """Scratch dir for sink round-trip queries — a FIXED path per query
+    name, emptied on each invocation, so repeated bench/driver runs
+    never accumulate temp output (mkdtemp leaked one full extraction
+    per run)."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "pero_ocr_spark_scratch", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# shared oracle CTE: the extraction pipeline's output (classification +
+# boilerplate strip + reading order) — interpolated into every oracle
+# that consumes extracted spans, so the rule lives in ONE place
+_EXTRACTED_CTE = f"""
+{corpus.SPANS_CTE}
+, extracted AS (
+  SELECT doc_id, kind, text,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
+              AS BIGINT) AS ord
+  FROM spans
+  WHERE kind = 'media'
+     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
+)
+"""
+
+
 def queries() -> dict[str, QueryFn]:
     return {k: fn for k, (fn, _) in _REGISTRY.items()}
 
@@ -68,19 +99,13 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text spans themselves (strings only; float confidence is pytest-covered).
 # ---------------------------------------------------------------------------
 
-_DECODE_ORACLE = f"""
-{corpus.SPANS_CTE}
-, extracted AS (
-  SELECT doc_id, kind, text,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
-              AS BIGINT) AS ord
-  FROM spans
-  WHERE kind = 'media'
-     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
-)
+_DECODE_ORACLE = (
+    _EXTRACTED_CTE
+    + """
 SELECT doc_id, 'l' || CAST(ord AS VARCHAR) AS line_id, text AS transcription
 FROM extracted WHERE kind = 'text'
 """
+)
 
 
 @register("ctc_decode_greedy", _DECODE_ORACLE)
@@ -649,16 +674,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O3/O4 reading order) over the deterministic synthetic lines table.
 # ---------------------------------------------------------------------------
 
-_LINES_CTE = f"""
-{corpus.SPANS_CTE}
-, extracted AS (
-  SELECT doc_id, kind, text,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
-              AS BIGINT) AS ord
-  FROM spans
-  WHERE kind = 'media'
-     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
-)
+_LINES_CTE = (
+    _EXTRACTED_CTE
+    + """
 , tl AS (
   SELECT doc_id, ord, ord % 2 AS col, ord // 2 AS row, length(text) * 8 AS w
   FROM extracted WHERE kind = 'text')
@@ -680,6 +698,7 @@ _LINES_CTE = f"""
   SELECT doc_id, region_id, line_id || 'b', ord, (x0 + x1) / 2 + 5, x1, y
   FROM lbase WHERE ord % 5 = 4 AND x1 - x0 > 20)
 """
+)
 
 
 @register(
@@ -1786,28 +1805,18 @@ def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count jobs; the observed values themselves are the query result.
 # ---------------------------------------------------------------------------
 
-_EXTRACTED_CTE = f"""
-{corpus.SPANS_CTE}
-, extracted AS (
-  SELECT doc_id, kind, text,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
-              AS BIGINT) AS ord
-  FROM spans
-  WHERE kind = 'media'
-     OR (kind = 'text' AND text <> '' AND text NOT IN ('the', 'a'))
-)
-"""
-
 
 @register(
     "telemetry_observe",
     _EXTRACTED_CTE
     + """
 SELECT CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
-       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
-       CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       CAST(max(ord) AS BIGINT) AS max_ord
+       CAST(coalesce(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_text,
+       CAST(coalesce(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_media,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(max(ord), 0) AS BIGINT) AS max_ord
 FROM extracted
 """,
 )
@@ -1820,14 +1829,16 @@ def q_telemetry_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the metrics ride that action — zero extra jobs
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # sums/max observe as NULL over zero rows; the oracle yields 0/NULL
+    # for the same input — normalize to zeros
     return spark.createDataFrame(
         [
             (
-                int(m["n_spans"]),
-                int(m["n_text"]),
-                int(m["n_media"]),
-                int(m["n_chars"]),
-                int(m["max_ord"]),
+                int(m["n_spans"] or 0),
+                int(m["n_text"] or 0),
+                int(m["n_media"] or 0),
+                int(m["n_chars"] or 0),
+                int(m["max_ord"] or 0),
             )
         ],
         "n_spans long, n_text long, n_media long, n_chars long, max_ord long",
@@ -1849,12 +1860,10 @@ FROM extracted WHERE kind = 'text'
 """,
 )
 def q_transcriptions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pero_ocr_spark.sources import pagexml
 
     extracted = extract.extract_spans(corpus.spans_table(spark, sf_dir))
-    path = tempfile.mkdtemp(prefix="pero_transcriptions_") + "/txt"
+    path = _scratch("transcriptions") + "/txt"
     pagexml.write_transcriptions(extracted, path)
     back = pagexml.read_transcriptions(spark, path)
     key = r"^(\d+)-l(\d+)$"
@@ -1884,8 +1893,6 @@ FROM lines WHERE ord < 60
 """,
 )
 def q_line_crop_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pero_ocr_spark.operators import layout, linedet
     from pero_ocr_spark.sources import images
 
@@ -1893,7 +1900,7 @@ def q_line_crop_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     crops = linedet.render_crop_lines(lines, with_pixels=False).select(
         "doc_id", "line_id", "crop_h", "crop_w"
     )
-    out = tempfile.mkdtemp(prefix="pero_crops_")
+    out = _scratch("line_crops")
     images.write_line_crops(crops, out, n_buckets=16)
     return images.read_line_crops(spark, out).select(
         "doc_id",
@@ -1922,11 +1929,10 @@ FROM extracted
 """,
 )
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pero_ocr_spark.operators import lineage
 
-    out = tempfile.mkdtemp(prefix="pero_lineage_")
+    # fresh-emptied fixed path: resume must start from no manifest
+    out = _scratch("lineage")
     try:
         lineage.run_extraction_with_lineage(
             spark, sf_dir, out, n_buckets=16, fail_after_buckets=5
@@ -2099,7 +2105,8 @@ SELECT doc_id, source,
        CAST(10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80 AS BIGINT)
          AS keep_quota
 FROM documents
-WHERE doc_id % 100 < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80
+WHERE (doc_id * 69069 + 12345) % 2147483647 % 100
+      < 10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80
 """,
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2123,7 +2130,7 @@ c AS (
 p AS (SELECT *, (cum - n_tokens) // 512 AS pack FROM c)
 SELECT doc_id,
        CAST(bucket AS BIGINT) AS bucket,
-       CAST(bucket * 1000000 + pack AS BIGINT) AS seq_id,
+       CAST(pack * 32 + bucket AS BIGINT) AS seq_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(row_number() OVER (
          PARTITION BY bucket, pack ORDER BY doc_id) - 1 AS BIGINT) AS seq_pos

@@ -64,18 +64,23 @@ class TestRepetitionStats:
 
 class TestSampling:
     def test_stratified_rate_and_determinism(self, spark):
-        rows = [(i, "w", f"src{i % 4}") for i in range(400)]
+        # strata deliberately assigned by doc_id % 4 — the realized rate
+        # must STILL track the quota because the keep residue is a hash
+        # of doc_id, decorrelated from any id-modulus stratum structure
+        rows = [(i, "w", f"src{i % 4}") for i in range(4000)]
         df = _docs(spark, rows)
         a = sorted(r["doc_id"] for r in sampling.sample_stratified(df).collect())
         b = sorted(r["doc_id"] for r in sampling.sample_stratified(df).collect())
         assert a == b  # rerun-stable, no RNG
-        # quota for srcK = 10 + 7K % 80; each stratum has ids covering
-        # all residues mod 100 exactly once per hundred
         kept = sampling.sample_stratified(df).groupBy("source").count()
         counts = {r["source"]: r["count"] for r in kept.collect()}
         for k in range(4):
-            quota = 10 + (k * 7) % 80
-            assert counts.get(f"src{k}", 0) == pytest.approx(quota, abs=quota)
+            quota = 10 + (k * 7) % 80  # keep rate quota/100 of 1000 docs
+            expected = quota * 10
+            # hash residue ≈ uniform: binomial std < 16 docs; ±25% is
+            # far outside noise but tight enough to catch correlation
+            # quantization (which skews rates by multiples of 25pp here)
+            assert abs(counts.get(f"src{k}", 0) - expected) < 0.25 * expected
 
     def test_pack_sequences_respects_budget(self, spark):
         rows = [(i, " ".join(["w"] * (5 + i % 60)), "s") for i in range(300)]
