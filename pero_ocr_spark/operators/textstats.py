@@ -210,3 +210,31 @@ def corpus_filter(
     return feat.select(
         "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
+
+
+def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrubbing: mask email-shaped tokens and long digit runs
+    (the standard pre-training redaction pass). Java and RE2 agree on
+    these patterns (no lookaround, no backrefs), so the op is
+    oracle-checkable; regexp_replace runs in whole-stage codegen —
+    a narrow map, zero shuffles."""
+    emails = F.regexp_replace(
+        F.col(col), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"
+    )
+    return docs.withColumn(
+        col, F.regexp_replace(emails, "[0-9]{6,}", "<NUM>")
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: word frequencies with a deterministic top-k
+    (count desc, word asc). The 100 TB shape: explode → partial
+    count (map-side combine) → one k-row ordered result; the global
+    sort touches only the aggregated vocabulary, never the corpus."""
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )

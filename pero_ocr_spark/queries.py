@@ -2192,3 +2192,54 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.corpus_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_redact_pii",
+    """
+WITH seeded AS (
+  -- the corpus has no organic PII; inject a deterministic email and
+  -- account number per doc so the redaction has real work to do
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR)
+              || '@example.com acct ' || CAST(1000000 + doc_id AS VARCHAR)
+           AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS text
+FROM seeded
+""",
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com acct "),
+            (F.col("doc_id") + 1_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(seeded)
+
+
+@register(
+    "vocab_topk",
+    """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 100
+""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=100)

@@ -138,3 +138,26 @@ class TestCorpusFilter:
         r = textstats.corpus_filter(df).collect()[0]
         # diversity 2/3: quality = (0.667+0.5+0.5)/3 = 0.556 < 0.6
         assert r["reason"] == "quality"
+
+
+class TestRedactVocab:
+    def test_redact_multiple_pii_tokens(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a@b.com text 1234567 more c.d@e.org and 42", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = textstats.redact_pii(df).collect()[0]["text"]
+        assert out == "<EMAIL> text <NUM> more <EMAIL> and 42"
+
+    def test_vocab_topk_deterministic_ties(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "b a c a", "s"), (2, "c b d", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = textstats.vocab_topk(df, k=3).collect()
+        # counts: a=2 b=2 c=2 d=1 -> top3 by (n desc, word asc) = a, b, c
+        assert [(r["word"], r["n"]) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]
