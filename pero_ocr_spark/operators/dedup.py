@@ -158,7 +158,11 @@ def common_passages(docs: DataFrame, n: int = 3, min_docs: int = 3) -> DataFrame
     ``groupBy(shingle).count()`` IS the distinct-document frequency; the
     surviving common-gram set is the frequency tail (tiny relative to
     the corpus) and broadcasts back onto the per-doc shingle stream —
-    no self-join, no pair blowup, two key-shuffles total.
+    no self-join, no pair blowup, two key-shuffles total. The documents
+    scan runs twice (frequency branch + join-back branch) by design:
+    re-scanning parquet is cheaper than persisting the exploded
+    shingle stream (~n_words × corpus) that a single-scan plan would
+    have to materialize.
     """
     sh = shingles(docs, n)
     common = (
