@@ -112,9 +112,13 @@ def run_extraction_with_lineage(
             extract.extract_spans(corpus_spans_for(subset.drop("bucket"))),
             n_buckets,
         )
-        spans.write.mode("append").partitionBy("bucket").parquet(
-            f"{out_dir}/spans"
-        )
+        # cluster rows by bucket before the partitioned write: without
+        # this every shuffle partition emits a file into every bucket
+        # dir (tasks × buckets small files per run — a files explosion
+        # at 10^4 buckets); clustered, each bucket gets ONE file
+        spans.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{out_dir}/spans")
         elapsed = time.perf_counter() - t0
         try:
             stats = (
