@@ -354,3 +354,61 @@ def region_reading_order(
     return regions_with_bbox.groupBy("doc_id").applyInPandas(
         per_doc, schema="doc_id long, region_id string, reading_order long"
     )
+
+
+def postprocess_lines(
+    lines: DataFrame, max_extend: float = 20.0, num_points: int = 10
+) -> DataFrame:
+    """L15/L17 as one per-region Arrow stage: stretch each baseline
+    toward its region's x-bounds (capped ±max_extend,
+    ``line_postprocessing_engine`` semantics), resample the stretched
+    baseline to ``num_points`` (deg-1 fit for 2-point lines), and flag
+    the region's dominant line (widest; ties by (y, x0)) — the three
+    post-detection cleanups the reference applies before export.
+
+    One groupBy((doc, region)).applyInPandas — region bounds come from
+    the group itself, so no join; pinned partitioning keeps the stage
+    parallel under AQE coalescing."""
+    from pero_ocr_spark.functions import geometry as G2
+    from pero_ocr_spark.operators.linedet import _pin
+
+    np_pts = int(num_points)
+
+    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        rx0 = float(pdf["x0"].min())
+        rx1 = float(pdf["x1"].max())
+        baselines = [
+            np.array([[r.x0, r.y], [r.x1, r.y]])
+            for r in pdf.itertuples(index=False)
+        ]
+        heights = [(10.0, 4.0)] * len(baselines)
+        dom = G2.dominant_line(baselines, heights)
+        rows = []
+        for i, (r, bl) in enumerate(zip(pdf.itertuples(index=False), baselines)):
+            stretched = G2.stretch_baseline(bl, rx0, rx1, max_extend=max_extend)
+            res = G2.resample_baseline(stretched, num_points=np_pts)
+            rows.append(
+                {
+                    "doc_id": int(r.doc_id),
+                    "line_id": r.line_id,
+                    "sx0": float(res[0, 0]),
+                    "sx1": float(res[-1, 0]),
+                    "x_p5": round(float(res[4, 0]), 6),
+                    "y": float(res[0, 1]),
+                    "n_pts": len(res),
+                    "is_dominant": i == dom,
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "line_id", "sx0", "sx1", "x_p5", "y",
+                "n_pts", "is_dominant",
+            ],
+        )
+
+    return _pin(lines).groupBy("doc_id", "region_id").applyInPandas(
+        per_region,
+        schema="doc_id long, line_id string, sx0 double, sx1 double, "
+        "x_p5 double, y double, n_pts long, is_dominant boolean",
+    )

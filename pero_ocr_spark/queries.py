@@ -2243,3 +2243,35 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "layout_postprocess",
+    _LINES_CTE
+    + """
+, r AS (
+  SELECT doc_id, region_id, min(x0) AS rx0, max(x1) AS rx1
+  FROM lines GROUP BY doc_id, region_id)
+SELECT l.doc_id, l.line_id,
+       greatest(r.rx0, l.x0 - 20) AS sx0,
+       least(r.rx1, l.x1 + 20) AS sx1,
+       round(greatest(r.rx0, l.x0 - 20)
+             + 4 * (least(r.rx1, l.x1 + 20)
+                    - greatest(r.rx0, l.x0 - 20)) / 9.0, 6) AS x_p5,
+       l.y AS y,
+       CAST(10 AS BIGINT) AS n_pts,
+       row_number() OVER (
+         PARTITION BY l.doc_id, l.region_id
+         ORDER BY l.x1 - l.x0 DESC, l.y, l.x0) = 1 AS is_dominant
+FROM lines l
+JOIN r ON l.doc_id = r.doc_id AND l.region_id = r.region_id
+""",
+)
+def q_layout_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L15 resample + L17 stretch/dominant through the REAL numpy
+    # kernels; the oracle is the closed form for straight baselines
+    # (stretch clamps to region bounds, deg-1 resample keeps y, the
+    # 5th of 10 linspace points sits at sx0 + 4/9 of the span)
+    from pero_ocr_spark.operators import layout
+
+    return layout.postprocess_lines(layout.lines_table(spark, sf_dir))
