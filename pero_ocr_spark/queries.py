@@ -2275,3 +2275,36 @@ def q_layout_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout
 
     return layout.postprocess_lines(layout.lines_table(spark, sf_dir))
+
+
+@register(
+    "image_folder_scan",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS file_id,
+       CAST(length(text) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 64
+""",
+)
+def q_image_folder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1: spark.read.format("binaryFile") folder scan round trip over a
+    # BOUNDED deterministic sample (64 files — the operator's unit is
+    # the folder scan, not corpus scale; the corpus-scale path is the
+    # parquet/iceberg table). Payload = utf-8 text, so n_bytes equals
+    # length(text) on this ascii corpus.
+    import os
+
+    from pero_ocr_spark.sources import images
+
+    folder = _scratch("image_folder")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(os.path.join(folder, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    return images.scan_image_folder(spark, folder, glob="*.bin").select(
+        "file_id", "n_bytes"
+    )
