@@ -203,23 +203,32 @@ def merge_lines_stage(lines: DataFrame) -> DataFrame:
     )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        # array-in/array-out per group (``G.merge_lines_straight``):
-        # no per-line np.array objects, no per-row list appends — the
-        # group's Arrow columns go straight into the kernel and the
-        # per-group output arrays concatenate once per batch
+        # array-in/array-out per group (``G.merge_lines_straight``),
+        # with group boundaries found by a numpy change-point scan over
+        # the SORTED batch — pandas groupby's per-group frame slicing
+        # was ~0.7 ms × 20k groups (≈2/3 of the stage's wall time);
+        # flat-array slices are ~µs
+        dcol = pdf["doc_id"].to_numpy()
+        rcol = pdf["region_id"].to_numpy()
+        ax0 = pdf["x0"].to_numpy()
+        ax1 = pdf["x1"].to_numpy()
+        ay = pdf["y"].to_numpy()
+        aasc = pdf["asc"].to_numpy()
+        adesc = pdf["desc"].to_numpy()
+        change = np.empty(len(dcol), dtype=bool)
+        change[0] = True
+        change[1:] = (dcol[1:] != dcol[:-1]) | (rcol[1:] != rcol[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(dcol))
         docs, rids, idxs = [], [], []
         outs: list[tuple[np.ndarray, ...]] = []
-        for (doc, rid), g in pdf.groupby(["doc_id", "region_id"], sort=False):
+        for s, e in zip(starts, ends):
             m = G.merge_lines_straight(
-                g["x0"].to_numpy(),
-                g["x1"].to_numpy(),
-                g["y"].to_numpy(),
-                g["asc"].to_numpy(),
-                g["desc"].to_numpy(),
+                ax0[s:e], ax1[s:e], ay[s:e], aasc[s:e], adesc[s:e]
             )
             k = len(m[0])
-            docs.append(np.full(k, doc, dtype=np.int64))
-            rids.extend([rid] * k)
+            docs.append(np.full(k, dcol[s], dtype=np.int64))
+            rids.extend([rcol[s]] * k)
             idxs.append(np.arange(k, dtype=np.int32))
             outs.append(m)
         return pd.DataFrame(
