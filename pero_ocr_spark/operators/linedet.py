@@ -839,3 +839,45 @@ def detect_lines_projection(
         .cogroup(_pin(regions).groupBy("doc_id"))
         .applyInPandas(per_doc, schema=DETECT_DDL)
     )
+
+
+def adaptive_resolution_stage(docs: DataFrame) -> DataFrame:
+    """L4 driver surface: run the adaptive-downsample control loop
+    (``mapparse.get_maps_with_optimal_resolution``, ref
+    ``torch_parsenet.py:60-93``) per document against synthesized
+    ParseNet maps whose median detected line height is exactly the
+    doc's ``line_h / downsample`` — exercising measure → correct →
+    ±20%-rerun-gate end to end, including the sparse-detection
+    early-out. Input columns: (doc_id, line_h, sparse); output the
+    converged factor and how many net passes ran."""
+    from pero_ocr_spark.functions import mapparse
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                h = float(r.line_h)
+                npx = 64 if bool(r.sparse) else 400  # vs threshold 100
+                calls = 0
+
+                def map_fn(ds, h=h, npx=npx):
+                    nonlocal calls
+                    calls += 1
+                    m = np.zeros((24, 24, 5), dtype=np.float64)
+                    m[:, :, 2].reshape(-1)[:npx] = 1.0
+                    m[:, :, 0] = h / ds
+                    return m
+
+                _, ds = mapparse.get_maps_with_optimal_resolution(
+                    map_fn, (1000, 1000)
+                )
+                rows.append(
+                    {
+                        "doc_id": int(r.doc_id),
+                        "ds": round(float(ds), 6),
+                        "n_runs": calls,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "ds", "n_runs"])
+
+    return _pin(docs).mapInPandas(run, schema="doc_id long, ds double, n_runs long")

@@ -2308,3 +2308,43 @@ def q_image_folder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images.scan_image_folder(spark, folder, glob="*.bin").select(
         "file_id", "n_bytes"
     )
+
+
+@register(
+    "layout_adaptive_downsample",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(20 + (doc_id % 7) * 8 AS DOUBLE) AS h,
+         doc_id % 11 = 0 AS sparse
+  FROM documents),
+c AS (
+  SELECT doc_id, h, sparse,
+         h / 4.0 AS med,
+         greatest(1.0, least(8.0, h / 12.0)) AS ds2
+  FROM d)
+SELECT doc_id,
+       CASE WHEN sparse THEN 4.0
+            WHEN med >= 9 AND med <= 15 THEN 4.0
+            WHEN ds2 / 4.0 < 0.8 OR ds2 / 4.0 > 1.2 THEN round(ds2, 6)
+            ELSE 4.0 END AS ds,
+       CAST(CASE WHEN sparse THEN 1
+                 WHEN med >= 9 AND med <= 15 THEN 1
+                 WHEN ds2 / 4.0 < 0.8 OR ds2 / 4.0 > 1.2 THEN 2
+                 ELSE 1 END AS BIGINT) AS n_runs
+FROM c
+""",
+)
+def q_layout_adaptive_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4: the control loop converges per doc on synthetic heights
+    # 20..68 px — in-band heights (36-60 at ds=4) keep the first pass,
+    # out-of-band ones rerun at h/12 (clamped, ±20% gate), sparse maps
+    # (doc_id % 11 == 0) skip adaptation entirely
+    from pero_ocr_spark.operators import linedet
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (20 + (F.col("doc_id") % 7) * 8).cast("double").alias("line_h"),
+        (F.col("doc_id") % 11 == 0).alias("sparse"),
+    )
+    return linedet.adaptive_resolution_stage(d)
