@@ -647,32 +647,47 @@ def render_crop_lines(
     lines: DataFrame, target_height: int = 32, with_pixels: bool = True
 ) -> DataFrame:
     """R1 fused: render the page raster and warp every line crop in the
-    same per-doc stage. ``with_pixels=False`` skips serializing the
-    crop strips AND the ink statistic (geometry-only consumers) — the
-    strips then never exist outside the stage and no per-pixel stat is
-    computed for a column the caller drops."""
+    same per-doc stage. ``with_pixels=False`` skips the raster render
+    and the bilinear gather entirely (geometry-only consumers): the
+    crop SHAPE is fully determined by the rectification grid
+    (``cropper.get_crop_inputs``) — same math, same degenerate
+    fallback, no pixel ever touched."""
     from pero_ocr_spark.functions import cropper
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
-        # ONE float conversion per page, not one per line (the astype
-        # touches every raster pixel; the crop gather touches ~1%)
-        imgf = img.astype(np.float64)
+        if with_pixels:
+            img = _render_lines_raster(pdf, int(pdf["y"].max()) + 40)
+            # ONE float conversion per page, not one per line (the
+            # astype touches every raster pixel; the gather ~1%)
+            imgf = img.astype(np.float64)
         rows = []
         for r in pdf.itertuples(index=False):
             baseline = np.array([[r.x0, r.y], [r.x1, r.y]])
-            crop = cropper.crop_line(
-                imgf, baseline, (r.asc, r.desc), target_height,
-                out_dtype=np.uint8,
-            )
+            if with_pixels:
+                crop = cropper.crop_line(
+                    imgf, baseline, (r.asc, r.desc), target_height,
+                    out_dtype=np.uint8,
+                )
+                h_, w_ = crop.shape
+                ink = float((crop < 128).mean())
+                payload = crop.tobytes()
+            else:
+                try:
+                    grid = cropper.get_crop_inputs(
+                        baseline, (r.asc, r.desc), target_height
+                    )
+                    h_, w_ = grid.shape[0], grid.shape[1]
+                except (ValueError, IndexError, ZeroDivisionError):
+                    h_, w_ = target_height, 32  # crop_line's fallback
+                ink, payload = 0.0, b""
             rows.append(
                 {
                     "doc_id": int(r.doc_id),
                     "line_id": r.line_id,
-                    "crop_h": crop.shape[0],
-                    "crop_w": crop.shape[1],
-                    "ink_frac": float((crop < 128).mean()) if with_pixels else 0.0,
-                    "crop": crop.tobytes() if with_pixels else b"",
+                    "crop_h": h_,
+                    "crop_w": w_,
+                    "ink_frac": ink,
+                    "crop": payload,
                 }
             )
         return pd.DataFrame(
