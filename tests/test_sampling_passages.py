@@ -161,3 +161,82 @@ class TestRedactVocab:
         rows = textstats.vocab_topk(df, k=3).collect()
         # counts: a=2 b=2 c=2 d=1 -> top3 by (n desc, word asc) = a, b, c
         assert [(r["word"], r["n"]) for r in rows] == [("a", 2), ("b", 2), ("c", 2)]
+
+
+class TestRandomizedParity:
+    def test_top2_expr_matches_counter(self, spark):
+        """The sorted run-length aggregate must equal a dict count of
+        2-grams on seeded random word lists (incl. repeats/singletons)."""
+        import random
+        from collections import Counter
+
+        from pero_ocr_spark.operators import textstats
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(400):
+            n = rng.randint(1, 40)
+            words = [rng.choice("abcdef") for _ in range(n)]
+            rows.append((i, " ".join(words), "s"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            r["doc_id"]: r["top_2gram_frac"]
+            for r in textstats.repetition_stats(
+                df.select("doc_id", "text")
+            ).collect()
+        }
+        for i, text, _ in rows:
+            ws = text.split(" ")
+            if len(ws) < 2:
+                assert got[i] == 0.0
+                continue
+            grams = Counter(zip(ws, ws[1:]))
+            want = round(max(grams.values()) / (len(ws) - 1), 6)
+            assert got[i] == pytest.approx(want, abs=1e-6), i
+
+    def test_merge_batch_walk_matches_per_group_kernel(self, spark):
+        """merge_lines_stage's change-point batch walk must reproduce
+        per-group merge_lines_straight calls exactly on seeded random
+        groups (varied sizes, overlapping/disjoint segments)."""
+        import random
+
+        import numpy as np
+
+        from pero_ocr_spark.functions import geometry as G
+        from pero_ocr_spark.operators import layout
+
+        rng = random.Random(13)
+        rows = []
+        groups = {}
+        for doc in range(40):
+            for rid in ("r0", "r1"):
+                k = rng.randint(1, 12)
+                g = []
+                for j in range(k):
+                    x0 = rng.uniform(0, 400)
+                    w = rng.uniform(5, 120)
+                    y = 20.0 + rng.randint(0, 6) * 15
+                    g.append((x0, x0 + w, y, 10.0, 4.0))
+                groups[(doc, rid)] = g
+                for j, (a, b, y, asc, desc) in enumerate(g):
+                    rows.append((doc, rid, f"l{j}", a, b, y, asc, desc))
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, region_id string, line_id string, x0 double, "
+            "x1 double, y double, asc double, desc double",
+        )
+        got = {}
+        for r in layout.merge_lines_stage(df).collect():
+            got.setdefault((r["doc_id"], r["region_id"]), []).append(
+                (r["line_idx"], r["x0"], r["x1"], r["y"], r["asc"], r["desc"])
+            )
+        for key, g in groups.items():
+            arr = np.array(g)
+            m = G.merge_lines_straight(
+                arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+            )
+            want = [
+                (i, m[0][i], m[1][i], m[2][i], m[3][i], m[4][i])
+                for i in range(len(m[0]))
+            ]
+            assert sorted(got[key]) == sorted(want), key
