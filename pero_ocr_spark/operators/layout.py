@@ -368,46 +368,71 @@ def region_reading_order(
 def postprocess_lines(
     lines: DataFrame, max_extend: float = 20.0, num_points: int = 10
 ) -> DataFrame:
-    """L15/L17 as one per-region Arrow stage: stretch each baseline
-    toward its region's x-bounds (capped ±max_extend,
+    """L15/L17 in one Arrow stage: stretch each baseline toward its
+    region's x-bounds (capped ±max_extend,
     ``line_postprocessing_engine`` semantics), resample the stretched
     baseline to ``num_points`` (deg-1 fit for 2-point lines), and flag
     the region's dominant line (widest; ties by (y, x0)) — the three
     post-detection cleanups the reference applies before export.
+    ``x_p5`` is the 5th resampled point, so num_points must be ≥ 5.
 
-    One groupBy((doc, region)).applyInPandas — region bounds come from
-    the group itself, so no join; pinned partitioning keeps the stage
-    parallel under AQE coalescing."""
+    Group mechanics mirror ``merge_lines_stage``: sort by the group
+    key, walk group boundaries with a numpy change-point scan inside
+    big mapInPandas batches (carrying the split trailing group), so
+    ~20k tiny (doc, region) groups never pay a per-group Arrow round
+    trip or pandas groupby slice. Region bounds come from the group
+    itself — no join."""
     from pero_ocr_spark.functions import geometry as G2
-    from pero_ocr_spark.operators.linedet import _pin
 
     np_pts = int(num_points)
+    if np_pts < 5:
+        raise ValueError("x_p5 is the 5th resampled point; num_points must be >= 5")
+    n = int(lines.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    packed = lines.repartition(n, "doc_id", "region_id").sortWithinPartitions(
+        "doc_id", "region_id"
+    )
 
-    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
-        rx0 = float(pdf["x0"].min())
-        rx1 = float(pdf["x1"].max())
-        baselines = [
-            np.array([[r.x0, r.y], [r.x1, r.y]])
-            for r in pdf.itertuples(index=False)
-        ]
-        heights = [(10.0, 4.0)] * len(baselines)
-        dom = G2.dominant_line(baselines, heights)
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        dcol = pdf["doc_id"].to_numpy()
+        rcol = pdf["region_id"].to_numpy()
+        lid = pdf["line_id"].to_numpy()
+        ax0 = pdf["x0"].to_numpy()
+        ax1 = pdf["x1"].to_numpy()
+        ay = pdf["y"].to_numpy()
+        aasc = pdf["asc"].to_numpy()
+        adesc = pdf["desc"].to_numpy()
+        change = np.empty(len(dcol), dtype=bool)
+        change[0] = True
+        change[1:] = (dcol[1:] != dcol[:-1]) | (rcol[1:] != rcol[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(dcol))
         rows = []
-        for i, (r, bl) in enumerate(zip(pdf.itertuples(index=False), baselines)):
-            stretched = G2.stretch_baseline(bl, rx0, rx1, max_extend=max_extend)
-            res = G2.resample_baseline(stretched, num_points=np_pts)
-            rows.append(
-                {
-                    "doc_id": int(r.doc_id),
-                    "line_id": r.line_id,
-                    "sx0": float(res[0, 0]),
-                    "sx1": float(res[-1, 0]),
-                    "x_p5": round(float(res[4, 0]), 6),
-                    "y": float(res[0, 1]),
-                    "n_pts": len(res),
-                    "is_dominant": i == dom,
-                }
-            )
+        for s, e in zip(starts, ends):
+            rx0 = float(ax0[s:e].min())
+            rx1 = float(ax1[s:e].max())
+            baselines = [
+                np.array([[ax0[i], ay[i]], [ax1[i], ay[i]]])
+                for i in range(s, e)
+            ]
+            heights = [(aasc[i], adesc[i]) for i in range(s, e)]
+            dom = G2.dominant_line(baselines, heights)
+            for i, bl in enumerate(baselines):
+                stretched = G2.stretch_baseline(
+                    bl, rx0, rx1, max_extend=max_extend
+                )
+                res = G2.resample_baseline(stretched, num_points=np_pts)
+                rows.append(
+                    {
+                        "doc_id": int(dcol[s + i]),
+                        "line_id": lid[s + i],
+                        "sx0": float(res[0, 0]),
+                        "sx1": float(res[-1, 0]),
+                        "x_p5": round(float(res[4, 0]), 6),
+                        "y": float(res[0, 1]),
+                        "n_pts": len(res),
+                        "is_dominant": i == dom,
+                    }
+                )
         return pd.DataFrame(
             rows,
             columns=[
@@ -416,8 +441,26 @@ def postprocess_lines(
             ],
         )
 
-    return _pin(lines).groupBy("doc_id", "region_id").applyInPandas(
-        per_region,
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            last_rid = pdf["region_id"].iloc[-1]
+            is_last = (pdf["doc_id"] == last_doc) & (pdf["region_id"] == last_rid)
+            carry = pdf[is_last]
+            body = pdf[~is_last]
+            if len(body):
+                yield process(body)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return packed.mapInPandas(
+        run,
         schema="doc_id long, line_id string, sx0 double, sx1 double, "
         "x_p5 double, y double, n_pts long, is_dominant boolean",
     )

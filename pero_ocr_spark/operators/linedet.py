@@ -863,8 +863,10 @@ def adaptive_resolution_stage(docs: DataFrame) -> DataFrame:
     ParseNet maps whose median detected line height is exactly the
     doc's ``line_h / downsample`` — exercising measure → correct →
     ±20%-rerun-gate end to end, including the sparse-detection
-    early-out. Input columns: (doc_id, line_h, sparse); output the
-    converged factor and how many net passes ran."""
+    early-out and the gate KEEPING the first pass (clamped correction
+    within ±20% of a high starting factor). Input columns: (doc_id,
+    line_h, sparse, ds0); output the converged factor and how many net
+    passes ran."""
     from pero_ocr_spark.functions import mapparse
 
     def run(batches):
@@ -879,12 +881,14 @@ def adaptive_resolution_stage(docs: DataFrame) -> DataFrame:
                     nonlocal calls
                     calls += 1
                     m = np.zeros((24, 24, 5), dtype=np.float64)
-                    m[:, :, 2].reshape(-1)[:npx] = 1.0
+                    # .flat writes through the channel view regardless
+                    # of strides (reshape(-1) may silently copy)
+                    m[:, :, 2].flat[:npx] = 1.0
                     m[:, :, 0] = h / ds
                     return m
 
                 _, ds = mapparse.get_maps_with_optimal_resolution(
-                    map_fn, (1000, 1000)
+                    map_fn, (1000, 1000), downsample=float(r.ds0)
                 )
                 rows.append(
                     {

@@ -2281,7 +2281,7 @@ def q_layout_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_folder_scan",
     """
 SELECT CAST(doc_id AS VARCHAR) AS file_id,
-       CAST(length(text) AS BIGINT) AS n_bytes
+       CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 64
 """,
 )
@@ -2289,8 +2289,8 @@ def q_image_folder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1: spark.read.format("binaryFile") folder scan round trip over a
     # BOUNDED deterministic sample (64 files — the operator's unit is
     # the folder scan, not corpus scale; the corpus-scale path is the
-    # parquet/iceberg table). Payload = utf-8 text, so n_bytes equals
-    # length(text) on this ascii corpus.
+    # parquet/iceberg table). Payload = utf-8 text; the oracle's
+    # strlen() is DuckDB's byte length, exact for any content.
     import os
 
     from pero_ocr_spark.sources import images
@@ -2315,36 +2315,47 @@ def q_image_folder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH d AS (
   SELECT doc_id,
-         CAST(20 + (doc_id % 7) * 8 AS DOUBLE) AS h,
+         CASE WHEN doc_id % 13 = 0
+              THEN CAST(160 + (doc_id % 3) * 40 AS DOUBLE)
+              ELSE CAST(20 + (doc_id % 7) * 8 AS DOUBLE) END AS h,
+         CASE WHEN doc_id % 13 = 0 THEN 8.0 ELSE 4.0 END AS ds0,
          doc_id % 11 = 0 AS sparse
   FROM documents),
 c AS (
-  SELECT doc_id, h, sparse,
-         h / 4.0 AS med,
-         greatest(1.0, least(8.0, h / 12.0)) AS ds2
+  SELECT doc_id, h, ds0, sparse,
+         h / ds0 AS med,
+         greatest(1.0, least(8.0, ds0 * ((h / ds0) / 12.0))) AS ds2
   FROM d)
 SELECT doc_id,
-       CASE WHEN sparse THEN 4.0
-            WHEN med >= 9 AND med <= 15 THEN 4.0
-            WHEN ds2 / 4.0 < 0.8 OR ds2 / 4.0 > 1.2 THEN round(ds2, 6)
-            ELSE 4.0 END AS ds,
+       CASE WHEN sparse THEN ds0
+            WHEN med >= 9 AND med <= 15 THEN ds0
+            WHEN ds2 / ds0 < 0.8 OR ds2 / ds0 > 1.2 THEN round(ds2, 6)
+            ELSE ds0 END AS ds,
        CAST(CASE WHEN sparse THEN 1
                  WHEN med >= 9 AND med <= 15 THEN 1
-                 WHEN ds2 / 4.0 < 0.8 OR ds2 / 4.0 > 1.2 THEN 2
+                 WHEN ds2 / ds0 < 0.8 OR ds2 / ds0 > 1.2 THEN 2
                  ELSE 1 END AS BIGINT) AS n_runs
 FROM c
 """,
 )
 def q_layout_adaptive_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L4: the control loop converges per doc on synthetic heights
-    # 20..68 px — in-band heights (36-60 at ds=4) keep the first pass,
-    # out-of-band ones rerun at h/12 (clamped, ±20% gate), sparse maps
-    # (doc_id % 11 == 0) skip adaptation entirely
+    # L4: the control loop converges per doc. Heights 20..68 at ds0=4:
+    # in-band (36-60) keep the first pass, out-of-band rerun at h/12
+    # (clamped, ±20% gate). doc_id % 13 == 0 docs start at ds0=8 with
+    # h >= 160 (med > 15): the correction clamps to max_downsample=8,
+    # ratio 1.0 — the gate KEEPS the first pass, so deleting the gate
+    # flips these to 2 runs and fails the oracle. Sparse maps
+    # (doc_id % 11 == 0) skip adaptation entirely.
     from pero_ocr_spark.operators import linedet
 
+    big = F.col("doc_id") % 13 == 0
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (20 + (F.col("doc_id") % 7) * 8).cast("double").alias("line_h"),
+        F.when(big, 160 + (F.col("doc_id") % 3) * 40)
+        .otherwise(20 + (F.col("doc_id") % 7) * 8)
+        .cast("double")
+        .alias("line_h"),
         (F.col("doc_id") % 11 == 0).alias("sparse"),
+        F.when(big, 8.0).otherwise(4.0).alias("ds0"),
     )
     return linedet.adaptive_resolution_stage(d)
