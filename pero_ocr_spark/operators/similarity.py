@@ -282,3 +282,76 @@ def ivf_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     return _ranked_topk(joined, k)
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """Lloyd k-means over the embedding column — the trained coarse
+    quantizer ``ivf_topk`` documents swapping in, and the clustering
+    step of cluster-then-dedup curation (SemDeDup shape: dedup within
+    semantic clusters, not across the whole corpus).
+
+    Deterministic end to end: init centroids are the first ``k`` ids,
+    assignment ties break to the lowest cell, and per-dim means are
+    rounded to 6 decimals each iteration so the fixed point does not
+    depend on floating summation order (both the engine and any SQL
+    replica agree bit-for-bit on the rounded codebook).
+
+    Scale shape: the classic distributed k-means loop — per iteration
+    ONE broadcast of k·dim doubles, one map-side-combinable argmin
+    (``min_by`` groupBy), one per-(cell, dim) mean aggregate. The
+    corpus is never shuffled on anything but ``id_col``; centroids
+    (k·dim values) are the only driver-side state.
+    """
+    spark = emb.sparkSession
+    base = emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
+    # round init centroids ENGINE-side: SQL round is half-away-from-zero
+    # in both Spark and DuckDB, while Python's round is half-even — a
+    # float32 multiple of 1/128 lands exactly on a 5e-7 boundary and
+    # would diverge
+    inits = (
+        base.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(
+            id_col,
+            F.transform(F.col("e"), lambda x: F.round(x, 6)).alias("c"),
+        )
+        .collect()
+    )
+    cent_pairs = [(int(r[id_col]), [float(v) for v in r["c"]]) for r in inits]
+    assign = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cent_pairs, "cell long, cent array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = base.crossJoin(F.broadcast(cent_df)).withColumn("d", dist)
+        assign = scored.groupBy(id_col).agg(
+            F.min_by("cell", F.struct("d", "cell")).alias("cell")
+        )
+        means = (
+            assign.join(base, id_col)
+            .select("cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda x: x["v"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        # emptied cells simply drop out; surviving cells KEEP their ids
+        cent_pairs = sorted(
+            (int(r["cell"]), list(r["cent"])) for r in means
+        )
+    return assign.select(
+        F.col(id_col), F.col("cell").cast("long").alias("cell")
+    )

@@ -2359,3 +2359,52 @@ def q_layout_adaptive_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(big, 8.0).otherwise(4.0).alias("ds0"),
     )
     return linedet.adaptive_resolution_stage(d)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB: assign (argmin L2, ties to
+    the lowest cell) against the current codebook, then per-dim means
+    rounded to 6 — identical arithmetic to similarity.kmeans_assign."""
+    sql = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {dims})) AS i),
+c0 AS (
+  SELECT vec_id AS cell,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cent
+  FROM e WHERE vec_id < {k})"""
+    for t in range(iters):
+        sql += f""",
+a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {dims}),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i]))),
+                      c.cell) AS rn
+    FROM e CROSS JOIN c{t} c) WHERE rn = 1)"""
+        if t < iters - 1:
+            sql += f""",
+c{t + 1} AS (
+  SELECT cell, list(v ORDER BY i) AS cent FROM (
+    SELECT a.cell, d.i,
+           round(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS v
+    FROM a{t} a JOIN e USING (vec_id) CROSS JOIN dims d
+    GROUP BY a.cell, d.i) GROUP BY cell)"""
+    sql += f"""
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{iters - 1}
+"""
+    return sql
+
+
+@register("embedding_kmeans_assign", _kmeans_oracle())
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-shaped curation clustering: Lloyd k-means, deterministic
+    # init (first k ids), broadcast codebook per iteration, rounded
+    # means so both engines agree on the fixed point
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )

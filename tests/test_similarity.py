@@ -98,3 +98,22 @@ def test_ivf_probe_widening_monotone(spark, sf_dir):
     # probing ALL cells = brute force exactly
     assert agree[1] == len(brute)
     assert agree[0] <= agree[1]
+
+
+class TestKMeans:
+    def test_assignment_deterministic_and_moves_points(self, spark):
+        from pero_ocr_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = {r["vec_id"]: r["cell"]
+             for r in similarity.kmeans_assign(emb, k=4, iters=2).collect()}
+        b = {r["vec_id"]: r["cell"]
+             for r in similarity.kmeans_assign(emb, k=4, iters=2).collect()}
+        assert a == b  # deterministic
+        assert set(a.values()) <= set(range(4))
+        assert len(set(a.values())) > 1  # not everything in one cell
+        # iterating refines: 2-iter assignment differs from 1-iter for
+        # at least one point on generic data (centroids moved)
+        one = {r["vec_id"]: r["cell"]
+               for r in similarity.kmeans_assign(emb, k=4, iters=1).collect()}
+        assert any(one[v] != a[v] for v in a)
