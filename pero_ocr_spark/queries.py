@@ -2361,10 +2361,11 @@ def q_layout_adaptive_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linedet.adaptive_resolution_stage(d)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dims: int = 64) -> str:
-    """Unrolled Lloyd iterations in DuckDB: assign (argmin L2, ties to
-    the lowest cell) against the current codebook, then per-dim means
-    rounded to 6 — identical arithmetic to similarity.kmeans_assign."""
+def _kmeans_cte(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB ending at the assignment CTE
+    ``a{iters-1}``: assign (argmin L2, ties to the lowest cell) against
+    the current codebook, then per-dim means rounded to 6 — identical
+    arithmetic to similarity.kmeans_assign."""
     sql = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 dims AS (SELECT unnest(generate_series(1, {dims})) AS i),
@@ -2392,13 +2393,13 @@ c{t + 1} AS (
            round(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS v
     FROM a{t} a JOIN e USING (vec_id) CROSS JOIN dims d
     GROUP BY a.cell, d.i) GROUP BY cell)"""
-    sql += f"""
-SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{iters - 1}
-"""
     return sql
 
 
-@register("embedding_kmeans_assign", _kmeans_oracle())
+@register(
+    "embedding_kmeans_assign",
+    _kmeans_cte() + "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2\n",
+)
 def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup-shaped curation clustering: Lloyd k-means, deterministic
     # init (first k ids), broadcast codebook per iteration, rounded
@@ -2407,4 +2408,92 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return similarity.kmeans_assign(
         _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
+@register(
+    "semantic_dedup",
+    _kmeans_cte()
+    + """
+, ne AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM e),
+va AS (SELECT a2.cell, ne.vec_id, ne.emb, ne.nrm
+       FROM a2 JOIN ne USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM va a JOIN va b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.35),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+r AS (
+  WITH RECURSIVE reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT reach.x, e2.y FROM reach JOIN edges e2 ON reach.y = e2.x)
+  SELECT * FROM reach),
+comp AS (SELECT x AS vec_id, least(x, min(y)) AS canonical FROM r GROUP BY x)
+SELECT a2.vec_id,
+       CAST(a2.cell AS BIGINT) AS cell,
+       CAST(coalesce(c.canonical, a2.vec_id) AS BIGINT) AS canonical,
+       coalesce(c.canonical, a2.vec_id) = a2.vec_id AS keep
+FROM a2 LEFT JOIN comp c USING (vec_id)
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023 shape): cluster the embedding space,
+    # find near-duplicates WITHIN each semantic cell only (the cells
+    # bound the quadratic — the corpus-wide all-pairs never exists),
+    # keep the minimum id of each within-cell duplicate component
+    from pero_ocr_spark.operators import dedup, similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, k=8, iters=3)
+    v = (
+        similarity.with_norm(emb)
+        .join(assign, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    a = v.select(
+        "cell",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        "cell",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    from pero_ocr_spark.operators.similarity import _dot, _to_double
+
+    cos = F.round(
+        _dot(_to_double(F.col("ea")), _to_double(F.col("eb")))
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cos >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    comp = dedup.duplicate_clusters(pairs)
+    return (
+        assign.join(comp, assign.vec_id == comp.doc_id, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+            .cast("long")
+            .alias("canonical"),
+            (
+                F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
     )
