@@ -245,7 +245,7 @@ def minhash_lsh_pairs(
     return _verify_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over the near-dup pair graph → canonical
     cluster ids (the dedup end-step: every document maps to the
     minimum doc_id of its duplicate component).
@@ -295,6 +295,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        # propagation needs O(component diameter) rounds; returning
+        # unconverged labels would SILENTLY split a component — fail
+        # loudly instead (raise max_iter for pathological chain graphs)
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

@@ -50,6 +50,12 @@ def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
     return emb.withColumn("nrm", F.sqrt(_dot(d, d)))
 
 
+def cosine_col(ea: Column, na: Column, eb: Column, nb: Column, decimals: int = 6) -> Column:
+    """The rounded cosine every oracle mirrors (round(dot/(|a||b|), 6))
+    — defined once so precision changes propagate to all consumers."""
+    return F.round(_dot(_to_double(ea), _to_double(eb)) / (na * nb), decimals)
+
+
 def plane_weight_sql(i: str, j: int) -> str:
     """Deterministic ±1 hyperplane weight for dim i (1-based), plane j —
     plain arithmetic, identical in Spark SQL and DuckDB."""
@@ -304,6 +310,8 @@ def kmeans_assign(
     corpus is never shuffled on anything but ``id_col``; centroids
     (k·dim values) are the only driver-side state.
     """
+    if iters < 1:
+        raise ValueError("kmeans_assign needs iters >= 1")
     spark = emb.sparkSession
     base = emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
     # round init centroids ENGINE-side: SQL round is half-away-from-zero
@@ -321,7 +329,7 @@ def kmeans_assign(
     )
     cent_pairs = [(int(r[id_col]), [float(v) for v in r["c"]]) for r in inits]
     assign = None
-    for _ in range(iters):
+    for it in range(iters):
         cent_df = spark.createDataFrame(
             cent_pairs, "cell long, cent array<double>"
         )
@@ -334,6 +342,8 @@ def kmeans_assign(
         assign = scored.groupBy(id_col).agg(
             F.min_by("cell", F.struct("d", "cell")).alias("cell")
         )
+        if it == iters - 1:
+            break  # the final assignment IS the result; no means needed
         means = (
             assign.join(base, id_col)
             .select("cell", F.posexplode("e").alias("pos", "val"))

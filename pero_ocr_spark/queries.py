@@ -2451,7 +2451,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import dedup, similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_assign(emb, k=8, iters=3)
+    # localCheckpoint: the assignment subtree (crossJoin + min_by over
+    # the corpus) fans out into both pair sides, the CC iteration, and
+    # the final join — materialize it once
+    assign = similarity.kmeans_assign(emb, k=8, iters=3).localCheckpoint()
     v = (
         similarity.with_norm(emb)
         .join(assign, "vec_id")
@@ -2469,12 +2472,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    from pero_ocr_spark.operators.similarity import _dot, _to_double
-
-    cos = F.round(
-        _dot(_to_double(F.col("ea")), _to_double(F.col("eb")))
-        / (F.col("na") * F.col("nb")),
-        6,
+    cos = similarity.cosine_col(
+        F.col("ea"), F.col("na"), F.col("eb"), F.col("nb")
     )
     pairs = (
         a.join(b, "cell")

@@ -101,10 +101,10 @@ def test_ivf_probe_widening_monotone(spark, sf_dir):
 
 
 class TestKMeans:
-    def test_assignment_deterministic_and_moves_points(self, spark):
+    def test_assignment_deterministic_and_moves_points(self, spark, sf_dir):
         from pero_ocr_spark.operators import similarity
 
-        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         a = {r["vec_id"]: r["cell"]
              for r in similarity.kmeans_assign(emb, k=4, iters=2).collect()}
         b = {r["vec_id"]: r["cell"]
