@@ -87,3 +87,46 @@ def pack_sequences(
         "n_tokens",
         (F.row_number().over(wp) - 1).cast("long").alias("seq_pos"),
     )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+    mod: int = 10_000,
+) -> DataFrame:
+    """Temperature-based data mixing (the multilingual/multi-source
+    pretraining reweighting: sampling weight ∝ n_s^alpha, alpha < 1
+    up-weights small sources): the corpus keeps ~target_frac of its
+    rows, allocated across sources by the tempered weights, applied
+    through the same deterministic hash residue as sample_stratified.
+
+    Scale: source counts are a tiny aggregate broadcast back onto the
+    scan; the keep decision is a per-row integer comparison."""
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum(F.pow("n", alpha)).alias("wtot"), F.sum("n").alias("ntot")
+    )
+    quota = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(
+                mod
+                * F.least(
+                    F.lit(1.0),
+                    target_frac
+                    * F.col("ntot")
+                    * (F.pow("n", alpha) / F.col("wtot"))
+                    / F.col("n"),
+                )
+            )
+            .cast("long")
+            .alias("keep_threshold"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(quota), "source")
+        .filter(_residue(mod) < F.col("keep_threshold"))
+        .select("doc_id", "source", "keep_threshold")
+    )

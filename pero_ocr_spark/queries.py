@@ -2496,3 +2496,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "sample_temperature",
+    """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(pow(n, 0.5)) AS wtot, sum(n) AS ntot FROM c),
+q AS (
+  SELECT source,
+         CAST(floor(10000 * least(1.0,
+              0.3 * t.ntot * (pow(c.n, 0.5) / t.wtot) / c.n)) AS BIGINT)
+           AS keep_threshold
+  FROM c CROSS JOIN t)
+SELECT d.doc_id, d.source, q.keep_threshold
+FROM documents d JOIN q USING (source)
+WHERE (d.doc_id * 69069 + 12345) % 2147483647 % 10000 < q.keep_threshold
+""",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alpha=0.5 tempering: small sources keep a larger share than their
+    # corpus proportion, large sources a smaller one — total ~30%
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.sample_temperature(_t(spark, sf_dir, "documents"))
