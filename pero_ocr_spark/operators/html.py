@@ -1,0 +1,286 @@
+"""HTML main-content extraction — boilerplate strip via DOM heuristics.
+
+The north-star pipeline ingests interleaved web documents; before any
+layout/recognition work the text side needs main-content extraction:
+parse the HTML, segment the DOM into text blocks, classify each block
+as content vs boilerplate from structural features (link density, word
+count), and keep only the content blocks. This implements the
+jusText / Boilerpipe family of heuristics Spark-first:
+
+  * ``parse_html_blocks`` — the only Python stage: a stdlib
+    ``html.parser`` DOM walk inside ``mapInPandas`` (Arrow batches; no
+    per-row Python UDF). Emits one row per text block with structural
+    features; the raw HTML never leaves the stage.
+  * ``classify_blocks`` — pure Catalyst: context-free rules (link
+    density > 1/3 → bad; ≥ ``min_words`` → good) followed by a
+    jusText-style context-sensitive pass where undecided short blocks
+    inherit "good" from the nearest decided neighbour, via two window
+    scans (``last``/``first`` with ``ignorenulls``).
+  * ``extract_main_content`` — parse → classify → re-assemble the kept
+    blocks per document (one ordered-collect aggregation).
+  * ``synthesize_html`` — deterministic page builder (pure column
+    expressions) used by tests/benchmarks to round-trip the parser
+    against a closed-form oracle, per the no-external-data rule.
+
+Scale shape: parsing is a narrow per-row map — no shuffle, pushed
+column pruning (only doc_id + html reach Python). Classification adds
+one hash shuffle on doc_id shared by both window scans and the final
+aggregation (Catalyst reuses the single Exchange). At 10^12 docs the
+whole extractor is one shuffle wide; skew is bounded because block
+counts per doc are bounded by page size.
+
+Reference analog: pero-ocr removes page furniture via layout-position
+filtering (regions outside the text area are dropped before
+recognition); for web corpora the same role is played by DOM
+heuristics (jusText: Pomikálek 2011, Boilerpipe: Kohlschütter 2010).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Block-level elements: opening or closing one terminates the current
+# text block (jusText's paragraph segmentation rule). Inline elements
+# (a, span, b, i, em, br, ...) do not break blocks.
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd td th tr table thead tbody "
+    "nav aside footer header section article main blockquote pre form "
+    "figure figcaption body".split()
+)
+# Subtrees whose text is never content.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "head", "template"})
+
+MIN_WORDS = 8  # context-free "good" threshold (jusText length_low analog)
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+BLOCK_SCHEMA = (
+    "doc_id long, block_id int, tag string, text string, "
+    "n_words int, n_link_words int"
+)
+
+
+class _BlockParser(HTMLParser):
+    """Streaming DOM walk → list of (tag, n_words, n_link_words, text).
+
+    Tolerates malformed markup the way browsers do: unclosed tags
+    simply never pop, stray end tags are ignored, entities are decoded
+    (``convert_charrefs``). A block is a maximal run of text not
+    interrupted by a block-level tag; its ``tag`` is the innermost
+    enclosing block element.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int, str]] = []
+        self._tag_stack: list[str] = []
+        self._cur_tag = "body"
+        self._words: list[str] = []
+        self._link_words = 0
+        self._link_depth = 0
+        self._skip_depth = 0
+
+    def _flush(self) -> None:
+        if self._words:
+            self.blocks.append(
+                (self._cur_tag, len(self._words), self._link_words,
+                 " ".join(self._words))
+            )
+        self._words = []
+        self._link_words = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            self._link_depth += 1
+        elif tag in BLOCK_TAGS:
+            self._flush()
+            self._tag_stack.append(self._cur_tag)
+            self._cur_tag = tag
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        elif tag in BLOCK_TAGS:
+            self._flush()
+            if self._tag_stack:
+                self._cur_tag = self._tag_stack.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        words = data.split()
+        if not words:
+            return
+        self._words.extend(words)
+        if self._link_depth:
+            self._link_words += len(words)
+
+    def finish(self) -> list[tuple[str, int, int, str]]:
+        self.close()
+        self._flush()
+        return self.blocks
+
+
+def parse_html_blocks(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → one row per DOM text block with features.
+
+    Narrow ``mapInPandas`` stage: column pruning pushes to the scan
+    (only doc_id + html cross the Arrow boundary), no shuffle.
+    """
+    pruned = df.select("doc_id", html_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "block_id": [], "tag": [], "text": [],
+                "n_words": [], "n_link_words": [],
+            }
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                parser = _BlockParser()
+                parser.feed(html)
+                for i, (tag, nw, lw, text) in enumerate(parser.finish()):
+                    out["doc_id"].append(doc_id)
+                    out["block_id"].append(i)
+                    out["tag"].append(tag)
+                    out["text"].append(text)
+                    out["n_words"].append(nw)
+                    out["n_link_words"].append(lw)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(gen, schema=BLOCK_SCHEMA)
+
+
+def classify_blocks(
+    blocks: DataFrame,
+    min_words: int = MIN_WORDS,
+    max_link_density: float = MAX_LINK_DENSITY,
+) -> DataFrame:
+    """Add a ``cls`` column ('good' | 'bad') to a parsed-blocks frame.
+
+    Context-free pass (pure column expressions):
+      * link_density > max_link_density            → bad   (decided)
+      * n_words ≥ min_words                        → good  (decided)
+      * otherwise                                  → undecided
+    Context-sensitive pass (two window scans over block order): an
+    undecided block is good iff the nearest decided block before OR
+    after it is good — jusText's neighbour-inheritance rule with the
+    near-good tier collapsed.
+    """
+    density = F.col("n_link_words") / F.greatest(F.col("n_words"), F.lit(1))
+    decided = (
+        F.when(density > max_link_density, F.lit("bad"))
+        .when(F.col("n_words") >= min_words, F.lit("good"))
+    )  # null = undecided
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    prev_final = F.last(F.col("_cls0"), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_final = F.first(F.col("_cls0"), ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        blocks.withColumn("_cls0", decided)
+        .withColumn(
+            "cls",
+            F.coalesce(
+                F.col("_cls0"),
+                F.when(
+                    (prev_final == "good") | (next_final == "good"),
+                    F.lit("good"),
+                ).otherwise(F.lit("bad")),
+            ),
+        )
+        .drop("_cls0")
+    )
+
+
+def extract_main_content(
+    pages: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """(doc_id, html) → (doc_id, main_text, n_kept, n_blocks).
+
+    End-to-end boilerplate strip: parse → classify → keep good blocks
+    → re-assemble in block order. One shuffle (doc_id) shared by the
+    windows and the aggregation. Documents whose every block is
+    boilerplate yield main_text = '' (kept, so the output is a total
+    function of the input — filtering is the caller's policy).
+    """
+    cls = classify_blocks(parse_html_blocks(pages, html_col))
+    kept = F.when(
+        F.col("cls") == "good", F.struct("block_id", "text")
+    )  # null for dropped blocks → collect_list skips them
+    return cls.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["text"]
+            ),
+            " ",
+        ).alias("main_text"),
+        F.sum((F.col("cls") == "good").cast("long")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+
+
+# ------------------------------------------------------------------
+# Deterministic page synthesis (test/bench substrate — pure Catalyst)
+# ------------------------------------------------------------------
+
+PARA_WORDS = 12  # words per synthesized paragraph
+_NAV = '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/c">contact</a></nav>'
+_ASIDE = '<aside><a href="/ad1">buy now</a> <a href="/ad2">subscribe today</a></aside>'
+_FOOTER = '<footer><a href="/tos">terms</a> <a href="/priv">privacy</a> copyright</footer>'
+_HEAD = "<html><head><title>meta title</title><script>var x=1;</script></head><body>"
+_TAIL = "</body></html>"
+
+
+def synthesize_html(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source) → (doc_id, html).
+
+    Deterministic web-page shell around the document text: constant
+    nav/aside/footer furniture (link-dense → boilerplate), an h1 from
+    ``source``, and the text chunked into 12-word ``<p>`` blocks —
+    every third full paragraph carries an inline ``<a>`` around its
+    first two words (link density 1/6, still content). Pure column
+    expressions, so a closed-form SQL oracle can predict the
+    extractor's output exactly.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / PARA_WORDS).cast("int"))
+
+    def para(i):
+        chunk = F.slice(words, i * PARA_WORDS + 1, PARA_WORDS)
+        linked = (i % 3 == F.lit(2)) & (F.size(chunk) == PARA_WORDS)
+        return F.when(
+            linked,
+            F.concat(
+                F.lit('<p><a href="#r">'),
+                F.array_join(F.slice(chunk, 1, 2), " "),
+                F.lit("</a> "),
+                F.array_join(F.slice(chunk, 3, PARA_WORDS - 2), " "),
+                F.lit("</p>"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+        )
+
+    html = F.concat(
+        F.lit(_HEAD),
+        F.lit(_NAV),
+        F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
+        F.lit('<div class="content">'),
+        F.array_join(F.transform(idx, para), ""),
+        F.lit("</div>"),
+        F.lit(_ASIDE),
+        F.lit(_FOOTER),
+        F.lit(_TAIL),
+    )
+    return docs.select("doc_id", html.alias("html"))

@@ -2520,3 +2520,96 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import sampling
 
     return sampling.sample_temperature(_t(spark, sf_dir, "documents"))
+
+
+# shared paragraph model for the HTML round-trip oracles: the page
+# synthesizer (operators/html.synthesize_html) chunks text into
+# 12-word <p> blocks behind constant nav/h1/aside/footer furniture;
+# these CTEs predict the parser+classifier output in closed form
+_HTML_PARA_CTE = """
+w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+par0 AS (
+  SELECT doc_id, ws,
+         CAST(unnest(generate_series(0, (len(ws)-1)//12)) AS INT) AS pi
+  FROM w
+),
+par AS (
+  SELECT doc_id, pi,
+         CAST(len(list_slice(ws, pi*12+1, pi*12+12)) AS INT) AS nw,
+         array_to_string(list_slice(ws, pi*12+1, pi*12+12), ' ') AS ptext
+  FROM par0
+),
+k AS (
+  SELECT doc_id, CAST(max(pi)+1 AS INT) AS np,
+         max(CASE WHEN pi = 0 THEN nw END) AS nw0
+  FROM par GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "html_block_classify",
+    f"""
+WITH {_HTML_PARA_CTE}
+SELECT w.doc_id, 0 AS block_id, 'nav' AS tag,
+       'home about contact' AS text, 3 AS n_words, 3 AS n_link_words,
+       'bad' AS cls
+FROM w
+UNION ALL
+SELECT k.doc_id, 1, 'h1', d.source || ' report', 2, 0,
+       CASE WHEN k.nw0 >= 8 THEN 'good' ELSE 'bad' END
+FROM k JOIN documents d USING (doc_id)
+UNION ALL
+SELECT doc_id, 2 + pi, 'p', ptext, nw,
+       CASE WHEN pi % 3 = 2 AND nw = 12 THEN 2 ELSE 0 END,
+       CASE WHEN nw >= 8 OR pi > 0 THEN 'good' ELSE 'bad' END
+FROM par
+UNION ALL
+SELECT doc_id, 2 + np, 'aside', 'buy now subscribe today', 4, 4, 'bad' FROM k
+UNION ALL
+SELECT doc_id, 3 + np, 'footer', 'terms privacy copyright', 3, 2, 'bad' FROM k
+""",
+)
+def q_html_block_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-rule DOM heuristics: synthesized page -> stdlib-HTMLParser
+    # block segmentation (mapInPandas) -> link-density/word-count
+    # classification with jusText neighbour inheritance (windows)
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    return H.classify_blocks(H.parse_html_blocks(H.synthesize_html(docs)))
+
+
+@register(
+    "html_main_content",
+    f"""
+WITH {_HTML_PARA_CTE},
+kept AS (
+  SELECT doc_id, pi, ptext FROM par WHERE nw >= 8 OR pi > 0
+),
+agg AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pi) AS ptexts,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN k.nw0 >= 8 THEN d.source || ' report ' || agg.ptexts
+            ELSE coalesce(agg.ptexts, '') END AS main_text,
+       CAST(CASE WHEN k.nw0 >= 8 THEN 1 ELSE 0 END
+            + coalesce(agg.nk, 0) AS BIGINT) AS n_kept,
+       CAST(4 + k.np AS BIGINT) AS n_blocks
+FROM documents d
+JOIN k USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+""",
+)
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end boilerplate strip: parse -> classify -> keep good
+    # blocks -> reassemble per doc (single doc_id shuffle end to end)
+    from pero_ocr_spark.operators import html as H
+
+    return H.extract_main_content(
+        H.synthesize_html(_t(spark, sf_dir, "documents"))
+    )

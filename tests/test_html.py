@@ -1,0 +1,153 @@
+"""HTML main-content extraction (DOM-heuristic boilerplate strip)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pero_ocr_spark.operators import html as H
+
+
+# ------------------------------------------------------------------ parser
+
+def _parse(markup: str):
+    p = H._BlockParser()
+    p.feed(markup)
+    return p.finish()
+
+
+def test_parser_segments_blocks_and_counts_links():
+    blocks = _parse(
+        '<html><body><nav><a href="/">home</a> <a href="/x">about</a></nav>'
+        "<p>one two three</p><p>four <a>five six</a> seven</p></body></html>"
+    )
+    assert blocks == [
+        ("nav", 2, 2, "home about"),
+        ("p", 3, 0, "one two three"),
+        ("p", 4, 2, "four five six seven"),
+    ]
+
+
+def test_parser_skips_script_style_head_and_decodes_entities():
+    blocks = _parse(
+        "<head><title>t</title><style>p{}</style></head>"
+        "<body><script>var x = 'w';</script><p>a &amp; b</p></body>"
+    )
+    assert blocks == [("p", 3, 0, "a & b")]
+
+
+def test_parser_tolerates_malformed_markup():
+    # unclosed <p>, stray </em>, nested divs, self-closing br
+    blocks = _parse(
+        "<div><div><p>alpha beta</em><br/>gamma<div>delta</div></div>"
+    )
+    assert blocks == [("p", 3, 0, "alpha beta gamma"), ("div", 1, 0, "delta")]
+
+
+def test_parser_text_outside_any_block_tag_lands_in_body():
+    assert _parse("loose words <p>in p</p> tail") == [
+        ("body", 2, 0, "loose words"),
+        ("p", 2, 0, "in p"),
+        ("body", 1, 0, "tail"),
+    ]
+
+
+def test_parser_link_spanning_blocks_does_not_leak_counts():
+    # <a> left open across a block boundary: both blocks see link words
+    blocks = _parse("<p><a>one two</p><p>three</a> four</p>")
+    assert blocks == [("p", 2, 2, "one two"), ("p", 2, 1, "three four")]
+
+
+# ---------------------------------------------------------------- classify
+
+def _classify(spark, rows):
+    df = spark.createDataFrame(
+        [(0, i, t, txt, nw, lw) for i, (t, txt, nw, lw) in enumerate(rows)],
+        "doc_id long, block_id int, tag string, text string, "
+        "n_words int, n_link_words int",
+    )
+    got = H.classify_blocks(df).orderBy("block_id").collect()
+    return [r.cls for r in got]
+
+
+def test_classify_context_free_rules(spark):
+    cls = _classify(
+        spark,
+        [
+            ("nav", "home about contact", 3, 3),   # density 1 -> bad
+            ("p", "w " * 8, 8, 0),                 # >= MIN_WORDS -> good
+            ("p", "w " * 9, 9, 3),                 # density 1/3 -> not bad
+        ],
+    )
+    assert cls == ["bad", "good", "good"]
+
+
+def test_classify_short_blocks_inherit_from_nearest_decided(spark):
+    cls = _classify(
+        spark,
+        [
+            ("nav", "a b c", 3, 3),    # bad (decided)
+            ("h1", "title here", 2, 0),  # short: next decided is good -> good
+            ("p", "w " * 12, 12, 0),   # good (decided)
+            ("p", "tail", 2, 0),       # short: prev decided good -> good
+            ("aside", "x y z", 3, 3),  # bad
+            ("li", "stray", 1, 0),     # short: nearest decided both bad -> bad
+        ],
+    )
+    assert cls == ["bad", "good", "good", "good", "bad", "bad"]
+
+
+def test_classify_all_short_doc_is_all_bad(spark):
+    cls = _classify(spark, [("h1", "t", 1, 0), ("p", "a b", 2, 0)])
+    assert cls == ["bad", "bad"]
+
+
+# -------------------------------------------------------------- end-to-end
+
+def _expected_main(text: str, source: str) -> tuple[str, int]:
+    """Closed-form model of extract_main_content over synthesize_html."""
+    words = text.split(" ")
+    paras = [
+        words[i : i + H.PARA_WORDS]
+        for i in range(0, len(words), H.PARA_WORDS)
+    ]
+    kept = []
+    if len(paras[0]) >= H.MIN_WORDS:  # h1 inherits from first paragraph
+        kept.append(f"{source} report")
+    for i, p in enumerate(paras):
+        if len(p) >= H.MIN_WORDS or i > 0:
+            kept.append(" ".join(p))
+    return " ".join(kept), len(kept)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # 10
+        " ".join(f"w{i}" for i in range(30)),  # 2.5 paragraphs, one linked
+        "tiny doc",  # all-short -> everything stripped
+        " ".join(f"w{i}" for i in range(24)),  # exactly 2 full paragraphs
+    ],
+)
+def test_roundtrip_matches_closed_form(spark, text):
+    docs = spark.createDataFrame(
+        [(7, text, "src3")], "doc_id long, text string, source string"
+    )
+    got = H.extract_main_content(H.synthesize_html(docs)).collect()[0]
+    want_text, want_kept = _expected_main(text, "src3")
+    assert got.main_text == want_text
+    assert got.n_kept == want_kept
+    # nav + h1 + paragraphs + aside + footer all surfaced as blocks
+    n_paras = (len(text.split(" ")) + H.PARA_WORDS - 1) // H.PARA_WORDS
+    assert got.n_blocks == 4 + n_paras
+
+
+def test_extract_on_corpus_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = H.extract_main_content(H.synthesize_html(docs))
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        # furniture words never survive into main text
+        assert "copyright" not in r.main_text
+        assert "subscribe" not in r.main_text
+        assert r.n_kept <= r.n_blocks
