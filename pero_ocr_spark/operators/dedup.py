@@ -394,3 +394,50 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------- decontamination
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word n-gram shingles that also occur anywhere in a
+    held-out benchmark set, plus a ``contaminated`` flag at
+    ``threshold`` — the n-gram-collision check run on pretraining
+    corpora before training (13-gram windows in production; ``n`` is a
+    parameter so the small-vocabulary test corpus stays meaningful).
+
+    Plan shape for 10^12 docs: the benchmark side is tiny relative to
+    the corpus, so its distinct shingle set is BROADCAST; every
+    training doc's shingles stream through a broadcast hash join (the
+    corpus side never shuffles) into one map-side-combinable hash agg
+    on doc_id. At scale, join on ``xxhash64(shingle)`` instead of the
+    string — identical plan, 8-byte keys (kept as strings here so the
+    DuckDB oracle can mirror the arithmetic exactly). Docs with fewer
+    than ``n`` words carry no shingles and are trivially clean; they
+    are omitted (same rule as :func:`shingles`).
+    """
+    t_sh = shingles(train, n)
+    b_sh = (
+        shingles(bench, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = t_sh.join(F.broadcast(b_sh), "shingle", "left")
+    frac = F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        .withColumn("overlap_frac", frac)
+        .withColumn("contaminated", F.col("overlap_frac") >= threshold)
+    )

@@ -238,3 +238,77 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------- LM-based filtering
+
+def char_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram) — one row per character position (not
+    distinct: the LM needs multiplicities). Docs shorter than two
+    characters carry no bigram and drop out."""
+    chars = F.split(F.col("text"), "")
+    idx = F.sequence(F.lit(1), F.size(chars) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(chars, i), F.element_at(chars, i + 1)
+        ),
+    )
+    return (
+        docs.filter(F.length("text") >= 2)
+        .select("doc_id", F.explode(grams).alias("bigram"))
+    )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame, keep_threshold: float = -4.3
+) -> DataFrame:
+    """Per-doc mean log-probability under a Laplace-smoothed character
+    bigram LM trained on the corpus itself, plus a ``keep`` flag —
+    the CCNet/Gopher-style "perplexity filter" that drops documents
+    the corpus LM finds implausible (here self-trained; in production
+    the count tables come from a trusted reference corpus and are just
+    a parquet broadcast instead of the two tiny aggs).
+
+    score(d) = mean_i ln( (c2(x_i x_{i+1}) + 1) / (c1(x_i) + V) )
+
+    where c2/c1 are corpus bigram/context counts and V the corpus
+    character-vocabulary size. Plan shape: one pass builds the bigram
+    stream (narrow explode), two tiny aggregations produce c2 (≤ V²
+    rows) and V; both BROADCAST back onto the stream, so the only
+    corpus-wide shuffle is the final doc_id hash agg (map-side
+    combinable). Complements functions/lm.py's driver-side bigram
+    table (used by the CTC decoder) with a fully-relational variant
+    that never collects counts to the driver.
+    """
+    g = char_bigrams(docs)
+    c2 = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy(F.substring("bigram", 1, 1).alias("ctx")).agg(
+        F.sum("n2").alias("n1")
+    )
+    v = docs.select(
+        F.explode(F.split(F.col("text"), "")).alias("c")
+    ).agg(F.countDistinct("c").alias("vsize"))
+    scored = (
+        g.join(F.broadcast(c2), "bigram")
+        .join(
+            F.broadcast(c1),
+            F.substring("bigram", 1, 1) == F.col("ctx"),
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("n2") + F.lit(1.0))
+                        / (F.col("n1") + F.col("vsize"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+    return scored.withColumn(
+        "keep", F.col("avg_logprob") >= keep_threshold
+    )

@@ -2613,3 +2613,78 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.extract_main_content(
         H.synthesize_html(_t(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "decontam_benchmark_overlap",
+    """
+WITH r AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         (doc_id*69069 + 12345) % 2147483647 % 41 = 3 AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 4),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+  FROM r WHERE len(ws) >= 5),
+b AS (SELECT DISTINCT shingle FROM g WHERE is_bench),
+t AS (SELECT doc_id, shingle FROM g WHERE NOT is_bench)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_overlap,
+       round(count(b.shingle) * 1.0 / count(*), 6) AS overlap_frac,
+       round(count(b.shingle) * 1.0 / count(*), 6) >= 0.2 AS contaminated
+FROM t LEFT JOIN b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+""",
+)
+def q_decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pretraining decontamination: word 5-gram collision of each
+    # training doc against a held-out "benchmark" split (LCG-residue
+    # selected); benchmark shingle set broadcast, corpus never shuffles
+    from pero_ocr_spark.operators import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = sampling._residue(41) == 3
+    return dedup.decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), n=5, threshold=0.2
+    )
+
+
+@register(
+    "lm_perplexity_filter",
+    """
+WITH ch AS (
+  SELECT doc_id, string_split(text, '') AS cs FROM documents
+  WHERE len(text) >= 2),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(cs) - 1),
+                i -> cs[i] || cs[i+1])) AS bigram
+  FROM ch),
+c2 AS (SELECT bigram, count(*) AS n2 FROM g GROUP BY 1),
+c1 AS (SELECT substr(bigram, 1, 1) AS ctx, sum(n2) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT c) AS vsize
+      FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)),
+s AS (
+  SELECT g.doc_id,
+         round(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vsize))), 6) AS avg_logprob
+  FROM g
+  JOIN c2 USING (bigram)
+  JOIN c1 ON substr(g.bigram, 1, 1) = c1.ctx
+  CROSS JOIN v
+  GROUP BY g.doc_id)
+SELECT doc_id, avg_logprob, avg_logprob >= -1.72 AS keep FROM s
+""",
+)
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity filter under a self-trained Laplace char
+    # bigram LM — count tables are two tiny broadcast aggs; the only
+    # corpus-wide shuffle is the final per-doc mean
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.lm_perplexity_scores(
+        _t(spark, sf_dir, "documents"), keep_threshold=-1.72
+    )
