@@ -96,8 +96,15 @@ class _BlockParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in SKIP_TAGS:
             self._skip_depth += 1
+        elif self._skip_depth:
+            return
         elif tag == "a":
             self._link_depth += 1
+        elif tag == "img":
+            # media element: its own zero-word block carrying the src
+            # as text, so the interleaved span model sees it in order
+            self._flush()
+            self.blocks.append(("img", 0, 0, dict(attrs).get("src") or ""))
         elif tag in BLOCK_TAGS:
             self._flush()
             self._tag_stack.append(self._cur_tag)
@@ -106,6 +113,8 @@ class _BlockParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
+        elif self._skip_depth:
+            return
         elif tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         elif tag in BLOCK_TAGS:
@@ -271,6 +280,67 @@ def synthesize_html(docs: DataFrame) -> DataFrame:
         ).otherwise(
             F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
         )
+
+    html = F.concat(
+        F.lit(_HEAD),
+        F.lit(_NAV),
+        F.lit("<h1>"), F.col("source"), F.lit(" report</h1>"),
+        F.lit('<div class="content">'),
+        F.array_join(F.transform(idx, para), ""),
+        F.lit("</div>"),
+        F.lit(_ASIDE),
+        F.lit(_FOOTER),
+        F.lit(_TAIL),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def html_to_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → interleaved span sequence
+    (doc_id, ord, kind, text, media_ref) — the engine's native
+    document model (kind='text' content blocks, kind='media' image
+    refs, dense reading-order offsets).
+
+    This is the web-ingest front door of the north-star pipeline: DOM
+    parse → boilerplate classification → the surviving blocks become
+    ordered spans. ``<img>`` elements ride the same neighbour
+    inheritance as short text blocks, so an image inside the content
+    column is kept while footer/sidebar imagery is dropped with its
+    surroundings. Same single doc_id shuffle as the classifier; the
+    final row_number reuses the window partitioning.
+    """
+    cls = classify_blocks(parse_html_blocks(pages, html_col))
+    good = cls.filter(F.col("cls") == "good")
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    is_media = F.col("tag") == "img"
+    return good.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, F.col("text")).alias("media_ref"),
+    )
+
+
+def synthesize_html_interleaved(docs: DataFrame) -> DataFrame:
+    """Like :func:`synthesize_html`, but with an ``<img>`` after every
+    odd-indexed paragraph (``src="img://{doc_id}/{i}"``) — the
+    deterministic interleaved text+media substrate for span tests."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / PARA_WORDS).cast("int"))
+
+    def para(i):
+        chunk = F.slice(words, i * PARA_WORDS + 1, PARA_WORDS)
+        p = F.concat(F.lit("<p>"), F.array_join(chunk, " "), F.lit("</p>"))
+        img = F.concat(
+            F.lit('<img src="img://'),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            i.cast("string"),
+            F.lit('">'),
+        )
+        return F.when(i % 2 == F.lit(1), F.concat(p, img)).otherwise(p)
 
     html = F.concat(
         F.lit(_HEAD),

@@ -2688,3 +2688,38 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_perplexity_scores(
         _t(spark, sf_dir, "documents"), keep_threshold=-1.72
     )
+
+
+@register(
+    "html_interleaved_spans",
+    f"""
+WITH {_HTML_PARA_CTE},
+kept AS (
+  SELECT k.doc_id, -1 AS bk, 'text' AS kind,
+         d.source || ' report' AS text, NULL AS media_ref
+  FROM k JOIN documents d USING (doc_id) WHERE k.nw0 >= 8
+  UNION ALL
+  SELECT doc_id, pi*2, 'text', ptext, NULL
+  FROM par WHERE nw >= 8 OR pi > 0
+  UNION ALL
+  SELECT doc_id, pi*2 + 1, 'media', NULL,
+         'img://' || doc_id || '/' || pi
+  FROM par WHERE pi % 2 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       kind, text, media_ref
+FROM kept
+""",
+)
+def q_html_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-star ingest: interleaved web page -> DOM parse ->
+    # boilerplate strip -> ordered (kind, text, media_ref, ord) spans;
+    # content-column <img> elements survive as media spans, furniture
+    # imagery is dropped with its surroundings
+    from pero_ocr_spark.operators import html as H
+
+    return H.html_to_spans(
+        H.synthesize_html_interleaved(_t(spark, sf_dir, "documents"))
+    )

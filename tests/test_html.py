@@ -151,3 +151,47 @@ def test_extract_on_corpus_sample(spark, sf_dir):
         assert "copyright" not in r.main_text
         assert "subscribe" not in r.main_text
         assert r.n_kept <= r.n_blocks
+
+
+# ------------------------------------------------------ interleaved spans
+
+def test_parser_emits_img_media_blocks_in_order():
+    blocks = _parse(
+        '<p>one two</p><img src="img://1/0"><p>three</p>'
+        '<head><img src="skipme"></head>'
+    )
+    assert blocks == [
+        ("p", 2, 0, "one two"),
+        ("img", 0, 0, "img://1/0"),
+        ("p", 1, 0, "three"),
+    ]
+
+
+def test_img_flushes_mid_block_text():
+    blocks = _parse("<p>before <img src='x'> after</p>")
+    assert blocks == [
+        ("p", 1, 0, "before"),
+        ("img", 0, 0, "x"),
+        ("p", 1, 0, "after"),
+    ]
+
+
+def test_html_to_spans_interleaves_and_strips_furniture(spark):
+    text = " ".join(f"w{i}" for i in range(30))  # paragraphs of 12/12/6
+    docs = spark.createDataFrame(
+        [(5, text, "src1")], "doc_id long, text string, source string"
+    )
+    rows = (
+        H.html_to_spans(H.synthesize_html_interleaved(docs))
+        .orderBy("ord")
+        .collect()
+    )
+    kinds = [(r.ord, r.kind, r.text, r.media_ref) for r in rows]
+    words = text.split(" ")
+    assert kinds == [
+        (0, "text", "src1 report", None),
+        (1, "text", " ".join(words[0:12]), None),
+        (2, "text", " ".join(words[12:24]), None),
+        (3, "media", None, "img://5/1"),
+        (4, "text", " ".join(words[24:30]), None),
+    ]
