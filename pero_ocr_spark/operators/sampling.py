@@ -130,3 +130,33 @@ def sample_temperature(
         .filter(_residue(mod) < F.col("keep_threshold"))
         .select("doc_id", "source", "keep_threshold")
     )
+
+
+def shard_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Deterministic global pseudo-random shuffle + sharding for
+    training-data serving: every doc gets a shard in [0, n_shards) and
+    a dense position within its shard, both pure functions of doc_id.
+
+    shard = LCG residue (uniform, decorrelated from id structure);
+    pos  = rank of a SECOND, independent LCG key within the shard —
+    so reading shards in position order replays a stable pseudo-random
+    permutation of the corpus without ever materializing one.
+
+    Scale shape: this is the 10^12-row answer to "shuffle the corpus
+    for training" — a single total-order sort is the classic driver
+    bottleneck; here the only wide op is one hash shuffle on shard
+    (each shard sorts locally and independently; with
+    ``repartition(n_shards, shard).sortWithinPartitions(key)`` +
+    ``partitionBy(shard)`` at write time the plan stays identical and
+    the window disappears entirely). Ties broken by doc_id so the
+    permutation is total and reproducible."""
+    from pyspark.sql import Window
+
+    shard = _residue(n_shards).cast("int")
+    pos_key = F.pmod(F.col("doc_id") * 48_271 + 11, F.lit(HASH_P))
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), pos_key.alias("pos_key"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -312,3 +312,48 @@ def lm_perplexity_scores(
     return scored.withColumn(
         "keep", F.col("avg_logprob") >= keep_threshold
     )
+
+
+N_HASH_BUCKETS = 4096
+
+
+def _bucket_weight(word: Column) -> Column:
+    """Deterministic per-word weight in [-0.5, 0.5): the word's poly
+    hash folded into a bucket, the bucket Knuth-multiplied into a
+    pseudo-random rational. Stands in for trained coefficients (absent
+    from the container); portable integer arithmetic end to end."""
+    bucket = F.pmod(_poly_hash(word), F.lit(N_HASH_BUCKETS))
+    return (
+        F.pmod(bucket * 2_654_435_761, F.lit(9_973)).cast("double") / 9_973.0
+        - 0.5
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """fastText-style linear document-quality classifier: words hash
+    into ``N_HASH_BUCKETS`` buckets, the doc logit is the mean bucket
+    weight and the score its (scaled) sigmoid — the model-based
+    quality filter tier above the heuristic `quality_score`.
+
+    The weights here are synthesized deterministically from the bucket
+    id (no trained model ships in this container); swapping in real
+    coefficients is a broadcast map lookup with the identical plan.
+
+    Scale shape: ZERO shuffles — the whole classifier is one in-row
+    ``aggregate`` over the split words array (hash → weight → sum)
+    inside whole-stage codegen; nothing explodes, nothing joins. A
+    10^12-doc scoring pass is a pure narrow map over the scan."""
+    words = _words()
+    logit = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc + _bucket_weight(w),
+    ) / F.size(words)
+    score = F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("quality_prob"),
+        (score >= threshold).alias("keep"),
+    )

@@ -2723,3 +2723,47 @@ def q_html_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.html_to_spans(
         H.synthesize_html_interleaved(_t(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "corpus_shard_shuffle",
+    """
+SELECT doc_id,
+       CAST((doc_id*69069 + 12345) % 2147483647 % 64 AS INT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY (doc_id*69069 + 12345) % 2147483647 % 64
+              ORDER BY (doc_id*48271 + 11) % 2147483647, doc_id) - 1
+            AS BIGINT) AS pos
+FROM documents
+""",
+)
+def q_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-data global shuffle without a total order: one hash
+    # shuffle on shard, per-shard local rank over an independent LCG key
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.shard_shuffle(_t(spark, sf_dir, "documents"), n_shards=64)
+
+
+@register(
+    "quality_classifier_filter",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-4.0 *
+           list_sum(list_transform(string_split(text, ' '),
+             w -> ({_DUCK_POLY.format(col="w")} % 4096 * 2654435761) % 9973
+                  / 9973.0 - 0.5))
+           / len(string_split(text, ' ')))), 6) AS quality_prob
+  FROM documents)
+SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep FROM s
+""",
+)
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-style hashed linear classifier, zero-shuffle in-row
+    # aggregate (hash -> bucket weight -> mean logit -> sigmoid)
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.quality_classifier_scores(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )

@@ -91,3 +91,54 @@ def test_lm_keep_flag_thresholds_on_rounded_score(spark):
     }
     assert got == {k: v >= thr for k, v in want.items()}
     assert sum(got.values()) == 2  # ties kept (>=)
+
+
+# ---------------------------------------------------- shard shuffle / clf
+
+def test_shard_shuffle_dense_positions_and_determinism(spark):
+    from pero_ocr_spark.operators import sampling
+
+    docs = _docs(spark, [(i, "x") for i in range(200)])
+    out = sampling.shard_shuffle(docs, n_shards=8).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense ranks
+    # pure function of doc_id: a second run yields the identical map
+    again = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sampling.shard_shuffle(docs, n_shards=8).collect()
+    }
+    assert {r.doc_id: (r.shard, r.pos) for r in out} == again
+
+
+def _py_poly_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % 2_147_483_647
+    return h
+
+
+def test_quality_classifier_matches_closed_form(spark):
+    import math
+
+    from pero_ocr_spark.operators import textstats
+
+    texts = {1: "the fast key order", 2: "spark group query row data"}
+    df = _docs(spark, list(texts.items()))
+    got = {
+        r.doc_id: (r.quality_prob, r.keep)
+        for r in textstats.quality_classifier_scores(df).collect()
+    }
+    for doc_id, text in texts.items():
+        ws = text.split(" ")
+        weights = [
+            (_py_poly_hash(w) % 4096 * 2654435761) % 9973 / 9973.0 - 0.5
+            for w in ws
+        ]
+        logit = sum(weights) / len(ws)
+        prob = round(1.0 / (1.0 + math.exp(-4.0 * logit)), 6)
+        assert got[doc_id] == (prob, prob >= 0.5)
