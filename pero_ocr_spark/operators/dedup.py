@@ -441,3 +441,68 @@ def decontaminate(
         .withColumn("overlap_frac", frac)
         .withColumn("contaminated", F.col("overlap_frac") >= threshold)
     )
+
+
+# ----------------------------------------------------- incremental dedup
+
+def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Dedup a NEW ingest batch against a frozen corpus snapshot
+    without touching the snapshot's layout — the daily-crawl shape:
+    the 10^12-doc snapshot contributes only two key columns (an exact
+    sha256 text hash and a 1-perm-minhash near-dup fingerprint, both
+    computable incrementally at snapshot-write time), the new batch
+    left-joins against them, and within-batch duplicates resolve by
+    min-doc_id first-occurrence.
+
+    Output per new doc: ``known_exact`` (byte-identical text already
+    in the snapshot), ``known_near`` (shares its min-shingle
+    fingerprint — robust to local edits), ``first_in_batch`` (earliest
+    doc_id for its fingerprint within the batch), and the combined
+    ``keep`` policy (not near-known AND first in batch).
+
+    Scale shape: the snapshot is read as key columns only (column
+    pruning to 2 × 8-byte-ish values), deduped by a map-side-combined
+    distinct, and either broadcast (small delta corpora) or
+    sort-merge-joined on the fingerprint — the batch side is the only
+    side ever materialized with payloads. Docs shorter than the
+    shingle width have no fingerprint and are kept verbatim.
+    """
+    from pero_ocr_spark.operators import textstats
+
+    def keys(df: DataFrame) -> DataFrame:
+        fp = textstats.fingerprints(df, n=3).select("doc_id", "fp_min_shingle")
+        return (
+            df.select("doc_id", F.sha2("text", 256).alias("h_exact"))
+            .join(fp, "doc_id", "left")
+        )
+
+    snap = keys(snapshot)
+    snap_exact = snap.select(F.col("h_exact").alias("se")).distinct()
+    snap_near = (
+        snap.filter(F.col("fp_min_shingle").isNotNull())
+        .select(F.col("fp_min_shingle").alias("sn"))
+        .distinct()
+    )
+    batch = keys(new_docs)
+    w = Window.partitionBy("fp_min_shingle").orderBy("doc_id")
+    first = F.when(
+        F.col("fp_min_shingle").isNull(), F.lit(True)
+    ).otherwise(F.row_number().over(w) == 1)
+    marked = (
+        batch.join(snap_exact, batch.h_exact == F.col("se"), "left")
+        .join(snap_near, batch.fp_min_shingle == F.col("sn"), "left")
+        .select(
+            "doc_id",
+            F.col("se").isNotNull().alias("known_exact"),
+            F.col("sn").isNotNull().alias("known_near"),
+            first.alias("first_in_batch"),
+            "fp_min_shingle",
+        )
+    )
+    return marked.select(
+        "doc_id",
+        "known_exact",
+        "known_near",
+        "first_in_batch",
+        (~F.col("known_near") & F.col("first_in_batch")).alias("keep"),
+    )

@@ -112,3 +112,33 @@ def extract_spans(doc_spans: DataFrame) -> DataFrame:
     flat = strip_boilerplate(flat)
     flat = assign_reading_order(flat)
     return flat.select("doc_id", "kind", "text", "media_ref", "ord")
+
+
+def render_training_text(spans: DataFrame, media_token: str = "<|image|>") -> DataFrame:
+    """Extracted spans → model-ready interleaved training text: text
+    spans contribute their content, media spans a sentinel token, all
+    in reading order — the final serialization step between the
+    extraction pipeline and a tokenizer.
+
+    Output: (doc_id, train_text, n_text_spans, n_media_spans). One
+    hash aggregation on doc_id (map-side combinable: collect_list of
+    small structs); if upstream already partitioned by doc_id (it did
+    — the reading-order window) the exchange is reused, so this adds
+    ZERO shuffles to the flagship plan.
+    """
+    piece = F.when(
+        F.col("kind") == "media", F.lit(media_token)
+    ).otherwise(F.col("text"))
+    return spans.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ord"), piece.alias("piece")))
+                ),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("train_text"),
+        F.sum((F.col("kind") == "text").cast("long")).alias("n_text_spans"),
+        F.sum((F.col("kind") == "media").cast("long")).alias("n_media_spans"),
+    )

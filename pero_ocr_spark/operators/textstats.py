@@ -357,3 +357,45 @@ def quality_classifier_scores(
         score.alias("quality_prob"),
         (score >= threshold).alias("keep"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Context-window chunking for long documents: overlapping
+    word-boundary windows of ``max_tokens`` tokens advancing by
+    ``max_tokens - overlap`` — every token is covered, consecutive
+    chunks share ``overlap`` tokens, the final chunk may be short.
+
+    Scale shape: the chunk list is built IN-ROW (one ``transform``
+    over the split words array inside codegen) and exploded — a
+    narrow ~(n/stride)× row amplification with no shuffle anywhere;
+    column pruning keeps only (doc_id, text) in the scan.
+    ``explode_outer`` + filter rather than plain ``explode``, so
+    Catalyst does not re-evaluate the chunk expression below the
+    stage boundary (the implicit size>0 pushdown rewrites the plan).
+    """
+    stride = max_tokens - overlap
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(max_tokens)).cast("double") / stride).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(words, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(words, i * stride + 1, max_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode_outer(chunks).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
+    )

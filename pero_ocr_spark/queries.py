@@ -2767,3 +2767,106 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_classifier_scores(
         _t(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH __w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+         (doc_id*69069 + 12345) % 2147483647 % 100 < 33 AS is_snap
+  FROM documents),
+keyed AS (
+  SELECT doc_id, is_snap, sha256(text) AS h_exact,
+         CASE WHEN len(w) >= 3 THEN
+           list_min(list_transform(
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+             s -> {_DUCK_POLY.format(col="s")}))
+         END AS fp
+  FROM __w),
+se AS (SELECT DISTINCT h_exact FROM keyed WHERE is_snap),
+sn AS (SELECT DISTINCT fp FROM keyed WHERE is_snap AND fp IS NOT NULL),
+b AS (
+  SELECT doc_id, h_exact, fp,
+         CASE WHEN fp IS NULL THEN TRUE
+              ELSE row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         END AS first_in_batch
+  FROM keyed WHERE NOT is_snap)
+SELECT b.doc_id,
+       se.h_exact IS NOT NULL AS known_exact,
+       sn.fp IS NOT NULL AS known_near,
+       b.first_in_batch,
+       sn.fp IS NULL AND b.first_in_batch AS keep
+FROM b
+LEFT JOIN se ON b.h_exact = se.h_exact
+LEFT JOIN sn ON b.fp = sn.fp
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily-crawl shape: dedup the new batch against a frozen snapshot
+    # that contributes only two key columns (sha256 + 1-perm minhash)
+    from pero_ocr_spark.operators import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    # NB: mod must be coprime-scattering with the LCG constants —
+    # both 69069 and 12345 are divisible by 3, so _residue(3) is
+    # constant 0 for small ids; mod 100 (69 coprime to 100) permutes
+    return dedup.incremental_dedup(
+        docs.filter(~(sampling._residue(100) < 33)),
+        docs.filter(sampling._residue(100) < 33),
+    )
+
+
+@register(
+    "training_render_interleaved",
+    f"""
+{_EXTRACTED_CTE}
+SELECT doc_id,
+       string_agg(CASE WHEN kind = 'media' THEN '<|image|>' ELSE text END,
+                  ' ' ORDER BY ord) AS train_text,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text_spans,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media_spans
+FROM extracted
+GROUP BY doc_id
+""",
+)
+def q_training_render_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serialization step between extraction and the tokenizer: text
+    # spans verbatim, media spans as a sentinel, reading order kept;
+    # reuses the flagship plan's doc_id exchange (zero extra shuffles)
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    return extract.render_training_text(spans)
+
+
+@register(
+    "training_chunk_documents",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         CAST(unnest(generate_series(0,
+              greatest(0, CAST(ceil((len(ws) - 64)*1.0/56) AS BIGINT))))
+           AS BIGINT) AS chunk_id
+  FROM w)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(ws, chunk_id*56+1, chunk_id*56+64)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(ws, chunk_id*56+1, chunk_id*56+64), ' ')
+         AS chunk_text
+FROM c
+""",
+)
+def q_training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window chunking: 64-token windows, 8-token overlap,
+    # built in-row and exploded — no shuffle anywhere in the plan
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=64, overlap=8
+    )

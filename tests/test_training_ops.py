@@ -1,0 +1,108 @@
+"""Incremental dedup, training-text rendering, context-window chunking."""
+
+from __future__ import annotations
+
+from pero_ocr_spark.operators import dedup, extract, textstats
+
+HASH_P = 2_147_483_647
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_poly(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % HASH_P
+    return h
+
+
+def _py_fp(text: str) -> int | None:
+    ws = text.split(" ")
+    if len(ws) < 3:
+        return None
+    return min(
+        _py_poly(" ".join(ws[i : i + 3])) for i in range(len(ws) - 2)
+    )
+
+
+def test_incremental_dedup_matches_python_model(spark):
+    snap_rows = [(100, "a b c d"), (101, "x y z w v")]
+    batch_rows = [
+        (1, "a b c d"),        # exact copy of snapshot doc
+        (2, "a b c d e"),      # near-dup (may share min shingle)
+        (3, "p q r s t"),      # fresh
+        (4, "p q r s t"),      # within-batch exact dup of 3
+        (5, "hi"),             # < 3 words: no fingerprint, kept
+    ]
+    got = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup(
+            _docs(spark, batch_rows), _docs(spark, snap_rows)
+        ).collect()
+    }
+    snap_texts = {t for _, t in snap_rows}
+    snap_fps = {_py_fp(t) for _, t in snap_rows} - {None}
+    first_seen: dict[int, int] = {}
+    for doc_id, text in batch_rows:
+        fp = _py_fp(text)
+        if fp is not None and fp not in first_seen:
+            first_seen[fp] = doc_id
+    for doc_id, text in batch_rows:
+        fp = _py_fp(text)
+        r = got[doc_id]
+        assert r.known_exact == (text in snap_texts), doc_id
+        assert r.known_near == (fp in snap_fps), doc_id
+        want_first = fp is None or first_seen[fp] == doc_id
+        assert r.first_in_batch == want_first, doc_id
+        assert r.keep == ((fp not in snap_fps) and want_first), doc_id
+    # sanity on the scenario itself
+    assert got[1].known_exact and not got[1].keep
+    assert got[3].keep and not got[4].first_in_batch
+    assert got[5].keep
+
+
+def test_render_training_text_orders_and_sentinels(spark):
+    spans = spark.createDataFrame(
+        [
+            (1, "text", "hello", None, 0),
+            (1, "media", None, "img://1/1", 1),
+            (1, "text", "world", None, 2),
+            (2, "text", "solo", None, 0),
+        ],
+        "doc_id long, kind string, text string, media_ref string, ord long",
+    )
+    got = {
+        r.doc_id: r for r in extract.render_training_text(spans).collect()
+    }
+    assert got[1].train_text == "hello <|image|> world"
+    assert (got[1].n_text_spans, got[1].n_media_spans) == (2, 1)
+    assert got[2].train_text == "solo"
+    assert (got[2].n_text_spans, got[2].n_media_spans) == (1, 0)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    texts = {
+        1: " ".join(f"w{i}" for i in range(5)),    # single short chunk
+        2: " ".join(f"w{i}" for i in range(64)),   # exactly one window
+        3: " ".join(f"w{i}" for i in range(65)),   # spills into chunk 2
+        4: " ".join(f"w{i}" for i in range(130)),  # three chunks
+    }
+    out = textstats.chunk_documents(
+        _docs(spark, list(texts.items())), max_tokens=64, overlap=8
+    ).collect()
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+        assert r.n_tokens <= 64
+    assert {d: len(c) for d, c in by_doc.items()} == {1: 1, 2: 1, 3: 2, 4: 3}
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        chunks = [by_doc[doc_id][i] for i in sorted(by_doc[doc_id])]
+        # stride 56: consecutive chunks share exactly the 8-token overlap
+        rebuilt = chunks[0] + [w for c in chunks[1:] for w in c[8:]]
+        assert rebuilt == words
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[56:] == b[: len(a) - 56]
