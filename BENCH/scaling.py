@@ -37,12 +37,14 @@ import json, sys, time
 from pero_ocr_spark.session import get_spark
 from pero_ocr_spark import corpus
 from pero_ocr_spark.operators import ctc, extract
+from pero_ocr_spark.operators import html as H
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1])
 sf_dir = sys.argv[2]
 repl_extract = int(sys.argv[3])
 repl_recognize = int(sys.argv[4])
+repl_ingest = int(sys.argv[5])
 # 2 waves per stage: balances stragglers against per-task overhead
 spark = get_spark("scaling_probe", cores=cpus, shuffle_partitions=cpus * 2)
 n = cpus * 2
@@ -83,11 +85,27 @@ rec_times = time_job(
     lambda: ctc.recognize_lines(lines).write.format("noop").mode("overwrite").save()
 )
 
+def amplified_docs(repl):
+    docs = corpus.load_documents(spark, sf_dir).repartition(n)
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    return docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text", "source",
+    )
+
+pages = H.synthesize_html_interleaved(amplified_docs(repl_ingest))
+ingest_spans = H.html_to_spans(pages)
+ingest_times = time_job(
+    lambda: ingest_spans.write.format("noop").mode("overwrite").save()
+)
+
 nx = spans_x.count()
 nr = lines.count()
+ni = ingest_spans.count()
 print(json.dumps({"cpus": cpus,
                   "extract": {"sec": min(extract_times), "all": extract_times, "spans": nx},
-                  "recognize": {"sec": min(rec_times), "all": rec_times, "lines": nr}}))
+                  "recognize": {"sec": min(rec_times), "all": rec_times, "lines": nr},
+                  "ingest": {"sec": min(ingest_times), "all": ingest_times, "spans": ni}}))
 spark.stop()
 """
 
@@ -116,11 +134,11 @@ print(json.dumps({"batches_8": out[8], "batches_32": out[32],
 """
 
 
-def run_level(cpus: int, sf_dir: str, repl_x: int, repl_r: int) -> dict:
+def run_level(cpus: int, sf_dir: str, repl_x: int, repl_r: int, repl_i: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(repl_x), str(repl_r)],
+        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(repl_x), str(repl_r), str(repl_i)],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)) + "/..",
     )
@@ -134,6 +152,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repl_x = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "64"))
     repl_r = int(os.environ.get("SPARK_GRAFT_SCALING_REPL_REC", "4"))
+    repl_i = int(os.environ.get("SPARK_GRAFT_SCALING_REPL_ING", "16"))
     low, high = 8, 32
 
     def run_micro():
@@ -143,18 +162,35 @@ def main() -> None:
             ).stdout.strip().splitlines()[-1]
         )
 
-    micro_pre = run_micro()
-    r_low = run_level(low, sf_dir, repl_x, repl_r)
-    r_high = run_level(high, sf_dir, repl_x, repl_r)
-    micro_post = run_micro()
+    # Co-tenant load on this shared box only ever SLOWS a leg down, so
+    # each leg's min across alternating rounds is the least-contaminated
+    # estimate of its uncontended time; likewise the ceiling probe
+    # measures a fixed hardware property that contention can only
+    # depress, so the max across probes is kept. Rounds alternate
+    # low/high so both legs sample several time windows.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    micros = [run_micro()]
+    lows, highs = [], []
+    for _ in range(rounds):
+        lows.append(run_level(low, sf_dir, repl_x, repl_r, repl_i))
+        highs.append(run_level(high, sf_dir, repl_x, repl_r, repl_i))
+        micros.append(run_micro())
+
+    def best(runs, job):
+        sec = min(r[job]["sec"] for r in runs)
+        out = dict(runs[0][job])
+        out["sec"] = sec
+        out["all_rounds"] = [round(r[job]["sec"], 2) for r in runs]
+        return out
+
+    r_low = {j: best(lows, j) for j in ("extract", "recognize", "ingest")}
+    r_high = {j: best(highs, j) for j in ("extract", "recognize", "ingest")}
     micro = {
-        "hw_speedup": round(
-            (micro_pre["hw_speedup"] + micro_post["hw_speedup"]) / 2, 3
+        "hw_speedup": max(m["hw_speedup"] for m in micros),
+        "hw_ceiling_efficiency": max(
+            m["hw_ceiling_efficiency"] for m in micros
         ),
-        "hw_ceiling_efficiency": round(
-            (micro_pre["hw_ceiling_efficiency"]
-             + micro_post["hw_ceiling_efficiency"]) / 2, 3
-        ),
+        "all_probes": [m["hw_ceiling_efficiency"] for m in micros],
     }
     ratio = high / low
 
@@ -169,7 +205,9 @@ def main() -> None:
     result = {
         "metric": "scaling efficiency local[8] vs local[32] (sandbox proxy for N vs 4N executors)",
         "sf_dir": sf_dir,
+        "rounds": rounds,
         "hw_ceiling_efficiency": ceiling,
+        "hw_ceiling_probes": micro["all_probes"],
         "extract": {
             "spans": r_high["extract"]["spans"],
             "sec_low": round(r_low["extract"]["sec"], 2),
@@ -191,17 +229,33 @@ def main() -> None:
             "efficiency": eff("recognize"),
             "efficiency_vs_hw_ceiling": rel("recognize"),
         },
+        "ingest": {
+            "spans": r_high["ingest"]["spans"],
+            "sec_low": round(r_low["ingest"]["sec"], 2),
+            "sec_high": round(r_high["ingest"]["sec"], 2),
+            "spans_per_sec_high": round(
+                r_high["ingest"]["spans"] / r_high["ingest"]["sec"], 1
+            ),
+            "efficiency": eff("ingest"),
+            "efficiency_vs_hw_ceiling": rel("ingest"),
+        },
         "target": 0.8,
     }
     print(json.dumps(result))
 
-    x, r = result["extract"], result["recognize"]
+    x, r, i = result["extract"], result["recognize"], result["ingest"]
+    rounds_p1 = rounds + 1
     md = f"""# BENCH/BASELINE — measured throughput & scaling
 
 Sandbox proxy for N vs 4N executors (per driver instruction): the same
 jobs on `local[8]` vs `local[32]`, separate JVMs, shuffle partitions
 and heap scaled with cores, corpus amplified with distinct doc ids so
-per-core compute dominates fixed costs. Warm-up + best of 3 per level; ceiling measured before and after.
+per-core compute dominates fixed costs. {rounds} alternating
+low/high rounds (warm-up + best-of-3 inside each leg, separate JVM per
+leg); each leg reports its MIN across rounds and the ceiling its MAX
+across {rounds_p1} probes — co-tenant load on this shared box only
+ever slows a measurement, so the extremum is the least-contaminated
+estimate (single-round figures swung 0.2-0.8 with tenant spikes).
 
 ## Job 1 — extraction pipeline (JVM end-to-end; the production shape)
 
@@ -225,6 +279,14 @@ logit synthesis + batched greedy CTC decode in one Arrow stage over
 {r["lines"]:,} lines: {r["sec_low"]}s at N vs {r["sec_high"]}s at 4N →
 efficiency {r["efficiency"]} absolute,
 {r["efficiency_vs_hw_ceiling"]} relative to the ceiling.
+
+## Job 3 — HTML main-content ingest (DOM-parse Python path)
+
+synthesized interleaved pages → stdlib-HTMLParser block segmentation
+(mapInPandas) → link-density classification → ordered text+media
+spans, over {i["spans"]:,} kept spans: {i["sec_low"]}s at N vs
+{i["sec_high"]}s at 4N → efficiency {i["efficiency"]} absolute,
+{i["efficiency_vs_hw_ceiling"]} relative to the ceiling.
 
 ## The hardware ceiling (measured, not assumed)
 
