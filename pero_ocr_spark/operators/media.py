@@ -117,3 +117,41 @@ def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
         ).alias("frame_idx"),
     )
+
+
+def media_context_pairs(spans: DataFrame) -> DataFrame:
+    """Interleaved spans → (media, surrounding-text) training pairs —
+    the pair-mining step for contrastive image-text training: each
+    media span is paired with the nearest text span before and after
+    it in reading order, and ``caption`` prefers the preceding one
+    (web pages caption below the image more often than above, and the
+    preceding span is the nearer in this span model).
+
+    Scale shape: two window scans + the media filter all share the one
+    hash exchange on doc_id the extraction pipeline already produced —
+    zero additional shuffles; the filter drops text rows before
+    anything is materialized downstream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    prev_text = F.last(txt, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_text = F.first(txt, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        spans.withColumn("prev_text", prev_text)
+        .withColumn("next_text", next_text)
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            "ord",
+            "media_ref",
+            "prev_text",
+            "next_text",
+            F.coalesce("prev_text", "next_text").alias("caption"),
+        )
+    )

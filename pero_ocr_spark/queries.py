@@ -55,7 +55,7 @@ def _scratch(name: str) -> str:
 _EXTRACTED_CTE = f"""
 {corpus.SPANS_CTE}
 , extracted AS (
-  SELECT doc_id, kind, text,
+  SELECT doc_id, kind, text, media_ref,
          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
               AS BIGINT) AS ord
   FROM spans
@@ -1391,7 +1391,7 @@ def q_alto_word_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_LINES_SQL = f"""
 {corpus.SPANS_CTE}
 , extracted AS (
-  SELECT doc_id, kind, text,
+  SELECT doc_id, kind, text, media_ref,
          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) - 1
               AS BIGINT) AS ord
   FROM spans
@@ -2870,3 +2870,33 @@ def q_training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_documents(
         _t(spark, sf_dir, "documents"), max_tokens=64, overlap=8
     )
+
+
+@register(
+    "media_context_pairs",
+    f"""
+{_EXTRACTED_CTE}
+, wnd AS (
+  SELECT doc_id, ord, kind, media_ref,
+         last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_text,
+         first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_text
+  FROM extracted)
+SELECT doc_id, ord, media_ref, prev_text, next_text,
+       coalesce(prev_text, next_text) AS caption
+FROM wnd WHERE kind = 'media'
+""",
+)
+def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive image-text pair mining over the interleaved spans:
+    # nearest text neighbours of every media span, zero extra shuffles
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract, media
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    return media.media_context_pairs(spans)

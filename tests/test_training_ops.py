@@ -106,3 +106,29 @@ def test_chunk_documents_overlap_and_coverage(spark):
         assert rebuilt == words
         for a, b in zip(chunks, chunks[1:]):
             assert a[56:] == b[: len(a) - 56]
+
+
+def test_media_context_pairs_nearest_text_neighbours(spark):
+    from pero_ocr_spark.operators import media
+
+    spans = spark.createDataFrame(
+        [
+            (1, "media", None, "img://1/0", 0),   # leading media: no prev
+            (1, "text", "intro words", None, 1),
+            (1, "media", None, "img://1/2", 2),
+            (1, "text", "outro", None, 3),
+            (2, "media", None, "img://2/0", 0),   # doc with no text at all
+        ],
+        "doc_id long, kind string, text string, media_ref string, ord long",
+    )
+    got = {
+        (r.doc_id, r.ord): r
+        for r in media.media_context_pairs(spans).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    r = got[(1, 0)]
+    assert (r.prev_text, r.next_text, r.caption) == (None, "intro words", "intro words")
+    r = got[(1, 2)]
+    assert (r.prev_text, r.next_text, r.caption) == ("intro words", "outro", "intro words")
+    r = got[(2, 0)]
+    assert (r.prev_text, r.next_text, r.caption) == (None, None, None)
