@@ -98,15 +98,20 @@ def _poly_hash(col: Column) -> Column:
 
 def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     """Document fingerprints: full-text polynomial hash plus the min
-    word-n-gram hash (a 1-perm minhash — robust to local edits)."""
-    words = _words()
-    idx = F.sequence(F.lit(0), F.size(words) - n)
+    word-n-gram hash (a 1-perm minhash — robust to local edits).
+    Split hoisted into a projection (see :func:`char_bigrams` — an
+    inlined split re-evaluates per transform element, O(n²)/row)."""
+    d = docs.select(
+        "doc_id", "text", _words().alias("ws")
+    ).filter(F.size("ws") >= n)
+    ws = F.col("ws")
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
     )
     gram_hashes = F.transform(grams, _poly_hash)
-    return docs.filter(F.size(words) >= n).select(
+    return d.select(
         "doc_id",
         _poly_hash(F.col("text")).alias("fp_text"),
         F.array_min(gram_hashes).alias("fp_min_shingle"),
@@ -245,19 +250,25 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
 def char_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, bigram) — one row per character position (not
     distinct: the LM needs multiplicities). Docs shorter than two
-    characters carry no bigram and drop out."""
-    chars = F.split(F.col("text"), "")
-    idx = F.sequence(F.lit(1), F.size(chars) - 1)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat(
-            F.element_at(chars, i), F.element_at(chars, i + 1)
-        ),
+    characters carry no bigram and drop out.
+
+    The split is HOISTED into its own projection and the bigrams come
+    from ``zip_with`` over two slices — ``element_at(chars, i)`` in a
+    ``transform`` lambda re-inlines the split expression per element
+    (O(n²) per row: measured 42 s to build 1.5 M bigrams at sf0.1,
+    0.5 s this way). ``explode_outer`` avoids the implicit size>0
+    pushdown re-evaluating the array expression; the length filter
+    guarantees non-empty arrays so no null row can appear."""
+    d = docs.filter(F.length("text") >= 2).select(
+        "doc_id", F.split(F.col("text"), "").alias("cs")
     )
-    return (
-        docs.filter(F.length("text") >= 2)
-        .select("doc_id", F.explode(grams).alias("bigram"))
+    n = F.size(F.col("cs"))
+    grams = F.zip_with(
+        F.slice(F.col("cs"), 1, n - 1),
+        F.slice(F.col("cs"), 2, n - 1),
+        lambda a, b: F.concat(a, b),
     )
+    return d.select("doc_id", F.explode_outer(grams).alias("bigram"))
 
 
 def lm_perplexity_scores(
