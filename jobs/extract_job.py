@@ -1,0 +1,109 @@
+"""spark-submit entry point for the extraction / ingest pipelines.
+
+Usage (cluster):
+
+    python make_submit_zip.py
+    spark-submit --py-files pero_ocr_spark.zip jobs/extract_job.py \
+        --pipeline extract --input /data/corpus --output /data/spans \
+        --shards 512
+
+    spark-submit --py-files pero_ocr_spark.zip jobs/extract_job.py \
+        --pipeline ingest --input /data/pages --output /data/spans
+
+Pipelines:
+
+  * ``extract`` — nested (doc_id, spans) table → classified, stripped,
+    reading-ordered span rows, written as parquet partitioned by an
+    LCG shard (decorrelated from id structure) with per-run lineage
+    semantics: re-running against the same output only writes shards
+    absent from the output (crash-resume at shard granularity).
+  * ``ingest``  — (doc_id, html) pages → DOM-parsed, boilerplate-
+    stripped interleaved (kind, text, media_ref, ord) spans.
+
+Prints ONE JSON metrics line (rows, docs, chars, wall seconds,
+rows/sec) gathered via ``df.observe`` — counters ride the write job,
+no second scan. Session config comes from the environment
+(``SPARK_GRAFT_CPUS`` for local runs; on a cluster spark-submit's
+``--conf`` wins because an existing SparkSession is reused as-is).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    b = SparkSession.builder.appName(app)
+    if cpus:  # local dev/bench; on a cluster the submitted conf rules
+        b = b.master(f"local[{cpus}]").config(
+            "spark.sql.shuffle.partitions", str(int(cpus) * 2)
+        )
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pipeline", choices=["extract", "ingest"], required=True)
+    ap.add_argument("--input", required=True, help="input table directory")
+    ap.add_argument("--output", required=True, help="output parquet directory")
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from pero_ocr_spark.operators import extract, sampling, telemetry
+
+    spark = _spark(f"pero_ocr_spark_{args.pipeline}")
+    t0 = time.perf_counter()
+
+    if args.pipeline == "extract":
+        from pero_ocr_spark import corpus
+
+        nested = spark.read.parquet(args.input)
+        if "spans" not in nested.columns:  # raw documents: derive spans
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            nested = nested.repartition(parts, "doc_id").select(
+                "doc_id", F.expr(corpus._SPANS_ARRAY_EXPR).alias("spans")
+            )
+        spans = extract.extract_spans(nested)
+    else:
+        from pero_ocr_spark.operators import html
+
+        pages = spark.read.parquet(args.input)
+        if "html" not in pages.columns:  # raw documents: synthesize pages
+            pages = html.synthesize_html_interleaved(pages)
+        spans = html.html_to_spans(pages)
+
+    shard = sampling._residue(args.shards).cast("int").alias("shard")
+    observed, obs = telemetry.observe_extraction(spans.withColumn("shard", shard))
+    (
+        observed.write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(args.output)
+    )
+    wall = time.perf_counter() - t0
+    m = dict(obs.get)
+    m.update(
+        pipeline=args.pipeline,
+        output=args.output,
+        shards=args.shards,
+        wall_sec=round(wall, 2),
+        spans_per_sec=round(m["n_spans"] / wall, 1),
+    )
+    print(json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

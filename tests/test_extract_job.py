@@ -1,0 +1,45 @@
+"""spark-submit job entry point (jobs/extract_job.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import pathlib
+
+
+def _job():
+    p = pathlib.Path(__file__).parent.parent / "jobs" / "extract_job.py"
+    spec = importlib.util.spec_from_file_location("extract_job", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_extract_job_writes_sharded_spans(spark, sf_dir, tmp_path, capsys):
+    mod = _job()
+    out = tmp_path / "spans"
+    rc = mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_spans"] > 0 and m["n_text"] > 0 and m["n_media"] > 0
+    df = spark.read.parquet(str(out))
+    assert df.count() == m["n_spans"]
+    assert df.select("shard").distinct().count() == 4
+
+
+def test_ingest_job_emits_interleaved_spans(spark, sf_dir, tmp_path, capsys):
+    mod = _job()
+    out = tmp_path / "ingest"
+    rc = mod.main(
+        ["--pipeline", "ingest", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    df = spark.read.parquet(str(out))
+    kinds = {r.kind for r in df.select("kind").distinct().collect()}
+    assert kinds == {"text", "media"}
+    assert df.count() == m["n_spans"]
