@@ -185,12 +185,19 @@ def main() -> None:
 
     r_low = {j: best(lows, j) for j in ("extract", "recognize", "ingest")}
     r_high = {j: best(highs, j) for j in ("extract", "recognize", "ingest")}
+    # a probe ABOVE 1.0 is physically impossible (32 procs cannot do
+    # more than 4x the work of 8 on one machine) — it means the probe's
+    # own 8-proc leg was contaminated; such probes are discarded before
+    # taking the max, else one bad probe poisons every ratio
+    probes = [m["hw_ceiling_efficiency"] for m in micros]
+    valid = [p for p in probes if p <= 1.0] or [min(probes)]
     micro = {
-        "hw_speedup": max(m["hw_speedup"] for m in micros),
-        "hw_ceiling_efficiency": max(
-            m["hw_ceiling_efficiency"] for m in micros
+        "hw_speedup": max(
+            m["hw_speedup"] for m in micros
+            if m["hw_ceiling_efficiency"] in valid
         ),
-        "all_probes": [m["hw_ceiling_efficiency"] for m in micros],
+        "hw_ceiling_efficiency": max(valid),
+        "all_probes": probes,
     }
     ratio = high / low
 
