@@ -2900,3 +2900,78 @@ def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
     return media.media_context_pairs(spans)
+
+
+@register(
+    "curation_pipeline_e2e",
+    f"""
+WITH cs AS (
+  SELECT doc_id, string_split(text, '') AS c FROM documents
+  WHERE len(text) >= 2),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(c) - 1),
+                i -> c[i] || c[i+1])) AS bigram
+  FROM cs),
+c2 AS (SELECT bigram, count(*) AS n2 FROM g GROUP BY 1),
+c1 AS (SELECT substr(bigram, 1, 1) AS ctx, sum(n2) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT ch) AS vsize
+      FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)),
+lp AS (
+  SELECT g.doc_id,
+         round(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vsize))), 6) AS avg_logprob
+  FROM g JOIN c2 USING (bigram)
+  JOIN c1 ON substr(g.bigram, 1, 1) = c1.ctx
+  CROSS JOIN v GROUP BY g.doc_id),
+clf AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-4.0 *
+           list_sum(list_transform(string_split(text, ' '),
+             w -> ({_DUCK_POLY.format(col="w")} % 4096 * 2654435761) % 9973
+                  / 9973.0 - 0.5))
+           / len(string_split(text, ' ')))), 6) AS quality_prob
+  FROM documents),
+firsts AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 AS is_first
+  FROM documents),
+kept AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+  FROM documents d
+  JOIN lp USING (doc_id) JOIN clf USING (doc_id) JOIN firsts USING (doc_id)
+  WHERE lp.avg_logprob >= -1.72 AND clf.quality_prob >= 0.5 AND firsts.is_first),
+chunks AS (
+  SELECT doc_id, ws,
+         CAST(unnest(generate_series(0,
+              greatest(0, CAST(ceil((len(ws) - 64)*1.0/56) AS BIGINT))))
+           AS BIGINT) AS chunk_id
+  FROM kept)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(ws, chunk_id*56+1, chunk_id*56+64)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(ws, chunk_id*56+1, chunk_id*56+64), ' ')
+         AS chunk_text
+FROM chunks
+""",
+)
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full curation chain in ONE Catalyst plan: model-quality gate
+    # (zero-shuffle classifier) AND LM-perplexity gate AND exact-dedup
+    # first-occurrence gate, then context-window chunking of survivors
+    # — composing operators composes plans; the optimizer sees it all
+    from pero_ocr_spark.operators import dedup, textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    clf = textstats.quality_classifier_scores(docs, threshold=0.5)
+    lp = textstats.lm_perplexity_scores(docs, keep_threshold=-1.72)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    firsts = docs.select(
+        "doc_id", (F.row_number().over(w) == 1).alias("is_first")
+    )
+    kept = (
+        docs.join(clf.filter("keep").select("doc_id"), "doc_id")
+        .join(lp.filter("keep").select("doc_id"), "doc_id")
+        .join(firsts.filter("is_first").select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+    )
+    return textstats.chunk_documents(kept, max_tokens=64, overlap=8)
