@@ -1,0 +1,58 @@
+"""Structured-Streaming ingest: HTML pages arriving as files → spans.
+
+The batch ingest (``operators/html.html_to_spans``) uses per-doc
+window functions, which Structured Streaming forbids on an unbounded
+stream — but every micro-batch is a BOUNDED DataFrame, and a document
+never spans micro-batches (a page file arrives whole). So the
+streaming form is ``foreachBatch``: each micro-batch runs the exact
+batch pipeline (same code path, zero forked logic) and appends
+shard-partitioned parquet. The sink checkpoint gives exactly-once at
+file granularity: a restarted query re-reads only unprocessed files.
+
+Scale shape: identical to the batch plan per micro-batch (narrow DOM
+parse, one doc_id exchange), state bounded by micro-batch size; the
+streaming engine adds only file-source bookkeeping. This is the
+10^12-doc crawl-ingest front door running continuously instead of as
+a backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "doc_id long, html string"
+
+
+def stream_ingest_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 16,
+):
+    """Start an available-now streaming query: parquet page files in
+    ``pages_dir`` → interleaved spans appended under ``out_dir``
+    partitioned by shard. Returns the StreamingQuery (caller awaits
+    termination)."""
+    from pero_ocr_spark.operators import html, sampling
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spans = html.html_to_spans(batch_df).withColumn(
+            "shard", sampling._residue(n_shards).cast("int")
+        )
+        (
+            spans.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+
+    return (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,38 @@
+"""Streaming HTML ingest (foreachBatch micro-batch pipeline)."""
+
+from __future__ import annotations
+
+from pero_ocr_spark.operators import html as H
+from pero_ocr_spark.streaming import ingest
+
+
+def _write_pages(spark, sf_dir, path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    H.synthesize_html_interleaved(docs).coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return docs
+
+
+def test_stream_ingest_matches_batch(spark, sf_dir, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _write_pages(spark, sf_dir, pages_dir)
+
+    q = ingest.stream_ingest_pages(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    want = H.html_to_spans(spark.read.parquet(pages_dir))
+    key = ["doc_id", "ord", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    assert got.select("shard").distinct().count() > 1
+
+    # restart with the same checkpoint: no files pending, nothing appended
+    n_before = got.count()
+    q2 = ingest.stream_ingest_pages(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
