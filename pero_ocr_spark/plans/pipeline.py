@@ -30,6 +30,16 @@ from pero_ocr_spark.operators import extract
 
 Stage = Callable[[DataFrame], DataFrame]
 
+
+def _lazy(modname: str, fn: str) -> Stage:
+    def stage(df: DataFrame) -> DataFrame:
+        import importlib
+
+        mod = importlib.import_module(f"pero_ocr_spark.operators.{modname}")
+        return getattr(mod, fn)(df)
+
+    return stage
+
 # stage registry — the analog of the LAYOUT_PARSER_* METHOD factory
 # (page_parser.py:29-74); extendable by callers via register_stage.
 STAGES: dict[str, Stage] = {
@@ -38,6 +48,14 @@ STAGES: dict[str, Stage] = {
     "strip": extract.strip_boilerplate,
     "order": extract.assign_reading_order,
     "project": lambda df: df.select("doc_id", "kind", "text", "media_ref", "ord"),
+    # web-ingest front door (operators/html.py)
+    "html_synthesize": _lazy("html", "synthesize_html_interleaved"),
+    "html_parse": _lazy("html", "parse_html_blocks"),
+    "html_classify": _lazy("html", "classify_blocks"),
+    "html_spans": _lazy("html", "html_to_spans"),
+    # training-side serialization (operators/extract.py, media.py)
+    "render_train": _lazy("extract", "render_training_text"),
+    "media_pairs": _lazy("media", "media_context_pairs"),
 }
 
 

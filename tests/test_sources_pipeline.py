@@ -82,3 +82,21 @@ def test_pipeline_custom_stage(spark, sf_dir):
     out = p(corpus.spans_table(spark, sf_dir))
     kinds = out.select("kind").distinct().collect()
     assert [r["kind"] for r in kinds] == ["media"]
+
+
+def test_pipeline_ingest_chain_equals_direct(spark, sf_dir):
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.plans import pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    p = pipeline.Pipeline.from_config(
+        {"stages": ["html_synthesize", "html_spans"]}
+    )
+    got = sorted(map(tuple, p(docs).collect()))
+    want = sorted(
+        map(
+            tuple,
+            H.html_to_spans(H.synthesize_html_interleaved(docs)).collect(),
+        )
+    )
+    assert got == want
