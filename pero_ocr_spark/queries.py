@@ -2975,3 +2975,79 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return textstats.chunk_documents(kept, max_tokens=64, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# RTL shaping oracle: the contextual-joining decisions are POSITIONALLY
+# LOCAL (prev_joins(i) == joins_forward(c[i-1]) AND joins_backward(c[i]);
+# ligature membership depends only on the adjacent char, and an alef never
+# joins forward so post-ligature state collapses to the same local rule),
+# and on an all-Arabic+spaces line the reference reorder degenerates to
+# full string reversal — so R18 is SQL-expressible after all. The form
+# tables are public Unicode data interpolated from functions/arabic.py.
+# ---------------------------------------------------------------------------
+
+def _rtl_oracle_sql() -> str:
+    from pero_ocr_spark.functions import arabic as _ar
+
+    def b(x: bool) -> str:
+        return "TRUE" if x else "FALSE"
+
+    rows = ",\n    ".join(
+        f"('{base}','{iso}','{fin}','{ini}','{med}',"
+        f"{b(bool(ini or med))},{b(bool(fin or med))})"
+        for base, (iso, fin, ini, med) in _ar.FORMS.items()
+    )
+    ligs = ",".join(
+        f"('{alef}','{iso}','{fin}')"
+        for alef, (iso, fin) in _ar.LIGATURES.items()
+    )
+    alefs = ",".join(f"'{a}'" for a in _ar.LIGATURES)
+    latin = "abcdefghijklmnopqrstuvwxyz"
+    ar = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    return f"""
+WITH f(base, iso, fin, ini, med, jf, jb) AS (VALUES
+    {rows}),
+lig(alef, liso, lfin) AS (VALUES {ligs}),
+t AS (
+  SELECT doc_id,
+         string_split(translate(lower(text), '{latin}', '{ar}'), '') AS cs
+  FROM documents),
+pos AS (
+  SELECT doc_id, cs,
+         CAST(unnest(generate_series(1, len(cs))) AS INT) AS i
+  FROM t),
+ch AS (
+  SELECT doc_id, i, cs[i] AS cur,
+         CASE WHEN i > 1 THEN cs[i-1] ELSE '' END AS prv,
+         CASE WHEN i < len(cs) THEN cs[i+1] ELSE '' END AS nxt
+  FROM pos),
+sel AS (
+  SELECT ch.doc_id, ch.i,
+    CASE
+      WHEN ch.cur IN ({alefs}) AND ch.prv = '{_ar.LAM}' THEN NULL
+      WHEN ch.cur = '{_ar.LAM}' AND ch.nxt IN ({alefs}) THEN
+        CASE WHEN coalesce(fp.jf, FALSE) THEN lg.lfin ELSE lg.liso END
+      WHEN fc.base IS NULL THEN ch.cur
+      ELSE CASE
+        WHEN coalesce(fp.jf, FALSE) AND fc.jb
+             AND fc.jf AND coalesce(fn.jb, FALSE)
+          THEN coalesce(nullif(fc.med, ''), fc.iso)
+        WHEN coalesce(fp.jf, FALSE) AND fc.jb
+          THEN coalesce(nullif(fc.fin, ''), fc.iso)
+        WHEN fc.jf AND coalesce(fn.jb, FALSE)
+          THEN coalesce(nullif(fc.ini, ''), fc.iso)
+        ELSE fc.iso END
+    END AS glyph
+  FROM ch
+  LEFT JOIN f fc ON ch.cur = fc.base
+  LEFT JOIN f fp ON ch.prv = fp.base
+  LEFT JOIN f fn ON ch.nxt = fn.base
+  LEFT JOIN lig lg ON ch.nxt = lg.alef)
+SELECT doc_id, string_agg(glyph, '' ORDER BY i DESC) AS text
+FROM sel WHERE glyph IS NOT NULL
+GROUP BY doc_id
+"""
+
+
+_REGISTRY["rtl_visual_form"] = (_REGISTRY["rtl_visual_form"][0], _rtl_oracle_sql())

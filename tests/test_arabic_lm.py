@@ -186,3 +186,35 @@ class TestArabicSparkOp:
         assert out[1] != "سم"  # actually shaped (presentation forms)
         assert out[2] == "plain latin"
         assert out[3] == ""
+
+
+def test_rtl_sql_oracle_matches_shaping_randomized():
+    """The generated DuckDB oracle for rtl_visual_form reproduces
+    shape()+reverse() on randomized text, including lam-alef ligature
+    and medial-join cases the driver corpus may not reach."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pero_ocr_spark.functions.arabic import ArabicHelper
+    from pero_ocr_spark.queries import _rtl_oracle_sql
+
+    h = ArabicHelper()
+    latin = "abcdefghijklmnopqrstuvwxyz"
+    ar = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    tr = str.maketrans(latin, ar)
+    random.seed(7)
+    texts = ["wa wall away w a wawa lwa", "window was slow"] + [
+        " ".join(
+            "".join(random.choice(latin) for _ in range(random.randint(1, 8)))
+            for _ in range(random.randint(1, 10))
+        )
+        for _ in range(100)
+    ]
+    rows = pd.DataFrame(enumerate(texts), columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", rows)
+    got = con.execute(_rtl_oracle_sql()).fetchdf().set_index("doc_id")["text"]
+    for i, t in enumerate(texts):
+        assert got[i] == h.string_to_visual_form(t.lower().translate(tr)), t
