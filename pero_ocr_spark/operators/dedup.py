@@ -513,3 +513,42 @@ def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
         "first_in_batch",
         (~F.col("known_near") & F.col("first_in_batch")).alias("keep"),
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Quality-priority dedup: given near-dup ``pairs`` and a per-doc
+    ``quality`` score, keep the HIGHEST-quality member of each
+    duplicate cluster (ties broken by min doc_id) instead of the
+    arbitrary min-id canonical — retention policy for curation, where
+    the duplicate worth keeping is the cleanest copy.
+
+    Scale shape: reuses :func:`duplicate_clusters` (iterative CC with
+    persisted edges); the winner per cluster is one ``max_by``
+    aggregation on a (quality, -doc_id) struct — map-side combinable,
+    no sort. Singleton docs (no pair) keep themselves.
+    """
+    comp = duplicate_clusters(pairs)  # (doc_id, cluster_id)
+    member = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .join(quality, "doc_id")
+    )
+    rank_key = F.struct(
+        F.col("quality_prob").alias("q"), (-F.col("doc_id")).alias("nid")
+    )
+    winners = member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", rank_key).alias("keep_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return member.join(winners, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members",
+        (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
+    )

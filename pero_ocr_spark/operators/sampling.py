@@ -160,3 +160,25 @@ def shard_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def train_val_test_split(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment, stratified by
+    construction: the split is a pure function of the hashed doc_id
+    (LCG residue in [0,100)), so every source stratum receives the
+    same expected proportions without a shuffle or a quota table —
+    and the assignment is stable under corpus growth (adding docs
+    never moves an existing doc between splits, the property that
+    keeps eval sets frozen across corpus versions).
+
+    Scale shape: a narrow projected CASE over the scan. Nothing else.
+    """
+    r = _residue(100)
+    split = (
+        F.when(r < test_pct, F.lit("test"))
+        .when(r < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "source", split.alias("split"))

@@ -3051,3 +3051,85 @@ GROUP BY doc_id
 
 
 _REGISTRY["rtl_visual_form"] = (_REGISTRY["rtl_visual_form"][0], _rtl_oracle_sql())
+
+
+@register(
+    "corpus_train_val_split",
+    """
+SELECT doc_id, source,
+       CASE WHEN (doc_id*69069 + 12345) % 2147483647 % 100 < 10 THEN 'test'
+            WHEN (doc_id*69069 + 12345) % 2147483647 % 100 < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def q_corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frozen eval splits: hash-residue assignment is stable under
+    # corpus growth and stratifies by construction — a narrow CASE
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.train_val_test_split(
+        _t(spark, sf_dir, "documents"), val_pct=10, test_pct=10
+    )
+
+
+@register(
+    "dedup_keep_best",
+    _SHINGLE_CTE
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+  WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+r AS (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+  SELECT * FROM reach),
+clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+member AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clus c USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-4.0 *
+           list_sum(list_transform(string_split(text, ' '),
+             w -> ({_DUCK_POLY.format(col="w")} % 4096 * 2654435761) % 9973
+                  / 9973.0 - 0.5))
+           / len(string_split(text, ' ')))), 6) AS qp
+  FROM documents),
+win AS (
+  SELECT cluster_id, doc_id AS keep_doc FROM (
+    SELECT m.cluster_id, m.doc_id,
+           row_number() OVER (PARTITION BY m.cluster_id
+                              ORDER BY q.qp DESC, m.doc_id ASC) AS rn
+    FROM member m JOIN q USING (doc_id)) WHERE rn = 1),
+cnt AS (SELECT cluster_id, count(*) AS n_members FROM member GROUP BY 1)
+SELECT m.doc_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       CAST(cnt.n_members AS BIGINT) AS n_members,
+       m.doc_id = win.keep_doc AS keep
+FROM member m JOIN win USING (cluster_id) JOIN cnt USING (cluster_id)
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retention-priority dedup: the cluster survivor is the cleanest
+    # copy (classifier score), not the arbitrary min id
+    from pero_ocr_spark.operators import dedup, textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    quality = textstats.quality_classifier_scores(docs).select(
+        "doc_id", "quality_prob"
+    )
+    return dedup.keep_best_per_cluster(docs, pairs, quality)

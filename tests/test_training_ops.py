@@ -132,3 +132,41 @@ def test_media_context_pairs_nearest_text_neighbours(spark):
     assert (r.prev_text, r.next_text, r.caption) == ("intro words", "outro", "intro words")
     r = got[(2, 0)]
     assert (r.prev_text, r.next_text, r.caption) == (None, None, None)
+
+
+def test_train_val_test_split_proportions_and_stability(spark):
+    from pero_ocr_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 20}") for i in range(2000)], "doc_id long, source string"
+    )
+    out = sampling.train_val_test_split(docs).collect()
+    frac = {s: sum(r.split == s for r in out) / 2000 for s in ("train", "val", "test")}
+    assert 0.05 < frac["test"] < 0.15 and 0.05 < frac["val"] < 0.15
+    assert frac["train"] > 0.7
+    # growth stability: the first 1000 docs keep their assignment
+    sub = sampling.train_val_test_split(docs.filter("doc_id < 1000")).collect()
+    full = {r.doc_id: r.split for r in out}
+    assert all(full[r.doc_id] == r.split for r in sub)
+
+
+def test_keep_best_per_cluster_prefers_quality_then_min_id(spark):
+    from pero_ocr_spark.operators import dedup
+
+    docs = _docs(spark, [(1, "a"), (2, "b"), (3, "c"), (9, "solo")])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality_prob double",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.keep_best_per_cluster(docs, pairs, quality).collect()
+    }
+    # 1-2-3 one cluster: quality tie 2 vs 3 -> min id 2 wins
+    assert [got[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert got[1].n_members == 3 and got[1].cluster_id == got[3].cluster_id
+    # singleton keeps itself regardless of score
+    assert got[9].keep and got[9].n_members == 1
