@@ -195,3 +195,49 @@ def test_html_to_spans_interleaves_and_strips_furniture(spark):
         (3, "media", None, "img://5/1"),
         (4, "text", " ".join(words[24:30]), None),
     ]
+
+
+# ------------------------------------------------------------- properties
+
+def test_parser_conserves_words_on_random_nested_markup():
+    """Every word inside non-skipped subtrees appears exactly once, in
+    document order, across the emitted blocks — regardless of nesting,
+    unclosed tags, or inline/block mixing."""
+    import random
+
+    rng = random.Random(42)
+    block = ["div", "p", "li", "section", "td"]
+    inline = ["span", "b", "em", "a"]
+    counter = 0
+
+    def gen(depth):
+        nonlocal counter
+        parts, words = [], []
+        for _ in range(rng.randint(1, 4)):
+            roll = rng.random()
+            if roll < 0.45 or depth >= 4:
+                n = rng.randint(1, 3)
+                ws = [f"w{counter + k}" for k in range(n)]
+                counter += n
+                parts.append(" ".join(ws))
+                words.extend(ws)
+            elif roll < 0.75:
+                t = rng.choice(block)
+                sub, sw = gen(depth + 1)
+                close = "" if rng.random() < 0.2 else f"</{t}>"
+                parts.append(f"<{t}>{sub}{close}")
+                words.extend(sw)
+            else:
+                t = rng.choice(inline)
+                sub, sw = gen(depth + 1)
+                parts.append(f"<{t}>{sub}</{t}>")
+                words.extend(sw)
+        return " ".join(parts), words
+
+    for _ in range(25):
+        counter = 0
+        markup, want = gen(0)
+        blocks = _parse(markup)
+        got = [w for _, _, _, text in blocks for w in text.split(" ")]
+        assert got == want
+        assert all(nw == len(t.split(" ")) for _, nw, _, t in blocks)
