@@ -14,9 +14,11 @@ Pipelines:
 
   * ``extract`` — nested (doc_id, spans) table → classified, stripped,
     reading-ordered span rows, written as parquet partitioned by an
-    LCG shard (decorrelated from id structure) with per-run lineage
-    semantics: re-running against the same output only writes shards
-    absent from the output (crash-resume at shard granularity).
+    LCG shard (decorrelated from id structure) with shard-granularity
+    crash-resume: shards already present in the output are skipped on
+    re-run. (Sound because the FileOutputCommitter only moves final
+    files into place at job commit — a crashed job leaves _temporary
+    dirs, never a half-written shard partition.)
   * ``ingest``  — (doc_id, html) pages → DOM-parsed, boilerplate-
     stripped interleaved (kind, text, media_ref, ord) spans.
 
@@ -85,10 +87,23 @@ def main(argv: list[str] | None = None) -> int:
             pages = html.synthesize_html_interleaved(pages)
         spans = html.html_to_spans(pages)
 
-    shard = sampling._residue(args.shards).cast("int").alias("shard")
-    observed, obs = telemetry.observe_extraction(spans.withColumn("shard", shard))
+    sharded = spans.withColumn(
+        "shard", sampling._residue(args.shards).cast("int")
+    )
+    # shard-granularity resume: committed shard partitions are skipped
+    try:
+        done = [
+            r.shard
+            for r in spark.read.parquet(args.output)
+            .select("shard").distinct().collect()
+        ]
+    except Exception:  # first run: no output yet
+        done = []
+    if done:
+        sharded = sharded.filter(~F.col("shard").isin(done))
+    observed, obs = telemetry.observe_extraction(sharded)
     (
-        observed.write.mode("overwrite")
+        observed.write.mode("append")
         .partitionBy("shard")
         .parquet(args.output)
     )
@@ -99,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
         output=args.output,
         shards=args.shards,
         wall_sec=round(wall, 2),
-        spans_per_sec=round(m["n_spans"] / wall, 1),
+        spans_per_sec=round((m["n_spans"] or 0) / wall, 1),
+        resumed_shards_skipped=len(done),
     )
     print(json.dumps(m))
     return 0

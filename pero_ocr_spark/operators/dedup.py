@@ -491,10 +491,14 @@ def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
         .distinct()
     )
     batch = keys(new_docs)
-    w = Window.partitionBy("fp_min_shingle").orderBy("doc_id")
-    first = F.when(
-        F.col("fp_min_shingle").isNull(), F.lit(True)
-    ).otherwise(F.row_number().over(w) == 1)
+    # first-occurrence key: the fingerprint where one exists, else the
+    # exact hash — so sub-shingle-width docs still dedup within the
+    # batch instead of all passing as "first"
+    batch = batch.withColumn(
+        "_fkey",
+        F.coalesce(F.col("fp_min_shingle").cast("string"), F.col("h_exact")),
+    )
+    w = Window.partitionBy("_fkey").orderBy("doc_id")
     marked = (
         batch.join(snap_exact, batch.h_exact == F.col("se"), "left")
         .join(snap_near, batch.fp_min_shingle == F.col("sn"), "left")
@@ -502,8 +506,7 @@ def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
             "doc_id",
             F.col("se").isNotNull().alias("known_exact"),
             F.col("sn").isNotNull().alias("known_near"),
-            first.alias("first_in_batch"),
-            "fp_min_shingle",
+            (F.row_number().over(w) == 1).alias("first_in_batch"),
         )
     )
     return marked.select(
@@ -511,7 +514,11 @@ def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
         "known_exact",
         "known_near",
         "first_in_batch",
-        (~F.col("known_near") & F.col("first_in_batch")).alias("keep"),
+        (
+            ~F.col("known_near")
+            & ~F.col("known_exact")
+            & F.col("first_in_batch")
+        ).alias("keep"),
     )
 
 

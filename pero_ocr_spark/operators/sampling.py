@@ -31,7 +31,19 @@ def _residue(mod: int) -> F.Column:
     integer arithmetic (reproducible in ANSI SQL, no overflow for
     doc_id < 2^47) and DECORRELATED from any doc_id % k stratum
     structure (the raw residue is not: e.g. source = src(doc_id % 20)
-    makes doc_id % 100 take only 5 values per stratum)."""
+    makes doc_id % 100 take only 5 values per stratum). ``mod`` must
+    be coprime with the multiplier 69069 (= 3·7·11·13·23): for ids
+    below ~31k the LCG value never wraps mod 2^31-1, so a shared
+    factor makes whole residue classes unreachable (mod 3 is CONSTANT
+    — both constants divide by 3)."""
+    import math
+
+    if math.gcd(mod, 69_069) != 1:
+        raise ValueError(
+            f"residue mod {mod} shares a factor with the LCG multiplier "
+            "69069 (3·7·11·13·23) and would be degenerate; pick a "
+            "coprime mod (e.g. 16, 64, 100)"
+        )
     return F.pmod(F.col("doc_id") * 69_069 + 12_345, F.lit(HASH_P)) % mod
 
 

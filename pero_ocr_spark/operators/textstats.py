@@ -387,6 +387,12 @@ def chunk_documents(
     stage boundary (the implicit size>0 pushdown rewrites the plan).
     """
     stride = max_tokens - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens "
+            f"({max_tokens}); stride would be {stride} and every "
+            "document would silently produce zero chunks"
+        )
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     n_chunks = F.lit(1) + F.greatest(

@@ -1949,10 +1949,12 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# R18 — Arabic shaping + visual reorder at driver level. Contextual
-# presentation-form shaping is not SQL-expressible, so no oracle (driver
-# records the rows-only check); the kernel itself matches the executed
-# reference on all 13 of its fixtures (tests/test_arabic_lm.py).
+# R18 — Arabic shaping + visual reorder at driver level. Registered
+# here without SQL; a GENERATED DuckDB oracle is attached further down
+# (see _rtl_oracle_sql — the joining decisions are positionally local
+# and the reorder degenerates to reversal on all-Arabic lines). The
+# kernel also matches the executed reference on all 13 of its fixtures
+# (tests/test_arabic_lm.py).
 # ---------------------------------------------------------------------------
 
 
@@ -2789,15 +2791,14 @@ se AS (SELECT DISTINCT h_exact FROM keyed WHERE is_snap),
 sn AS (SELECT DISTINCT fp FROM keyed WHERE is_snap AND fp IS NOT NULL),
 b AS (
   SELECT doc_id, h_exact, fp,
-         CASE WHEN fp IS NULL THEN TRUE
-              ELSE row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
-         END AS first_in_batch
+         row_number() OVER (PARTITION BY coalesce(fp::VARCHAR, h_exact)
+                            ORDER BY doc_id) = 1 AS first_in_batch
   FROM keyed WHERE NOT is_snap)
 SELECT b.doc_id,
        se.h_exact IS NOT NULL AS known_exact,
        sn.fp IS NOT NULL AS known_near,
        b.first_in_batch,
-       sn.fp IS NULL AND b.first_in_batch AS keep
+       sn.fp IS NULL AND se.h_exact IS NULL AND b.first_in_batch AS keep
 FROM b
 LEFT JOIN se ON b.h_exact = se.h_exact
 LEFT JOIN sn ON b.fp = sn.fp

@@ -6,8 +6,11 @@ stream — but every micro-batch is a BOUNDED DataFrame, and a document
 never spans micro-batches (a page file arrives whole). So the
 streaming form is ``foreachBatch``: each micro-batch runs the exact
 batch pipeline (same code path, zero forked logic) and appends
-shard-partitioned parquet. The sink checkpoint gives exactly-once at
-file granularity: a restarted query re-reads only unprocessed files.
+shard-partitioned parquet. Exactly-once comes from the checkpoint
+PLUS an idempotent write: output is partitioned by (batch_id, shard)
+and written with dynamic partition overwrite, so a batch replayed
+after a mid-write crash overwrites its own partitions instead of
+appending duplicates.
 
 Scale shape: identical to the batch plan per micro-batch (narrow DOM
 parse, one doc_id exchange), state bounded by micro-batch size; the
@@ -43,10 +46,14 @@ def stream_ingest_pages(
         spans = html.html_to_spans(batch_df).withColumn(
             "shard", sampling._residue(n_shards).cast("int")
         )
+        # idempotent per-batch write: a replay of batch N after a
+        # mid-write crash overwrites ONLY partitions batch_id=N/*
+        # (dynamic mode), never duplicating committed batches
         (
             spans.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("shard")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "shard")
             .parquet(out_dir)
         )
 

@@ -43,3 +43,25 @@ def test_ingest_job_emits_interleaved_spans(spark, sf_dir, tmp_path, capsys):
     kinds = {r.kind for r in df.select("kind").distinct().collect()}
     assert kinds == {"text", "media"}
     assert df.count() == m["n_spans"]
+
+
+def test_extract_job_resumes_at_shard_granularity(spark, sf_dir, tmp_path, capsys):
+    mod = _job()
+    out = tmp_path / "spans"
+    mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    import json as _json
+
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = spark.read.parquet(str(out)).count()
+    # second run: all shards committed -> nothing rewritten
+    mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    second = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["resumed_shards_skipped"] == 4
+    assert (second["n_spans"] or 0) == 0
+    assert spark.read.parquet(str(out)).count() == n == first["n_spans"]

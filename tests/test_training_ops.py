@@ -28,13 +28,15 @@ def _py_fp(text: str) -> int | None:
 
 
 def test_incremental_dedup_matches_python_model(spark):
-    snap_rows = [(100, "a b c d"), (101, "x y z w v")]
+    snap_rows = [(100, "a b c d"), (101, "x y z w v"), (102, "ok")]
     batch_rows = [
         (1, "a b c d"),        # exact copy of snapshot doc
         (2, "a b c d e"),      # near-dup (may share min shingle)
         (3, "p q r s t"),      # fresh
         (4, "p q r s t"),      # within-batch exact dup of 3
         (5, "hi"),             # < 3 words: no fingerprint, kept
+        (6, "hi"),             # short within-batch dup of 5 -> dropped
+        (7, "ok"),             # short exact copy of snapshot -> dropped
     ]
     got = {
         r.doc_id: r
@@ -44,23 +46,31 @@ def test_incremental_dedup_matches_python_model(spark):
     }
     snap_texts = {t for _, t in snap_rows}
     snap_fps = {_py_fp(t) for _, t in snap_rows} - {None}
-    first_seen: dict[int, int] = {}
+    first_seen: dict[object, int] = {}
+    for doc_id, text in batch_rows:
+        key = _py_fp(text) if _py_fp(text) is not None else text
+        if key not in first_seen:
+            first_seen[key] = doc_id
     for doc_id, text in batch_rows:
         fp = _py_fp(text)
-        if fp is not None and fp not in first_seen:
-            first_seen[fp] = doc_id
-    for doc_id, text in batch_rows:
-        fp = _py_fp(text)
+        key = fp if fp is not None else text
         r = got[doc_id]
         assert r.known_exact == (text in snap_texts), doc_id
         assert r.known_near == (fp in snap_fps), doc_id
-        want_first = fp is None or first_seen[fp] == doc_id
+        want_first = first_seen[key] == doc_id
         assert r.first_in_batch == want_first, doc_id
-        assert r.keep == ((fp not in snap_fps) and want_first), doc_id
+        want_keep = (
+            (fp not in snap_fps)
+            and (text not in snap_texts)
+            and want_first
+        )
+        assert r.keep == want_keep, doc_id
     # sanity on the scenario itself
     assert got[1].known_exact and not got[1].keep
     assert got[3].keep and not got[4].first_in_batch
     assert got[5].keep
+    assert not got[6].keep          # short within-batch dup caught
+    assert got[7].known_exact and not got[7].keep  # short snapshot dup caught
 
 
 def test_render_training_text_orders_and_sentinels(spark):
