@@ -187,29 +187,48 @@ def main() -> None:
 
     r_low = {j: best(lows, j) for j in ("extract", "recognize", "ingest")}
     r_high = {j: best(highs, j) for j in ("extract", "recognize", "ingest")}
-    # a probe ABOVE 1.0 is physically impossible (32 procs cannot do
-    # more than 4x the work of 8 on one machine) — it means the probe's
-    # own 8-proc leg was contaminated; such probes are discarded before
-    # taking the max, else one bad probe poisons every ratio
+    # ceiling estimate mirrors the job-leg rule SYMMETRICALLY: per LEG,
+    # keep the best (max-batches) 8-proc and best 32-proc measurement
+    # across probes — contention can only depress a leg's batch count,
+    # so per-leg max is the least-contaminated estimate, exactly as
+    # per-leg min time is for the Spark jobs. (The old rule took max()
+    # of whole-probe ratios after discarding >1.0 ones, which
+    # preferentially kept probes whose 8-leg was slowed but stayed
+    # under 1.0 — a one-sided bias.) Ratios above 1.0 are physically
+    # impossible (32 procs can't do >4x the work of 8) and are clamped.
     probes = [m["hw_ceiling_efficiency"] for m in micros]
-    valid = [p for p in probes if p <= 1.0] or [min(probes)]
+    best8 = max(m["batches_8"] for m in micros)
+    best32 = max(m["batches_32"] for m in micros)
+    srt = sorted(probes)
     micro = {
-        "hw_speedup": max(
-            m["hw_speedup"] for m in micros
-            if m["hw_ceiling_efficiency"] in valid
-        ),
-        "hw_ceiling_efficiency": max(valid),
+        "hw_speedup": round(best32 / best8, 3),
+        "hw_ceiling_efficiency": min(1.0, round(best32 / best8 / 4, 3)),
         "all_probes": probes,
+        "probe_median": srt[len(srt) // 2],
+        "probe_spread": round(srt[-1] - srt[0], 3),
     }
     ratio = high / low
 
     def eff(job):
         return round((r_low[job]["sec"] / r_high[job]["sec"]) / ratio, 3)
 
+    def eff_median(job):
+        # per-round PAIRED efficiencies (round k's low leg over round
+        # k's high leg) — the honest central tendency to report next to
+        # the adopted best-of-rounds figure
+        effs = sorted(
+            (lows[k][job]["sec"] / highs[k][job]["sec"]) / ratio
+            for k in range(rounds)
+        )
+        return round(effs[len(effs) // 2], 3)
+
     ceiling = micro["hw_ceiling_efficiency"]
 
     def rel(job):
         return round(eff(job) / ceiling, 3) if ceiling else None
+
+    def rel_median(job):
+        return round(eff_median(job) / ceiling, 3) if ceiling else None
 
     result = {
         "metric": "scaling efficiency local[8] vs local[32] (sandbox proxy for N vs 4N executors)",
@@ -225,7 +244,9 @@ def main() -> None:
                 r_high["extract"]["spans"] / r_high["extract"]["sec"], 1
             ),
             "efficiency": eff("extract"),
+            "efficiency_median_of_rounds": eff_median("extract"),
             "efficiency_vs_hw_ceiling": rel("extract"),
+            "efficiency_median_vs_hw_ceiling": rel_median("extract"),
             "pass": eff("extract") >= 0.8 or (rel("extract") or 0) >= 0.8,
         },
         "recognize": {
@@ -236,7 +257,9 @@ def main() -> None:
                 r_high["recognize"]["lines"] / r_high["recognize"]["sec"], 1
             ),
             "efficiency": eff("recognize"),
+            "efficiency_median_of_rounds": eff_median("recognize"),
             "efficiency_vs_hw_ceiling": rel("recognize"),
+            "efficiency_median_vs_hw_ceiling": rel_median("recognize"),
         },
         "ingest": {
             "spans": r_high["ingest"]["spans"],
@@ -246,7 +269,9 @@ def main() -> None:
                 r_high["ingest"]["spans"] / r_high["ingest"]["sec"], 1
             ),
             "efficiency": eff("ingest"),
+            "efficiency_median_of_rounds": eff_median("ingest"),
             "efficiency_vs_hw_ceiling": rel("ingest"),
+            "efficiency_median_vs_hw_ceiling": rel_median("ingest"),
         },
         "target": 0.8,
     }
@@ -261,10 +286,14 @@ jobs on `local[8]` vs `local[32]`, separate JVMs, shuffle partitions
 and heap scaled with cores, corpus amplified with distinct doc ids so
 per-core compute dominates fixed costs. {rounds} alternating
 low/high rounds (warm-up + best-of-3 inside each leg, separate JVM per
-leg); each leg reports its MIN across rounds and the ceiling its MAX
-across {rounds_p1} probes — co-tenant load on this shared box only
-ever slows a measurement, so the extremum is the least-contaminated
-estimate (single-round figures swung 0.2-0.8 with tenant spikes).
+leg). Each job leg reports its MIN time across rounds, and the ceiling
+probe applies the SAME rule per leg: the fastest 8-proc and fastest
+32-proc probe leg across {rounds_p1} probes — co-tenant load on this
+shared box only ever slows a measurement, so the per-leg extremum is
+the least-contaminated estimate on both sides (single-round figures
+swung 0.2-0.8 with tenant spikes). The adopted best-of-rounds figure
+is reported WITH the median-of-rounds next to it, so the spread is
+visible, not hidden.
 
 ## Job 1 — extraction pipeline (JVM end-to-end; the production shape)
 
@@ -277,25 +306,35 @@ scanning a nested Iceberg table. {x["spans"]:,} output spans.
 | local[8] (N) | {x["sec_low"]} | {round(x["spans"]/x["sec_low"], 1):,} |
 | local[32] (4N) | {x["sec_high"]} | {x["spans_per_sec_high"]:,} |
 
-**Scaling efficiency = {x["efficiency"]} absolute,
+**Scaling efficiency = {x["efficiency"]} absolute
+(median of rounds {x["efficiency_median_of_rounds"]}),
 {x["efficiency_vs_hw_ceiling"]} relative to the machine's measured
-parallel ceiling** (target ≥ 0.8) →
-**{"PASS" if x["pass"] else "FAIL"}**
+parallel ceiling (median {x["efficiency_median_vs_hw_ceiling"]})**
+(target ≥ 0.8) → **{"PASS" if x["pass"] else "FAIL"}**
 
 ## Job 2 — fused recognition (numpy-kernel path)
 
 logit synthesis + batched greedy CTC decode in one Arrow stage over
 {r["lines"]:,} lines: {r["sec_low"]}s at N vs {r["sec_high"]}s at 4N →
-efficiency {r["efficiency"]} absolute,
-{r["efficiency_vs_hw_ceiling"]} relative to the ceiling.
+efficiency {r["efficiency"]} absolute (median
+{r["efficiency_median_of_rounds"]}), {r["efficiency_vs_hw_ceiling"]}
+relative to the ceiling (median {r["efficiency_median_vs_hw_ceiling"]}).
+
+**Open item**: recognize is the weakest leg — it has sat at ~0.75-0.8
+of the measured ceiling across rounds, i.e. the Arrow-stage python
+path loses a slice of scaling the JVM paths don't. On a real cluster
+this leg changes completely (GPU/ONNX batched inference replaces the
+numpy kernel), but on CPU the gap is real and tracked here, not
+explained away.
 
 ## Job 3 — HTML main-content ingest (DOM-parse Python path)
 
 synthesized interleaved pages → stdlib-HTMLParser block segmentation
 (mapInPandas) → link-density classification → ordered text+media
 spans, over {i["spans"]:,} kept spans: {i["sec_low"]}s at N vs
-{i["sec_high"]}s at 4N → efficiency {i["efficiency"]} absolute,
-{i["efficiency_vs_hw_ceiling"]} relative to the ceiling.
+{i["sec_high"]}s at 4N → efficiency {i["efficiency"]} absolute (median
+{i["efficiency_median_of_rounds"]}), {i["efficiency_vs_hw_ceiling"]}
+relative to the ceiling (median {i["efficiency_median_vs_hw_ceiling"]}).
 
 ## The hardware ceiling (measured, not assumed)
 
@@ -303,8 +342,10 @@ This is ONE shared machine: 8→32 parallel processes cannot give 4x.
 A multiprocessing microbenchmark of the decode kernel alone (no Spark
 at all) scales {micro["hw_speedup"]}x from 8 to 32 processes —
 hardware ceiling efficiency **{micro["hw_ceiling_efficiency"]}**
-(SMT sharing + memory bandwidth + co-tenant load; the figure varies
-run to run with tenant noise). The efficiency the ARCHITECTURE is
+(per-leg best across probes, same rule as the job legs; whole-probe
+ratios had median {micro["probe_median"]} with spread
+{micro["probe_spread"]}). SMT sharing + memory bandwidth + co-tenant
+load; the figure varies run to run with tenant noise. The efficiency the ARCHITECTURE is
 responsible for is the ratio of the Spark job's scaling to that
 ceiling — both jobs sit at or near 1.0 of it. On a real 4N-executor
 cluster each executor brings its own cores and memory bandwidth, so

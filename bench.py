@@ -1,7 +1,10 @@
 """Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "pages_per_sec": ..., "spans_per_sec": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The LAST stdout line is ONE compact JSON summary (metric/value/sf/cpus/
+pages/spans/throughput + a small headline-query map) sized to survive a
+bounded stdout tail capture; the full per-query timing map is written to
+BENCH/last_run.json next to this file.
 
 Rows are fully materialized through the `noop` sink (no driver collect,
 no Python serde) so timings measure the JVM plan execution.
@@ -62,11 +65,12 @@ def main() -> None:
     )
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    result = {
+    full = {
         "metric": "end-to-end extraction + operator suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "pages": n_pages,
@@ -78,7 +82,27 @@ def main() -> None:
         # previously hidden); totals are NOT comparable to r1/r2 raw
         "timing_includes_construction": True,
     }
-    print(json.dumps(result))
+    # full per-query map goes to a FILE — the driver's stdout tail
+    # buffer truncated the 87-entry map in round 3 (BENCH_r03.parsed
+    # was null); stdout carries only a compact summary as the final line
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "last_run.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    headline = {
+        k: timings[k]
+        for k in ("extract_spans", "ocr_pipeline_e2e", "curation_pipeline_e2e",
+                  "layout_merge_lines", "layout_assign_lines")
+        if k in timings
+    }
+    summary = {k: v for k, v in full.items() if k != "queries"}
+    # keep the "queries" key the driver contract names, but only the
+    # headline subset — 87 entries blew past the driver's stdout tail
+    # buffer in round 3; the complete map is in BENCH/last_run.json
+    summary["queries"] = headline
+    summary["full_queries_file"] = "BENCH/last_run.json"
+    print(json.dumps(summary))
     spark.stop()
 
 

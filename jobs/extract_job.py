@@ -15,10 +15,17 @@ Pipelines:
   * ``extract`` — nested (doc_id, spans) table → classified, stripped,
     reading-ordered span rows, written as parquet partitioned by an
     LCG shard (decorrelated from id structure) with shard-granularity
-    crash-resume: shards already present in the output are skipped on
-    re-run. (Sound because the FileOutputCommitter only moves final
-    files into place at job commit — a crashed job leaves _temporary
-    dirs, never a half-written shard partition.)
+    crash-resume. Resume is manifest-based, NOT directory-presence
+    based: a shard counts as done only when a row for it exists in the
+    ``_shards_done`` manifest, which is appended strictly AFTER the
+    data job commits (the operators/lineage.py pattern). Shards
+    without a manifest row are (re)written with dynamic partition
+    OVERWRITE, so partially-populated shard dirs left by a crash —
+    possible with committer algorithm v2 or S3 direct-write
+    committers, whose task commits publish files immediately — are
+    replaced, never silently skipped and never double-appended. The
+    underscore prefix keeps the manifest invisible to plain
+    ``spark.read.parquet(output)`` consumers.
   * ``ingest``  — (doc_id, html) pages → DOM-parsed, boilerplate-
     stripped interleaved (kind, text, media_ref, ord) spans.
 
@@ -90,23 +97,41 @@ def main(argv: list[str] | None = None) -> int:
     sharded = spans.withColumn(
         "shard", sampling._residue(args.shards).cast("int")
     )
-    # shard-granularity resume: committed shard partitions are skipped
+    # shard-granularity resume: done = has a manifest row (written only
+    # after a data-job commit), NOT "shard dir exists" — partial dirs
+    # from a crashed run are rewritten below, not skipped
+    manifest = f"{args.output}/_shards_done"
     try:
         done = [
             r.shard
-            for r in spark.read.parquet(args.output)
+            for r in spark.read.parquet(manifest)
             .select("shard").distinct().collect()
         ]
-    except Exception:  # first run: no output yet
+    except Exception:  # first run: no manifest yet
         done = []
     if done:
         sharded = sharded.filter(~F.col("shard").isin(done))
     observed, obs = telemetry.observe_extraction(sharded)
     (
-        observed.write.mode("append")
+        # repartition("shard") clusters each shard into one task → one
+        # file per shard dir (not tasks × shards small files); dynamic
+        # overwrite replaces exactly the shards in the frame, making a
+        # shard re-run idempotent under ANY committer
+        observed.repartition("shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
         .parquet(args.output)
     )
+    # manifest append AFTER the data commit: a crash before this line
+    # leaves the shards unrecorded and the next run rewrites them. A
+    # shard whose residue class is empty still gets its row (it IS
+    # done) — enumerate the todo residues, don't derive from data.
+    todo = sorted(set(range(args.shards)) - set(int(s) for s in done))
+    if todo:
+        spark.createDataFrame(
+            [(int(s),) for s in todo], "shard int"
+        ).coalesce(1).write.mode("append").parquet(manifest)
     wall = time.perf_counter() - t0
     m = dict(obs.get)
     m.update(

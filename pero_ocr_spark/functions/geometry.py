@@ -398,6 +398,94 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
+def polygon_self_intersects(poly: np.ndarray) -> bool:
+    """True iff any two NON-ADJACENT edges of the closed polygon
+    properly cross (shared endpoints of consecutive edges are not
+    crossings). Vectorized orientation test over all edge pairs —
+    imported polygons are tens of points, so the O(e²) pair matrix is
+    trivial."""
+    pts = np.asarray(poly, dtype=np.float64)
+    n = len(pts)
+    if n < 4:
+        return False
+    if n == 4:
+        # scalar fast path — imported Coords are overwhelmingly rects/
+        # quads and this runs once PER LINE on import (the generic
+        # matrix build below costs ~90µs/call; this is ~3µs). A quad
+        # has exactly two non-adjacent edge pairs: (e0,e2) and (e1,e3).
+        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = pts.tolist()
+
+        def crosses(ax, ay, bx, by, cx, cy, dx, dy):
+            d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+            d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+            d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+            return d1 * d2 < 0 and d3 * d4 < 0
+
+        return crosses(x0, y0, x1, y1, x2, y2, x3, y3) or crosses(
+            x1, y1, x2, y2, x3, y3, x0, y0
+        )
+    return _self_intersects_generic(pts)
+
+
+def _self_intersects_generic(pts: np.ndarray) -> bool:
+    """Vectorized all-pairs proper-crossing test (any n ≥ 4); the quad
+    fast path above must agree with this — parity-tested."""
+    n = len(pts)
+    a = pts
+    b = np.roll(pts, -1, axis=0)  # edge i = a[i] -> b[i]
+
+    def orient(p, q, r):
+        # sign of cross((q-p),(r-p)) broadcast over pair grid
+        return np.sign(
+            (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0])
+        )
+
+    A = a[:, None, :]
+    B = b[:, None, :]
+    C = a[None, :, :]
+    D = b[None, :, :]
+    proper = (
+        (orient(A, B, C) * orient(A, B, D) < 0)
+        & (orient(C, D, A) * orient(C, D, B) < 0)
+    )
+    i = np.arange(n)
+    adjacent = (
+        (i[:, None] == i[None, :])
+        | ((i[:, None] + 1) % n == i[None, :])
+        | ((i[None, :] + 1) % n == i[:, None])
+    )
+    return bool(np.any(proper & ~adjacent & (i[:, None] < i[None, :])))
+
+
+def check_polygon(poly: np.ndarray) -> np.ndarray:
+    """§2.7 ``check_polygon``: repair a self-intersecting polygon, the
+    numpy analog of the reference's shapely ``buffer(0)`` fix-up
+    (``layout_helpers.py:184-191``) applied to every imported Coords
+    polygon. Valid polygons pass through untouched (bit-identical).
+
+    Repair strategy: (1) rewind — re-order the vertices by angle around
+    the centroid, which untangles bowties and any star-shaped-wrt-
+    centroid tangle while keeping every original vertex; (2) if the
+    rewound ring still self-intersects, fall back to the convex hull of
+    the vertices (a valid cover, like buffer(0)'s outer boundary)."""
+    pts = np.asarray(poly, dtype=np.float64)
+    if len(pts) < 4 or not polygon_self_intersects(pts):
+        return pts
+    centroid = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    rewound = pts[np.argsort(ang, kind="stable")]
+    if not polygon_self_intersects(rewound):
+        # rotate so the original first vertex stays first — keeps the
+        # repair a pure re-ordering, deterministic across runs
+        first = int(np.flatnonzero(
+            (rewound == pts[0]).all(axis=1)
+        )[0])
+        return np.roll(rewound, -first, axis=0)
+    return convex_hull(pts)
+
+
 def point_in_polygon(
     x: float, y: float, poly: np.ndarray, eps: float = 1e-9
 ) -> bool:

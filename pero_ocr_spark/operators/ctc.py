@@ -25,6 +25,7 @@ packing, ``line_ocr_engine.py:79-91``).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 from functools import lru_cache
 
@@ -220,7 +221,20 @@ def decode_greedy(logits_df: DataFrame) -> DataFrame:
     return logits_df.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+# per-worker beam-decode memo. Keys are a sha1 DIGEST of the logits
+# byte payloads (collision risk negligible), not the payloads — at the
+# 100k-entry bound raw keys pinned hundreds of MB per long-lived python
+# worker. dict preserves insertion order, so popitem(last=False)-style
+# FIFO eviction (next(iter())) bounds the set without the old
+# all-or-nothing clear() that threw away the whole working set.
 _BEAM_MEMO: dict[tuple, tuple] = {}
+_BEAM_MEMO_MAX = 100_000
+
+
+def _beam_memo_put(key: tuple, val: tuple) -> None:
+    if len(_BEAM_MEMO) >= _BEAM_MEMO_MAX:
+        _BEAM_MEMO.pop(next(iter(_BEAM_MEMO)))
+    _BEAM_MEMO[key] = val
 
 
 def decode_beam(
@@ -241,17 +255,17 @@ def decode_beam(
             for t, c, data, indices, indptr in zip(
                 pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
             ):
-                # per-worker memo on the raw logits bytes: line
-                # contents follow a skewed vocabulary, so each distinct
-                # logits matrix decodes once per long-lived worker
-                key = (
-                    np.asarray(data).tobytes(),
-                    np.asarray(indices).tobytes(),
-                    np.asarray(indptr).tobytes(),
-                    int(t),
-                    int(c),
-                )
-                hit = _BEAM_MEMO.get((key, beam_size, confidence_gate))
+                # per-worker memo keyed on a DIGEST of the logits
+                # bytes: line contents follow a skewed vocabulary, so
+                # each distinct logits matrix decodes once per
+                # long-lived worker, without the memo pinning the raw
+                # payloads in memory
+                h = hashlib.sha1()
+                h.update(np.asarray(data).tobytes())
+                h.update(np.asarray(indices).tobytes())
+                h.update(np.asarray(indptr).tobytes())
+                key = (h.digest(), int(t), int(c), beam_size, confidence_gate)
+                hit = _BEAM_MEMO.get(key)
                 if hit is None:
                     dense = kernels.sparse_to_dense(
                         data, indices, indptr, int(t), int(c)
@@ -265,9 +279,7 @@ def decode_beam(
                         )
                         text, score = hyps[0][0], hyps[0][1]
                     hit = (text, conf, score)
-                    if len(_BEAM_MEMO) >= 100_000:
-                        _BEAM_MEMO.clear()
-                    _BEAM_MEMO[(key, beam_size, confidence_gate)] = hit
+                    _beam_memo_put(key, hit)
                 text, conf, score = hit
                 texts.append(text)
                 confs.append(conf)
@@ -326,7 +338,7 @@ def decode_beam_lm_carry(
                 lm_cache["lm"] = kernels.NGramLM(CHARSET)
         return lm_cache["lm"]
 
-    # (logits bytes, entry LM state) → (text, combined score, exit
+    # (logits digest, entry LM state) → (text, combined score, exit
     # state): the scan is sequential WITHIN a doc, but line contents
     # follow a skewed vocabulary and the LM state space is tiny (last
     # char index), so across a long-lived worker most (line, state)
@@ -343,14 +355,11 @@ def decode_beam_lm_carry(
         for t, c, data, indices, indptr in zip(
             pdf["t"], pdf["c"], pdf["data"], pdf["indices"], pdf["indptr"]
         ):
-            key = (
-                np.asarray(data).tobytes(),
-                np.asarray(indices).tobytes(),
-                np.asarray(indptr).tobytes(),
-                int(t),
-                int(c),
-                state,
-            )
+            h = hashlib.sha1()
+            h.update(np.asarray(data).tobytes())
+            h.update(np.asarray(indices).tobytes())
+            h.update(np.asarray(indptr).tobytes())
+            key = (h.digest(), int(t), int(c), state)
             hit = memo.get(key)
             if hit is None:
                 dense = kernels.sparse_to_dense(
@@ -369,8 +378,8 @@ def decode_beam_lm_carry(
                     hyps[0][1] + lm_scale * hyps[0][2],
                     new_state,
                 )
-                if len(memo) >= 100_000:
-                    memo.clear()
+                if len(memo) >= _BEAM_MEMO_MAX:
+                    memo.pop(next(iter(memo)))  # FIFO evict, not clear
                 memo[key] = hit
             texts.append(hit[0])
             scores.append(hit[1])
@@ -478,7 +487,11 @@ def decode_chunked(
     Skew handling: decode cost ∝ text length, so the input is packed
     into partitions of ~equal cumulative length with
     ``lineage.repartition_weighted`` (bucketed cumsum + exact salt
-    routing) — one 64x-long document can't straggle the stage.
+    routing) — a heavy-tailed document can't straggle the stage. The
+    measured cost/payoff of this choice (≈ +0.6-1.0 s at sf0.1
+    uniform; ~21% faster with a 2048x skew doc, with a bounded — not
+    linear-in-max-doc — straggler) is quantified in SCALE.md §2,
+    "The cost and payoff of weighted repartitioning".
     """
     from pero_ocr_spark.operators.lineage import repartition_weighted
 

@@ -70,6 +70,61 @@ class Pipeline:
         self.stages = stages
 
     @classmethod
+    def from_ini(cls, source: str) -> "Pipeline":
+        """Ini-file front door — the analog of the reference's
+        configparser-driven PageParser construction
+        (``document_ocr/page_parser.py:457-483``, which walks numbered
+        ``LAYOUT_PARSER_{i}`` sections and a METHOD factory key).
+
+        ``source`` is a path to an ``.ini`` file or the ini text
+        itself. Two equivalent spellings:
+
+        * numbered sections, reference-style::
+
+            [STAGE_1]
+            METHOD = explode
+            [STAGE_2]
+            METHOD = classify
+
+        * or a ``[PIPELINE]`` section with a comma list::
+
+            [PIPELINE]
+            STAGES = explode, classify, strip, order, project
+
+        Unknown METHOD / stage names raise ``KeyError`` naming the
+        registered stages, like ``from_config``."""
+        import configparser
+        import os
+
+        cfg = configparser.ConfigParser()
+        if os.path.sep in source or os.path.isfile(source):
+            with open(source) as f:
+                cfg.read_string(f.read())
+        else:
+            cfg.read_string(source)
+
+        names: list[str] = []
+        # numbered sections first (reference walks LAYOUT_PARSER_1..9;
+        # we allow 1..99 of our uniform STAGE_{i})
+        for i in range(1, 100):
+            sec = f"STAGE_{i}"
+            if not cfg.has_section(sec):
+                continue
+            method = cfg.get(sec, "METHOD", fallback=None)
+            if method is None:
+                raise KeyError(f"section [{sec}] has no METHOD key")
+            names.append(method.strip())
+        if not names and cfg.has_section("PIPELINE"):
+            raw = cfg.get("PIPELINE", "STAGES", fallback="")
+            names = [s.strip() for s in raw.split(",") if s.strip()]
+        if not names:
+            raise KeyError(
+                "ini defines no stages: add [STAGE_1]..[STAGE_n] "
+                "sections with METHOD keys or [PIPELINE] STAGES = ..."
+            )
+        return cls.from_config({"stages": names})
+
+    @classmethod
     def from_config(cls, config: dict) -> "Pipeline":
         stages: list[Stage] = []
         for s in config.get("stages", []):

@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pero_ocr_spark.functions import geometry as G
 from pero_ocr_spark.functions import page_utils as U
 
 CREATED = "2026-01-01T00:00:00+00:00"  # injected, deterministic
@@ -193,8 +194,13 @@ def _parse_pcgts(doc_id: int, xml: str) -> list[dict]:
                 continue
             baseline = U.points_string_to_array(bl_el.get("points"))
             coords_el = line.find(f"{ns}Coords")
+            # check_polygon: imported Coords may self-intersect (hand-
+            # drawn or degraded exports); repair like the reference's
+            # shapely buffer(0) (layout_helpers.py:184-191)
             polygon = (
-                U.points_string_to_array(coords_el.get("points"))
+                G.check_polygon(
+                    U.points_string_to_array(coords_el.get("points"))
+                )
                 if coords_el is not None
                 else np.zeros((0, 2), dtype=np.int64)
             )

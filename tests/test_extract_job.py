@@ -65,3 +65,39 @@ def test_extract_job_resumes_at_shard_granularity(spark, sf_dir, tmp_path, capsy
     assert second["resumed_shards_skipped"] == 4
     assert (second["n_spans"] or 0) == 0
     assert spark.read.parquet(str(out)).count() == n == first["n_spans"]
+
+
+def test_resume_rewrites_unmanifested_partial_shards(spark, sf_dir, tmp_path, capsys):
+    """A crash can leave a partially-populated shard dir WITHOUT its
+    manifest row (committer v2 / direct committers publish task files
+    immediately). Resume must rewrite such shards — dynamic overwrite,
+    no silent skip, no append duplication."""
+    import shutil
+
+    mod = _job()
+    out = tmp_path / "spans"
+    mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = spark.read.parquet(str(out)).count()
+    assert n == first["n_spans"]
+    # simulate the crash: manifest gone, one shard dir half-truncated
+    # (its published files exist but the run never recorded completion)
+    shutil.rmtree(out / "_shards_done")
+    shard_dir = out / "shard=2"
+    files = sorted(shard_dir.glob("*.parquet"))
+    assert files
+    files[0].unlink()
+    assert spark.read.parquet(str(out)).count() < n
+    # re-run: nothing is in the manifest, so every shard is rewritten
+    mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["resumed_shards_skipped"] == 0
+    # exactly-once: the partial shard was REPLACED, the rest overwritten
+    # in place — total equals the clean single-run count, not more
+    assert spark.read.parquet(str(out)).count() == n

@@ -152,3 +152,59 @@ class TestReadingOrder:
             (0, 20, 45, 100), (55, 20, 100, 100),
         ]
         assert G.xy_cut_order(boxes) == [0, 1, 2]
+
+
+class TestCheckPolygon:
+    """§2.7 check_polygon — the numpy analog of the reference's shapely
+    buffer(0) repair (layout_helpers.py:184-191)."""
+
+    def test_valid_polygon_bit_identical(self):
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        out = G.check_polygon(sq)
+        assert np.array_equal(out, sq)
+        assert not G.polygon_self_intersects(sq)
+
+    def test_bowtie_detected_and_rewound(self):
+        bow = np.array([[0, 0], [10, 10], [10, 0], [0, 10]], float)
+        assert G.polygon_self_intersects(bow)
+        fixed = G.check_polygon(bow)
+        assert not G.polygon_self_intersects(fixed)
+        # every original vertex survives the rewind, first vertex stays
+        assert sorted(map(tuple, fixed.tolist())) == sorted(
+            map(tuple, bow.tolist())
+        )
+        assert fixed[0].tolist() == [0.0, 0.0]
+        # repaired ring has positive area (a real polygon, not a line)
+        assert G.polygon_area(fixed) == 100.0
+
+    def test_star_tangle_rewound(self):
+        tangle = np.array(
+            [[0, 0], [4, 5], [8, 0], [8, 8], [4, 3], [0, 8]], float
+        )
+        assert G.polygon_self_intersects(tangle)
+        fixed = G.check_polygon(tangle)
+        assert not G.polygon_self_intersects(fixed)
+        assert len(fixed) == 6  # rewind keeps all vertices
+
+    def test_hull_fallback_when_rewind_fails(self):
+        # spiral-ish tangle where one vertex sits past the centroid ray
+        # of another: angle sort cannot untangle every such ring; the
+        # function must still return SOME simple polygon
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(0, 100, size=(12, 2))
+        fixed = G.check_polygon(pts)
+        assert not G.polygon_self_intersects(fixed)
+
+    def test_short_polygons_pass_through(self):
+        tri = np.array([[0, 0], [5, 0], [2, 4]], float)
+        assert np.array_equal(G.check_polygon(tri), tri)
+        empty = np.zeros((0, 2))
+        assert G.check_polygon(empty).shape == (0, 2)
+
+    def test_quad_fast_path_matches_generic(self):
+        # the n==4 scalar fast path must agree with the vectorized
+        # all-pairs test on arbitrary quads (valid, bowtie, hourglass)
+        rng = np.random.default_rng(42)
+        for _ in range(500):
+            q = rng.uniform(0, 100, (4, 2))
+            assert G.polygon_self_intersects(q) == G._self_intersects_generic(q)

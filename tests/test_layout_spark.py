@@ -45,3 +45,16 @@ def test_assign_no_duplicates_and_clipping(spark, sf_dir):
         lines.select("doc_id", "line_id", "x1"), ["doc_id", "line_id"]
     )
     assert joined.filter(F.col("cx1") < F.col("x1")).count() > 0
+
+
+def test_assign_join_stays_broadcast(spark, sf_dir):
+    """Plan-shape guard (round-3 verdict item 3): the lines↔regions
+    candidate join must be a broadcast hash join — the regions side is
+    per-doc-small by construction and an autoBroadcastJoinThreshold
+    change or lineage refactor silently degrading it to sort-merge
+    would make this the dominant shuffle at scale."""
+    lines = layout.lines_table(spark, sf_dir)
+    regions = layout.regions_table(spark, sf_dir)
+    plan = layout.assign_lines_to_regions(lines, regions)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

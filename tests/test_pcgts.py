@@ -255,3 +255,45 @@ class TestMergeNullConfidence:
         )
         (row,) = merge.merge_ocr_results([a, b]).collect()
         assert row["engine"] == "engA"  # name tiebreak still applies
+
+
+class TestCheckPolygonOnImport:
+    """A self-intersecting Coords polygon is repaired at PAGE-XML import
+    (§2.7 check_polygon; ref layout_helpers.py:184-191 buffer(0))."""
+
+    BAD_PCGTS = """<?xml version="1.0" encoding="utf-8"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15">
+<Page imageFilename="bad.jpg" imageWidth="800" imageHeight="1200">
+<TextRegion id="r1" type="paragraph">
+<Coords points="0,0 400,0 400,100 0,100"/>
+<TextLine id="r1-l1" custom="heights_v2:[20.0,5.0]">
+<Coords points="10,10 200,40 200,10 10,40"/>
+<Baseline points="10,35 200,35"/>
+<TextEquiv><Unicode>bowtie coords</Unicode></TextEquiv>
+</TextLine>
+</TextRegion>
+</Page>
+</PcGts>"""
+
+    def test_bowtie_coords_repaired_round_trip(self, spark):
+        from pero_ocr_spark.functions import geometry as G
+
+        df = spark.createDataFrame(
+            [(11, self.BAD_PCGTS)], "doc_id long, xml string"
+        )
+        rows = pcgts.import_pcgts(df).collect()
+        assert len(rows) == 1
+        poly = np.asarray(rows[0]["polygon"])
+        # the raw ring self-intersects; the imported one must not
+        raw = U.points_string_to_array("10,10 200,40 200,10 10,40")
+        assert G.polygon_self_intersects(raw)
+        assert not G.polygon_self_intersects(poly)
+        # repair is a pure re-ordering: same vertex multiset
+        assert sorted(map(tuple, poly.tolist())) == sorted(
+            map(tuple, raw.astype(float).tolist())
+        )
+        # and the repaired line round-trips export → import unchanged
+        out = pcgts.import_pcgts(
+            pcgts.export_pcgts(spark.createDataFrame(rows, pcgts.LINES_DDL))
+        ).collect()
+        assert np.array_equal(np.asarray(out[0]["polygon"]), poly)

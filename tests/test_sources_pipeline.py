@@ -100,3 +100,55 @@ def test_pipeline_ingest_chain_equals_direct(spark, sf_dir):
         )
     )
     assert got == want
+
+
+DEFAULT_EXTRACT_INI = """
+[STAGE_1]
+METHOD = explode
+[STAGE_2]
+METHOD = classify
+[STAGE_3]
+METHOD = strip
+[STAGE_4]
+METHOD = order
+[STAGE_5]
+METHOD = project
+"""
+
+
+def test_pipeline_from_ini_equals_default_extract(spark, sf_dir):
+    doc_spans = corpus.spans_table(spark, sf_dir)
+    direct = pipeline.default_extract_pipeline()(doc_spans).toPandas()
+    ini = pipeline.Pipeline.from_ini(DEFAULT_EXTRACT_INI)(doc_spans).toPandas()
+    key = ["doc_id", "ord"]
+    pd.testing.assert_frame_equal(
+        direct.sort_values(key).reset_index(drop=True),
+        ini.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_pipeline_from_ini_html_ingest_and_comma_list(spark, sf_dir, tmp_path):
+    from pero_ocr_spark.operators import html as H
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    # comma-list spelling, loaded from an actual file on disk
+    path = tmp_path / "ingest.ini"
+    path.write_text("[PIPELINE]\nSTAGES = html_synthesize, html_spans\n")
+    p = pipeline.Pipeline.from_ini(str(path))
+    got = sorted(map(tuple, p(docs).collect()))
+    want = sorted(
+        map(
+            tuple,
+            H.html_to_spans(H.synthesize_html_interleaved(docs)).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_pipeline_from_ini_errors():
+    with pytest.raises(KeyError, match="unknown stage"):
+        pipeline.Pipeline.from_ini("[STAGE_1]\nMETHOD = nope\n")
+    with pytest.raises(KeyError, match="no METHOD"):
+        pipeline.Pipeline.from_ini("[STAGE_1]\nOTHER = x\n")
+    with pytest.raises(KeyError, match="defines no stages"):
+        pipeline.Pipeline.from_ini("[IRRELEVANT]\nA = 1\n")
