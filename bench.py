@@ -28,8 +28,13 @@ def main() -> None:
 
     spark = get_spark("pero_ocr_spark_bench", cores=int(cpus))
 
-    # warm-up: JVM + parquet footer caches, not counted
+    # warm-up: JVM + parquet footers + codegen/Arrow/shuffle init, not
+    # counted — without this the FIRST query in the loop (arbitrary
+    # after the registry reorder) absorbs ~4-5 s of session warm-up
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    Q.queries()["extract_spans"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     n_pages = 0

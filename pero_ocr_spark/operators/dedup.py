@@ -559,3 +559,135 @@ def keep_best_per_cluster(
         "n_members",
         (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------
+# Bloom-filter incremental dedup — the broadcast-compact alternative
+# to the snapshot key join (RefinedWeb-style crawl dedup)
+# ------------------------------------------------------------------
+
+# k independent affine re-hashes of the portable polynomial text hash;
+# multipliers are odd and coprime to BLOOM_M so positions scatter.
+BLOOM_SEEDS: tuple[tuple[int, int], ...] = (
+    (40503, 9973),
+    (69621, 30011),
+    (48271, 104729),
+    (16807, 65537),
+)
+BLOOM_M = 1 << 20  # bits; ~131 KB packed — broadcastable at any scale
+
+
+def _bloom_positions(h, m: int = BLOOM_M) -> list:
+    """The k bit positions of a text-hash column. Everything is plain
+    BIGINT arithmetic (h < 2^31, a < 2^17 → products < 2^48), so the
+    oracle reproduces positions — and therefore the exact
+    false-positive set — in ANSI SQL."""
+    return [
+        F.pmod(F.pmod(h * F.lit(a) + F.lit(b), F.lit(HASH_P)), F.lit(m))
+        for a, b in BLOOM_SEEDS
+    ]
+
+
+def bloom_build(snapshot: DataFrame, m: int = BLOOM_M) -> bytes:
+    """Build the packed Bloom bitarray from a snapshot's text hashes.
+
+    Runs as ONE distributed aggregation: per doc the k positions, then
+    a distinct on the (at most n·k ≤ a few million) positions; only
+    the position list — never a document — reaches the driver, which
+    packs it into a numpy bitarray. At 10^12 docs the filter would be
+    sized up (m = n·k/ln2) and built incrementally at snapshot-write
+    time; the packing step is identical.
+    """
+    import numpy as np
+
+    from pero_ocr_spark.operators import textstats
+
+    h = textstats._poly_hash(F.col("text"))
+    pos_rows = (
+        snapshot.select(F.explode(F.array(*_bloom_positions(h, m))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(max(1, m // 8), dtype=np.uint8)
+    pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    if len(pos):
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_dedup(
+    new_docs: DataFrame, snapshot: DataFrame, m: int = BLOOM_M
+) -> DataFrame:
+    """Mark each new-batch doc ``maybe_dup`` iff ALL k of its Bloom
+    positions are set in the snapshot's filter — the classic Bloom
+    membership test: no false negatives, deterministic false positives
+    (which the DuckDB oracle reproduces bit-for-bit, since positions
+    are portable integer arithmetic).
+
+    Scale shape vs :func:`incremental_dedup`'s key join: the snapshot
+    contributes a ~100 KB-per-2^20-bits broadcast ARRAY instead of a
+    join side — the batch never shuffles at all, membership is an
+    in-memory bit test per row inside one Arrow stage. The trade is
+    the false-positive rate (n·k/m tuned, here exact-reproducible),
+    which a crawl pipeline accepts for dropping the join entirely.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pero_ocr_spark.operators import textstats
+
+    filt = np.frombuffer(bloom_build(snapshot, m), dtype=np.uint8)
+    bc = new_docs.sparkSession.sparkContext.broadcast(filt)
+
+    h = textstats._poly_hash(F.col("text"))
+    keyed = new_docs.select(
+        "doc_id", F.array(*_bloom_positions(h, m)).alias("pos")
+    )
+
+    def run(batches):
+        bits = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.vstack([np.asarray(p, dtype=np.int64) for p in pdf["pos"]])
+            hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "maybe_dup": hit.all(axis=1)}
+            )
+
+    out = keyed.mapInPandas(run, schema="doc_id long, maybe_dup boolean")
+    return out.select(
+        "doc_id", "maybe_dup", (~F.col("maybe_dup")).alias("keep")
+    )
+
+
+def canonical_url_dedup(docs_with_url: DataFrame) -> DataFrame:
+    """URL-canonicalization dedup (crawl-frontier shape): normalize
+    each doc's URL — lowercase scheme+host, strip the fragment, strip
+    tracking params (``utm_*``/``fbclid``/``gclid``), drop a trailing
+    ``?``/``&``, collapse duplicate slashes in the path, drop a
+    trailing slash — then keep the earliest doc per canonical URL.
+
+    Pure Catalyst (regexp chains + one window); the canonical form is
+    reproduced verbatim in the DuckDB oracle (regexps carry the 'g'
+    flag there — DuckDB replaces first-match-only by default).
+    """
+    # lowercase scheme://host (split at the first '/' after '://'),
+    # keep the path/query case-sensitive
+    url = F.concat(
+        F.lower(F.regexp_extract("url", r"^([^:]+://[^/]*)", 1)),
+        F.regexp_replace("url", r"^[^:]+://[^/]*", ""),
+    )
+    url = F.regexp_replace(url, r"#.*$", "")  # fragment
+    url = F.regexp_replace(url, r"(utm_[a-z]+|fbclid|gclid)=[^&]*&?", "")
+    url = F.regexp_replace(url, r"[?&]+$", "")
+    url = F.regexp_replace(url, r"(?<!:)//+", "/")  # dup slashes in path
+    url = F.regexp_replace(url, r"/$", "")
+    canon = url.alias("canonical_url")
+    keyed = docs_with_url.select("doc_id", "url", canon)
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return keyed.select(
+        "doc_id",
+        "canonical_url",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -416,3 +416,44 @@ def chunk_documents(
         .filter(F.col("c").isNotNull())
         .select("doc_id", "c.chunk_id", "c.n_tokens", "c.chunk_text")
     )
+
+
+def dedup_paragraphs(docs: DataFrame, para_words: int = 10) -> DataFrame:
+    """Intra-document paragraph self-dedup (the within-doc half of
+    exact-substring dedup à la "Deduplicating Training Data Makes
+    Language Models Better"): segment each doc into fixed
+    ``para_words``-word paragraphs, keep only the FIRST occurrence of
+    each distinct paragraph, and reassemble the text in order.
+
+    Scale shape: entirely IN-ROW — segmentation, first-occurrence
+    filter (``array_position`` inside a ``filter`` lambda over a
+    HOISTED paras column; an inline array expr would re-evaluate the
+    builder per element, the O(n²)-per-row trap), and the rejoin are
+    all codegen expressions; zero shuffles, zero Python. Per-row cost
+    is O(paras²) with paras ≈ n_words/10 — fine up to ~10^4-word docs;
+    beyond that a per-row hash-set kernel would take over.
+    """
+    words = F.split(F.col("text"), " ")
+    step = docs.select("doc_id", words.alias("ws"))
+    n = F.size(F.col("ws"))
+    n_par = F.greatest(
+        F.lit(1),
+        F.ceil(n.cast("double") / para_words).cast("int"),
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), n_par - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), i * para_words + 1, para_words), " "
+        ),
+    )
+    step = step.select("doc_id", paras.alias("paras"))  # hoist!
+    kept = F.filter(
+        F.col("paras"),
+        lambda p, i: F.array_position(F.col("paras"), p) == (i + F.lit(1)).cast("long"),
+    )
+    return step.select(
+        "doc_id",
+        F.size("paras").cast("long").alias("n_paras"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("deduped_text"),
+    )

@@ -3186,3 +3186,162 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_prob"
     )
     return dedup.keep_best_per_cluster(docs, pairs, quality)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation additions: Bloom-filter incremental dedup (broadcast
+# bitset instead of a snapshot key join), canonical-URL dedup (crawl
+# frontier), intra-doc paragraph self-dedup (exact-substring family).
+# ---------------------------------------------------------------------------
+
+# m = 1024 bits (not the 2^20 production default) so the filter is
+# loaded enough at sf0.01 that FALSE POSITIVES actually occur and the
+# oracle must reproduce them bit-for-bit; the batch replays every
+# snapshot doc under a shifted id (a recrawl), so true hits occur too.
+_BLOOM_ORACLE = f"""
+WITH h0 AS (
+  SELECT doc_id,
+         (doc_id*69069 + 12345) % 2147483647 % 100 < 33 AS is_snap,
+         {_DUCK_POLY.format(col="text")} AS h
+  FROM documents),
+h AS (
+  SELECT doc_id, is_snap, h FROM h0
+  UNION ALL
+  SELECT doc_id + 1000000, FALSE, h FROM h0 WHERE is_snap),
+seeds AS (SELECT * FROM (VALUES (40503, 9973), (69621, 30011),
+                                (48271, 104729), (16807, 65537)) AS t(a, b)),
+spos AS (
+  SELECT DISTINCT (h.h * CAST(s.a AS BIGINT) + s.b) % 2147483647 % 1024 AS p
+  FROM h, seeds s WHERE is_snap),
+bpos AS (
+  SELECT doc_id, (h.h * CAST(s.a AS BIGINT) + s.b) % 2147483647 % 1024 AS p
+  FROM h, seeds s WHERE NOT is_snap)
+SELECT b.doc_id,
+       count(sp.p) = 4 AS maybe_dup,
+       count(sp.p) <> 4 AS keep
+FROM bpos b LEFT JOIN spos sp ON b.p = sp.p
+GROUP BY b.doc_id
+"""
+
+
+@register("dedup_bloom_filter", _BLOOM_ORACLE)
+def q_dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-dedup with a BROADCAST Bloom bitset instead of a snapshot
+    # key join: the batch side never shuffles, and the oracle
+    # reproduces the exact false-positive set because bit positions
+    # are portable BIGINT arithmetic on the polynomial text hash. The
+    # batch = fresh docs + a replay of the snapshot under shifted ids
+    # (recrawl): replays must flag maybe_dup (no false negatives).
+    from pero_ocr_spark.operators import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    snap = docs.filter(sampling._residue(100) < 33)
+    batch = docs.filter(~(sampling._residue(100) < 33)).unionByName(
+        snap.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    return dedup.bloom_dedup(batch, snap, m=1024)
+
+
+# URL synthesis shared by the Spark query and the oracle: deterministic
+# from (doc_id, source), with case noise, duplicate slashes, tracking
+# params and fragments that canonicalization must strip. Canonical key
+# collapses to (source, doc_id%50, doc_id%25) -> real duplicate groups.
+_URL_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+  || source || '.Example.COM'
+  || CASE WHEN doc_id % 4 = 0 THEN '//p' ELSE '/p' END
+  || CAST(doc_id % 50 AS VARCHAR)
+  || CASE WHEN doc_id % 3 = 0
+          THEN '/?utm_source=feed&utm_campaign=x&id='
+          ELSE '/?id=' END
+  || CAST(doc_id % 25 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+"""
+
+_URL_CANON_SQL = """
+  SELECT doc_id, url,
+         regexp_replace(
+           replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(url, '^([^:]+://[^/]*)', 1))
+                   || regexp_replace(url, '^[^:]+://[^/]*', ''),
+                   '#.*$', ''),
+                 '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+               '[?&]+$', ''),
+             '://', ':~~'),
+           '/{2,}', '/', 'g') AS c0
+  FROM u
+"""
+
+
+@register(
+    "dedup_canonical_url",
+    f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS ({_URL_CANON_SQL}),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(replace(c0, ':~~', '://'), '/$', '') AS canonical_url
+  FROM c)
+SELECT doc_id, canonical_url,
+       row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) = 1
+         AS keep
+FROM canon
+""",
+)
+def q_dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://www.")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit("//p")).otherwise(F.lit("/p")),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/?utm_source=feed&utm_campaign=x&id="))
+         .otherwise(F.lit("/?id=")),
+        (d % 25).cast("string"),
+        F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return dedup.canonical_url_dedup(docs).drop("url")
+
+
+@register(
+    "text_dedup_paragraphs",
+    """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws0 FROM documents),
+amp AS (
+  -- prepend the first 20 words, so paragraphs 1-2 duplicate 3-4:
+  -- guaranteed aligned intra-doc repetition to exercise the dedup
+  SELECT doc_id, list_concat(ws0[1:20], ws0) AS ws FROM w),
+p AS (
+  SELECT doc_id, ws,
+         list_transform(
+           generate_series(0, greatest(1, CAST(ceil(len(ws)/10.0) AS BIGINT)) - 1),
+           i -> array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ')
+         ) AS paras
+  FROM amp),
+k AS (
+  SELECT doc_id, paras,
+         list_filter(paras, (x, i) -> list_position(paras, x) = i) AS kept
+  FROM p)
+SELECT doc_id,
+       CAST(len(paras) AS BIGINT) AS n_paras,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS deduped_text
+FROM k
+""",
+)
+def q_text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    ws = F.split(F.col("text"), " ")
+    amp = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.concat(F.slice(ws, 1, 20), ws), " ").alias("text"),
+    )
+    return textstats.dedup_paragraphs(amp, para_words=10)

@@ -67,3 +67,110 @@ def test_shingles_distinct_and_count(spark):
     one = sh.filter(F.col("doc_id") == 1)
     assert one.count() == 7  # 9 words -> 7 trigrams, all distinct here
     assert one.distinct().count() == 7
+
+
+class TestBloomDedup:
+    def _split(self, spark):
+        rows = [(i, f"unique text number {i} with filler words {i*7}") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        snap = docs.filter(F.col("doc_id") < 15)
+        fresh = docs.filter(F.col("doc_id") >= 15)
+        return docs, snap, fresh
+
+    def test_no_false_negatives(self, spark):
+        # any doc whose text IS in the snapshot must flag maybe_dup,
+        # at every filter size — the Bloom guarantee
+        docs, snap, fresh = self._split(spark)
+        for m in (256, 4096, dedup.BLOOM_M):
+            replay = snap.withColumn("doc_id", F.col("doc_id") + 100)
+            out = dedup.bloom_dedup(replay, snap, m=m).collect()
+            assert all(r["maybe_dup"] for r in out), m
+
+    def test_fp_set_matches_local_recomputation(self, spark):
+        import numpy as np
+
+        docs, snap, fresh = self._split(spark)
+        m = 128  # tiny -> false positives guaranteed
+        got = {r["doc_id"]: r["maybe_dup"]
+               for r in dedup.bloom_dedup(fresh, snap, m=m).collect()}
+
+        def poly(s):
+            h = 0
+            for ch in s:
+                h = (h * 31 + ord(ch)) % dedup.HASH_P
+            return h
+
+        bits = set()
+        for r in snap.collect():
+            for a, b in dedup.BLOOM_SEEDS:
+                bits.add((poly(r["text"]) * a + b) % dedup.HASH_P % m)
+        for r in fresh.collect():
+            expect = all(
+                (poly(r["text"]) * a + b) % dedup.HASH_P % m in bits
+                for a, b in dedup.BLOOM_SEEDS
+            )
+            assert got[r["doc_id"]] == expect
+
+    def test_keep_is_not_maybe_dup(self, spark):
+        docs, snap, fresh = self._split(spark)
+        out = dedup.bloom_dedup(fresh, snap, m=256).collect()
+        assert all(r["keep"] != r["maybe_dup"] for r in out)
+
+
+class TestCanonicalUrlDedup:
+    CASES = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Site.COM/a/b", "https://www.site.com/a/b"),
+        ("https://site.com/a//b///c", "https://site.com/a/b/c"),
+        ("https://site.com/a#frag", "https://site.com/a"),
+        ("https://site.com/a?utm_source=x&id=1", "https://site.com/a?id=1"),
+        ("https://site.com/a?id=1&utm_campaign=y", "https://site.com/a?id=1"),
+        ("https://site.com/a?utm_source=x", "https://site.com/a"),
+        ("https://site.com/a/", "https://site.com/a"),
+        ("https://site.com/a?fbclid=z&gclid=w&id=2", "https://site.com/a?id=2"),
+    ]
+
+    def test_canonical_forms(self, spark):
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r["canonical_url"]
+               for r in dedup.canonical_url_dedup(df).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i][0], got[i])
+
+    def test_keep_earliest_per_canonical(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x"), (2, "HTTPS://A.COM/x/"),
+             (3, "https://a.com/x?utm_source=s"), (9, "https://a.com/y")],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r["keep"]
+               for r in dedup.canonical_url_dedup(df).collect()}
+        assert out == {1: True, 2: False, 3: False, 9: True}
+
+
+class TestDedupParagraphs:
+    def test_repeated_paragraph_dropped(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        para = " ".join(f"w{i}" for i in range(10))
+        text = f"{para} {para} " + " ".join(f"z{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = textstats.dedup_paragraphs(df, para_words=10).collect()[0]
+        assert r["n_paras"] == 3 and r["n_kept"] == 2
+        assert r["deduped_text"].split(" ")[:10] == para.split(" ")
+        assert "z0" in r["deduped_text"]
+
+    def test_no_dup_passthrough_and_short_doc(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in
+                textstats.dedup_paragraphs(df, para_words=10).collect()}
+        assert rows[1]["deduped_text"] == "a b c"
+        assert rows[1]["n_paras"] == rows[1]["n_kept"] == 1
+        assert rows[2]["n_paras"] == 1  # [''] chunk
