@@ -360,8 +360,20 @@ sandbox's 8 GB default heap at 32 threads was GC-bound — 48 GB
 restored linear behavior).
 """
     here = os.path.dirname(os.path.abspath(__file__))
+    # preserve the hand-maintained appendix (cross-run variance table,
+    # historical notes) across regenerations: everything at and after
+    # the marker survives verbatim
+    marker = "<!-- appendix: preserved across regenerations -->"
+    appendix = ""
+    try:
+        with open(f"{here}/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            appendix = "\n" + marker + old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open(f"{here}/BASELINE.md", "w") as f:
-        f.write(md)
+        f.write(md + appendix)
 
 
 if __name__ == "__main__":

@@ -393,7 +393,11 @@ def chunk_documents(
             f"({max_tokens}); stride would be {stride} and every "
             "document would silently produce zero chunks"
         )
-    words = F.split(F.col("text"), " ")
+    # hoist the split into a projection: referenced inline from the
+    # transform lambda below, the split(...) BUILDER would re-evaluate
+    # once per chunk id (the lambda re-inlining trap)
+    docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
+    words = F.col("_ws")
     n = F.size(words)
     n_chunks = F.lit(1) + F.greatest(
         F.lit(0),

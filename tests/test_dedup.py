@@ -174,3 +174,24 @@ class TestDedupParagraphs:
         assert rows[1]["deduped_text"] == "a b c"
         assert rows[1]["n_paras"] == rows[1]["n_kept"] == 1
         assert rows[2]["n_paras"] == 1  # [''] chunk
+
+
+class TestLshBucketCap:
+    def test_max_bucket_bounds_candidates_keeps_small_ids(self, spark):
+        # pathological bucket: 8 docs with IDENTICAL text (boilerplate)
+        # co-bucket in every band -> 28 candidate pairs uncapped;
+        # max_bucket=2 keeps only the two smallest ids per bucket ->
+        # exactly one surviving pair (0,1), still a true near-dup
+        boiler = "the same legal disclaimer footer text repeated verbatim"
+        rows = [(i, boiler) for i in range(8)]
+        rows += [(100, "a completely different document about gardens"),
+                 (101, "another unrelated text about winter mountains")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8)
+        capped = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, max_bucket=2)
+        full_pairs = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+        capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+        assert len(full_pairs) == 28  # 8 choose 2
+        assert capped_pairs == {(0, 1)}
+        # capped output is a subset: the cap can only DROP pairs
+        assert capped_pairs <= full_pairs
