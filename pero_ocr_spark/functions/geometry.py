@@ -213,19 +213,37 @@ def merge_lines_straight(
     xlo = np.minimum(x0, x1)
     xhi = np.maximum(x0, x1)
     hsum = asc + desc
-    min_h = np.minimum.outer(hsum, hsum)
-    lo = np.maximum.outer(y - asc, y - asc)
-    hi = np.minimum.outer(y + desc, y + desc)
-    h_overlap = hi - lo
-    contained_half = np.logical_and(
-        np.greater.outer(xlo, xlo), np.less.outer(xhi, xhi)
+    # ---- candidate pairs by interval sweep, not O(n²) outer products.
+    # The predicate requires vertical overlap (h_overlap > 0.7·min_h >
+    # 0), i.e. the [y-asc, y+desc] intervals intersect — so sort by
+    # interval start and pair each line only with the lines whose start
+    # falls before its end. On row-structured pages that is O(n·band)
+    # with band = lines per text row; the old outer-product path
+    # allocated six n×n float64 matrices, ~1 GB per matrix for the
+    # 11k-line groups a 64×-skewed corpus doc produces (the round-3
+    # "17.8 s unexplained" — it was quadratic allocation on skew, not
+    # suite noise). Worst case (all lines one row) degrades to the same
+    # O(n²) pair count but never materializes an n×n matrix.
+    ylo = y - asc
+    yhi = y + desc
+    order = np.argsort(ylo, kind="stable")
+    lo_s = ylo[order]
+    bound = np.searchsorted(lo_s, yhi[order], side="left")
+    cnt = np.maximum(bound - np.arange(n) - 1, 0)
+    total = int(cnt.sum())
+    ii_s = np.repeat(np.arange(n), cnt)
+    offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    jj_s = np.arange(total) - offsets[ii_s] + ii_s + 1
+    ii, jj = order[ii_s], order[jj_s]
+    # same predicate as the reference's merge candidates, evaluated 1-D
+    min_h = np.minimum(hsum[ii], hsum[jj])
+    h_overlap = np.minimum(yhi[ii], yhi[jj]) - np.maximum(ylo[ii], ylo[jj])
+    contained = ((xlo[ii] > xlo[jj]) & (xhi[ii] < xhi[jj])) | (
+        (xlo[jj] > xlo[ii]) & (xhi[jj] < xhi[ii])
     )
-    contained = contained_half | contained_half.T
-    gap = np.maximum(
-        np.subtract.outer(xlo, xhi), np.subtract.outer(xlo, xhi).T
-    )
+    gap = np.maximum(xlo[ii] - xhi[jj], xlo[jj] - xhi[ii])
     ok = (h_overlap > 0.7 * min_h) & ~contained & (gap < 2 * min_h)
-    ii, jj = np.nonzero(np.triu(ok, k=1))
+    ii, jj = ii[ok], jj[ok]
     for i, j in zip(ii.tolist(), jj.tolist()):
         ri, rj = find(i), find(j)
         if ri != rj:
