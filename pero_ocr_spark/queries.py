@@ -3345,3 +3345,29 @@ def q_text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.concat(F.slice(ws, 1, 20), ws), " ").alias("text"),
     )
     return textstats.dedup_paragraphs(amp, para_words=10)
+
+
+@register(
+    "pdf_roundtrip",
+    _EXTRACTED_CTE
+    + """
+SELECT doc_id, ord, kind, text, media_ref FROM extracted
+""",
+)
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S11: extracted spans -> one searchable PDF per document (stdlib
+    # byte-accurate writer: invisible Courier text layer in render mode
+    # 3 with the reference's fit/stretch math in closed form, media as
+    # embedded image XObjects tagged /Figure ActualText; emission order
+    # scrambled within each page) -> content-stream parser that
+    # reconstructs the span sequence from glyph GEOMETRY. The oracle is
+    # the extraction CTE itself: span-sequence equality
+    # (kind, text, media_ref, order) straight through PDF bytes.
+    # Ref semantics: document_ocr/pdf_production.py:99-145 (PDFWriter),
+    # with the read path the reference lacks.
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract
+    from pero_ocr_spark.sources import pdf
+
+    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    return pdf.parse_pdf_spans(pdf.render_pdfs(spans))
