@@ -3371,3 +3371,79 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
     return pdf.parse_pdf_spans(pdf.render_pdfs(spans))
+
+
+@register(
+    "warc_ingest",
+    """
+SELECT doc_id,
+       CAST(doc_id % 32 AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) - 1
+            AS BIGINT) AS rec_index,
+       'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CAST(CASE WHEN doc_id % 50 = 7 THEN 404 ELSE 200 END AS BIGINT)
+         AS status,
+       'text/html; charset=utf-8' AS content_type
+FROM documents
+""",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # web-ingest container tier: documents -> deterministic HTTP
+    # captures -> length-framed WARC shards (ISO 28500 / Common Crawl
+    # shape) -> record parse. Verifies framing, per-shard record order,
+    # WARC+HTTP header fields, and the 404-capture branch.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    shards = W.synthesize_warc_shards(W.capture_table(pages), n_shards=32)
+    return W.parse_warc_records(shards).select(
+        "doc_id", "shard_id", "rec_index", "url", "status", "content_type"
+    )
+
+
+@register(
+    "warc_html_spans",
+    f"""
+WITH {_HTML_PARA_CTE},
+kept AS (
+  SELECT k.doc_id, -1 AS bk, 'text' AS kind,
+         d.source || ' report' AS text, NULL AS media_ref
+  FROM k JOIN documents d USING (doc_id) WHERE k.nw0 >= 8
+  UNION ALL
+  SELECT doc_id, pi*2, 'text', ptext, NULL
+  FROM par WHERE nw >= 8 OR pi > 0
+  UNION ALL
+  SELECT doc_id, pi*2 + 1, 'media', NULL,
+         'img://' || doc_id || '/' || pi
+  FROM par WHERE pi % 2 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       kind, text, media_ref
+FROM kept
+WHERE doc_id % 50 <> 7
+""",
+)
+def q_warc_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full web path in one plan: WARC container -> record framing
+    # -> HTTP parse -> DOM block segmentation -> boilerplate strip ->
+    # interleaved (kind, text, media_ref, ord) spans. Oracle = the
+    # html_interleaved_spans closed form minus the 404 captures.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html_interleaved(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    shards = W.synthesize_warc_shards(W.capture_table(pages), n_shards=32)
+    recs = W.parse_warc_records(shards).filter(F.col("status") == 200)
+    return H.html_to_spans(
+        recs.select("doc_id", F.col("body").alias("html"))
+    )
