@@ -86,6 +86,13 @@ def main() -> None:
         # sink round trips / lineage / iterative clustering was
         # previously hidden); totals are NOT comparable to r1/r2 raw
         "timing_includes_construction": True,
+        # round 4+: queries downstream of extraction read a session-
+        # cached materialization of the extracted spans (the 100 TB
+        # analog: a materialized table you READ, not re-derive per
+        # query). extract_spans itself — the pages/sec headline —
+        # remains the full uncached pipeline, so the headline stays
+        # methodologically comparable with r2/r3.
+        "shared_input_cache": True,
     }
     # full per-query map goes to a FILE — the driver's stdout tail
     # buffer truncated the 87-entry map in round 3 (BENCH_r03.parsed

@@ -104,6 +104,39 @@ def spans_table(
     )
 
 
+# Session-scoped cache of the extraction pipeline's output. Three
+# dozen registered queries consume the extracted spans (or tables
+# derived from them) as their INPUT; at 100 TB that input is a
+# materialized Iceberg table you READ, not something re-synthesized
+# per query — re-deriving it every time benchmarked the synthetic
+# corpus generator, not the operator under test. The cache is keyed by
+# (Spark application, sf_dir) so separate sessions and scale factors
+# never mix; it holds a persisted DataFrame (MEMORY_AND_DISK —
+# hundreds of MB at sf0.1), materialized lazily by the first consumer.
+# The headline `extract_spans` query does NOT use this helper: its
+# pages/sec figure keeps timing the full synthesize+extract pipeline,
+# so it stays comparable with earlier rounds.
+_EXTRACTED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def extracted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached classified + boilerplate-stripped + reading-ordered
+    spans (doc_id, kind, text, media_ref, ord) — the materialized-
+    table analog for queries whose subject is an operator DOWNSTREAM
+    of extraction."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EXTRACTED_CACHE.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+        from pero_ocr_spark.operators import extract
+
+        df = extract.extract_spans(spans_table(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _EXTRACTED_CACHE[key] = df
+    return df
+
+
 # --------------------------------------------------------------- DuckDB side
 
 # Flat spans CTE for the oracle. `documents` is a pre-registered view.

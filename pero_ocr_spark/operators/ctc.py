@@ -125,9 +125,8 @@ def logits_table(spark: SparkSession, sf_dir: str, max_lines: int | None = None)
     stage (vectorized per batch), csc-encoded.
     """
     from pero_ocr_spark import corpus
-    from pero_ocr_spark.operators import extract
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     lines = spans.filter(F.col("kind") == "text").select(
         "doc_id",
         F.concat(F.lit("l"), F.col("ord").cast("string")).alias("line_id"),

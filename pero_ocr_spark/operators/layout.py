@@ -38,9 +38,8 @@ def lines_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, region_id, line_id, x0, x1, y, asc, desc.
     """
     from pero_ocr_spark import corpus
-    from pero_ocr_spark.operators import extract
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     t = spans.filter(F.col("kind") == "text").select(
         "doc_id",
         "ord",
@@ -134,10 +133,9 @@ def lines_with_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-region reading order, deterministic confidences. Pure Catalyst
     (arrays built with F.array), no UDF."""
     from pero_ocr_spark import corpus
-    from pero_ocr_spark.operators import extract
 
     lines = lines_table(spark, sf_dir)
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     text = spans.filter(F.col("kind") == "text").select("doc_id", "ord", "text")
     pt = lambda x, y: F.array(x, y)  # noqa: E731
     return (

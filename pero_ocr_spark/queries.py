@@ -142,6 +142,7 @@ WHERE kind = 'media'
 
 @register("extract_spans", _EXTRACT_ORACLE)
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # headline throughput query: deliberately UNCACHED full pipeline
     return extract.extract_spans(corpus.spans_table(spark, sf_dir))
 
 
@@ -585,7 +586,7 @@ FROM spans WHERE kind = 'media'
 def _decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import extract, media
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     return media.decode_media(media.media_spans(spans))
 
 
@@ -1328,7 +1329,7 @@ def q_cn_best_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # best path = the transcript, sizes as in the oracle.
     from pero_ocr_spark.operators import merge
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     t = spans.filter(F.col("kind") == "text")
     hyp = lambda txt, sc: F.struct(  # noqa: E731
         txt.alias("text"), F.lit(sc).alias("vis"), F.lit(0.0).alias("lm")
@@ -1460,7 +1461,7 @@ _TEXT_LINES_SQL = f"""
 def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import extract
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     return spans.filter(F.col("kind") == "text").select(
         "doc_id",
         F.concat(F.lit("l"), F.col("ord").cast("string")).alias("line_id"),
@@ -1875,7 +1876,7 @@ FROM extracted
 def q_telemetry_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import telemetry
 
-    extracted = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    extracted = corpus.extracted_spans(spark, sf_dir)
     observed, obs = telemetry.observe_extraction(extracted)
     # the noop sink materializes every row (the real pipeline's write);
     # the metrics ride that action — zero extra jobs
@@ -1914,7 +1915,7 @@ FROM extracted WHERE kind = 'text'
 def q_transcriptions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.sources import pagexml
 
-    extracted = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    extracted = corpus.extracted_spans(spark, sf_dir)
     path = _scratch("transcriptions") + "/txt"
     pagexml.write_transcriptions(extracted, path)
     back = pagexml.read_transcriptions(spark, path)
@@ -2057,7 +2058,7 @@ def q_ocr_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     texts = (
-        extract.extract_spans(corpus.spans_table(spark, sf_dir))
+        corpus.extracted_spans(spark, sf_dir)
         .filter(F.col("kind") == "text")
         .select("doc_id", "ord", "text")
     )
@@ -2893,7 +2894,7 @@ def q_training_render_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame
     from pero_ocr_spark import corpus
     from pero_ocr_spark.operators import extract
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     return extract.render_training_text(spans)
 
 
@@ -2951,7 +2952,7 @@ def q_media_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark import corpus
     from pero_ocr_spark.operators import extract, media
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     return media.media_context_pairs(spans)
 
 
@@ -3369,7 +3370,7 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import extract
     from pero_ocr_spark.sources import pdf
 
-    spans = extract.extract_spans(corpus.spans_table(spark, sf_dir))
+    spans = corpus.extracted_spans(spark, sf_dir)
     return pdf.parse_pdf_spans(pdf.render_pdfs(spans))
 
 
@@ -3447,3 +3448,86 @@ def q_warc_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.html_to_spans(
         recs.select("doc_id", F.col("body").alias("html"))
     )
+
+
+_PAGERANK_ORACLE = """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+r0 AS (SELECT doc_id, 1.0/(SELECT n FROM cnt) AS rank FROM documents),
+r1 AS (
+  SELECT d.doc_id,
+         (1.0-0.85)/(SELECT n FROM cnt) + 0.85*coalesce(s.inflow, 0.0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r0.rank/ew.deg) AS inflow
+    FROM ew JOIN r0 ON r0.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id)),
+r2 AS (
+  SELECT d.doc_id,
+         (1.0-0.85)/(SELECT n FROM cnt) + 0.85*coalesce(s.inflow, 0.0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r1.rank/ew.deg) AS inflow
+    FROM ew JOIN r1 ON r1.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id)),
+r3 AS (
+  SELECT d.doc_id,
+         (1.0-0.85)/(SELECT n FROM cnt) + 0.85*coalesce(s.inflow, 0.0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r2.rank/ew.deg) AS inflow
+    FROM ew JOIN r2 ON r2.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id))
+SELECT doc_id, round(rank, 9) AS rank FROM r3
+"""
+
+
+@register("web_pagerank", _PAGERANK_ORACLE)
+def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document web structure: 3 power-iteration steps over the
+    # deterministic doc_id link graph. The iterated shuffle shape —
+    # rank joins edges on src, re-agg by dst, NOTHING broadcast (at
+    # 10^12 docs the rank vector is corpus-sized); edge list persisted
+    # once. Oracle = the same three iterations unrolled as CTEs.
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.pagerank(docs, n_docs=docs.count(), iterations=3)
+
+
+@register(
+    "host_quality_priors",
+    """
+WITH q AS (
+  SELECT doc_id, source,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         round((len(list_distinct(w)) * 1.0 / n
+                + (CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                + (CASE WHEN list_sum(list_transform(w, x -> length(x))) * 1.0 / n
+                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)
+           AS doc_quality
+  FROM q),
+h AS (
+  SELECT host, round(avg(doc_quality), 6) AS host_prior,
+         CAST(count(*) AS BIGINT) AS host_docs
+  FROM s GROUP BY host)
+SELECT s.doc_id, s.host, s.doc_quality, h.host_prior, h.host_docs,
+       0.5*s.doc_quality + 0.5*h.host_prior AS combined,
+       0.5*s.doc_quality + 0.5*h.host_prior > 0.55 AS keep
+FROM s JOIN h USING (host)
+""",
+)
+def q_host_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb/CCNet-style host-level curation: per-doc quality
+    # blended with the host mean. Agg to hosts (1000x reduction at
+    # scale) + broadcast join back - no window over the corpus.
+    from pero_ocr_spark.operators import linkgraph
+
+    return linkgraph.host_quality_priors(_t(spark, sf_dir, "documents"))
