@@ -28,6 +28,11 @@ Pipelines:
     ``spark.read.parquet(output)`` consumers.
   * ``ingest``  — (doc_id, html) pages → DOM-parsed, boilerplate-
     stripped interleaved (kind, text, media_ref, ord) spans.
+  * ``warc``    — (shard_id, warc) archive blobs (Common Crawl shape)
+    → length-framed record parse → HTTP 200 bodies → the same DOM
+    extraction as ``ingest``. Raw documents input is auto-wrapped
+    into captures + WARC shards first, so the job is runnable against
+    either a real archive table or the sandbox corpus.
 
 Prints ONE JSON metrics line (rows, docs, chars, wall seconds,
 rows/sec) gathered via ``df.observe`` — counters ride the write job,
@@ -65,7 +70,9 @@ def _spark(app: str) -> SparkSession:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--pipeline", choices=["extract", "ingest"], required=True)
+    ap.add_argument(
+        "--pipeline", choices=["extract", "ingest", "warc"], required=True
+    )
     ap.add_argument("--input", required=True, help="input table directory")
     ap.add_argument("--output", required=True, help="output parquet directory")
     ap.add_argument("--shards", type=int, default=64)
@@ -86,13 +93,27 @@ def main(argv: list[str] | None = None) -> int:
                 "doc_id", F.expr(corpus._SPANS_ARRAY_EXPR).alias("spans")
             )
         spans = extract.extract_spans(nested)
-    else:
+    elif args.pipeline == "ingest":
         from pero_ocr_spark.operators import html
 
         pages = spark.read.parquet(args.input)
         if "html" not in pages.columns:  # raw documents: synthesize pages
             pages = html.synthesize_html_interleaved(pages)
         spans = html.html_to_spans(pages)
+    else:  # warc
+        from pero_ocr_spark.operators import html
+        from pero_ocr_spark.sources import warc
+
+        src = spark.read.parquet(args.input)
+        if "warc" not in src.columns:  # raw documents: wrap into shards
+            pages = html.synthesize_html_interleaved(src).join(
+                src.select("doc_id", "source"), "doc_id"
+            )
+            src = warc.synthesize_warc_shards(warc.capture_table(pages))
+        recs = warc.parse_warc_records(src).filter(F.col("status") == 200)
+        spans = html.html_to_spans(
+            recs.select("doc_id", F.col("body").alias("html"))
+        )
 
     sharded = spans.withColumn(
         "shard", sampling._residue(args.shards).cast("int")

@@ -1,0 +1,139 @@
+"""Web-graph operators: link-graph PageRank and host-level quality
+priors.
+
+The reference engine processes documents independently; a web-scale
+corpus adds CROSS-document structure — the hyperlink graph — and the
+canonical computations over it: centrality for crawl prioritization /
+quality weighting (PageRank) and host-level aggregate priors (the
+RefinedWeb/CCNet-style "URL and host curation" stage that precedes
+per-document filtering).
+
+Scale shapes:
+
+* **PageRank** is the textbook iterated shuffle: each iteration joins
+  the rank vector to the edge list on the source key and re-aggregates
+  by destination. Neither side is broadcast — at 10^12 documents the
+  rank vector IS corpus-sized — so both legs hash-partition on the
+  join key, the edge list is persisted once (loop-invariant), and the
+  iteration count is fixed (3 here), keeping lineage bounded without
+  checkpoints. Dangling and orphan nodes take the teleport term via a
+  left join from the node table, not an inner join from contributions.
+* **Host priors** aggregate per-document quality to ~10^7 hosts (a
+  1000× reduction), then broadcast the host table back onto the
+  corpus: one map-side-combinable agg + one broadcast join, no window
+  over the corpus (a `AVG OVER (PARTITION BY host)` would sort-shuffle
+  every document row; the agg+broadcast shape moves only the host
+  table).
+
+The sandbox link graph is derived deterministically from doc_id
+arithmetic (no external data): doc ``i`` links to
+``(i*7 + j*13 + 1) mod N`` for ``j < 2 + i%3``, self-loops dropped —
+contiguous ids make the modulus exact, and N comes from table metadata
+(an Iceberg snapshot row count at scale; a parquet footer count here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def synth_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic link graph: (src, dst) with out-degree 2 + src%3,
+    self-loops removed."""
+    deg = (F.col("doc_id") % 3 + 2).cast("int")
+    j = F.explode(F.sequence(F.lit(0), deg - 1)).alias("j")
+    edges = docs.select(F.col("doc_id").alias("src"), j).select(
+        "src",
+        ((F.col("src") * 7 + F.col("j") * 13 + 1) % n_docs).alias("dst"),
+    )
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def pagerank(
+    docs: DataFrame,
+    n_docs: int,
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(doc_id) + synthetic edges → (doc_id, rank) after ``iterations``
+    power steps from the uniform vector: r' = (1-d)/N + d·Σ r_in/deg_in.
+    """
+    nodes = docs.select("doc_id")
+    edges = synth_edges(docs, n_docs)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # loop-invariant: each edge carries its source's out-degree
+    weighted = edges.join(outdeg, "src").persist()
+
+    teleport = (1.0 - damping) / n_docs
+    ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                ranks.select(F.col("doc_id").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+
+
+def host_quality_priors(
+    docs: DataFrame, doc_weight: float = 0.5, threshold: float = 0.55
+) -> DataFrame:
+    """Host-level curation prior: per-document quality (the
+    textstats.quality_score formula) blended with the document's host
+    mean — ``combined = w·doc + (1-w)·host_mean`` — and a keep flag.
+
+    host = ``{source}.example.com`` (the capture-table rule,
+    sources/warc.py). Agg to hosts + broadcast join back; the corpus
+    never re-shuffles.
+
+    ``doc_weight`` defaults to 0.5 deliberately: both blend inputs are
+    6-decimal-rounded, and an uneven weight pair like 0.7/0.3 lands
+    the sum EXACTLY on the 7th-digit half-way boundary for a large
+    fraction of rows, where Spark's and an oracle engine's double
+    evaluation order can round differently. Halving is exact in binary
+    floating point, so the 0.5 blend stays ~1 ulp from a 6-decimal
+    value — never near the boundary."""
+    from pero_ocr_spark.operators import textstats
+
+    q = textstats.quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    scored = q.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.col("quality").alias("doc_quality"),
+    )
+    hosts = scored.groupBy("host").agg(
+        F.round(F.avg("doc_quality"), 6).alias("host_prior"),
+        F.count("*").cast("long").alias("host_docs"),
+    )
+    # NOT rounded: with the 0.5 blend both products are exact in
+    # binary, so the sum is bit-identical across engines; rounding to
+    # 6 here would land exactly on the 7th-digit half-way boundary
+    # (inputs are 6-decimal) and make the result depend on 1-ulp
+    # evaluation details
+    combined = (
+        doc_weight * F.col("doc_quality")
+        + (1.0 - doc_weight) * F.col("host_prior")
+    )
+    return scored.join(F.broadcast(hosts), "host").select(
+        "doc_id",
+        "host",
+        "doc_quality",
+        "host_prior",
+        "host_docs",
+        combined.alias("combined"),
+        (combined > threshold).alias("keep"),
+    )

@@ -101,3 +101,25 @@ def test_resume_rewrites_unmanifested_partial_shards(spark, sf_dir, tmp_path, ca
     # exactly-once: the partial shard was REPLACED, the rest overwritten
     # in place — total equals the clean single-run count, not more
     assert spark.read.parquet(str(out)).count() == n
+
+
+def test_warc_job_parses_archive_shards_to_spans(spark, sf_dir, tmp_path, capsys):
+    # web path end-to-end via spark-submit entry: raw documents are
+    # wrapped into WARC shards, parsed length-framed, and the 200
+    # bodies flow through the same DOM extraction as the ingest
+    # pipeline; 404 captures contribute no spans
+    mod = _job()
+    out = tmp_path / "warc_spans"
+    rc = mod.main(
+        ["--pipeline", "warc", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    df = spark.read.parquet(str(out))
+    assert df.count() == m["n_spans"] > 0
+    kinds = {r.kind for r in df.select("kind").distinct().collect()}
+    assert kinds == {"text", "media"}
+    # the 404 captures (doc_id % 50 == 7) must be absent
+    n404 = df.filter((df.doc_id % 50) == 7).count()
+    assert n404 == 0

@@ -1,0 +1,116 @@
+"""Web-graph operators (operators/linkgraph.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.operators import linkgraph as L
+
+
+def naive_pagerank(n, iters=3, d=0.85):
+    edges = []
+    for i in range(n):
+        for j in range(2 + i % 3):
+            t = (i * 7 + j * 13 + 1) % n
+            if t != i:
+                edges.append((i, t))
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+@pytest.mark.usefixtures("spark")
+class TestPageRank:
+    def test_matches_naive_power_iteration(self, spark):
+        n = 60
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = (
+            L.pagerank(docs, n_docs=n, iterations=3)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = naive_pagerank(n)
+        assert np.allclose(got["rank"].to_numpy(), want, atol=1e-9)
+        # probability mass is conserved by the teleport + inflow split
+        # up to dangling leakage (this graph has none: min outdeg 2)
+        assert got["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+
+    def test_orphan_gets_teleport_only(self, spark):
+        # with n=2: doc 0 -> 1 (both j-targets collide), doc 1 -> 0;
+        # no orphans, but check the left-join path with a node whose
+        # inflow is zero by pruning edges to it
+        n = 12
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        ranks = L.pagerank(docs, n_docs=n, iterations=1).toPandas()
+        want = naive_pagerank(n, iters=1)
+        assert np.allclose(
+            ranks.sort_values("doc_id")["rank"].to_numpy(), want, atol=1e-9
+        )
+
+    def test_no_self_loops_in_edges(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+        e = L.synth_edges(docs, 30).toPandas()
+        assert (e["src"] != e["dst"]).all()
+        # out-degree 2 + src%3 minus dropped self-loops
+        assert len(e) <= sum(2 + i % 3 for i in range(30))
+
+    def test_rank_vector_is_not_broadcast(self, spark):
+        # the iterated join must be shuffle-shaped: at corpus scale the
+        # rank vector is as big as the corpus. Neither join input is
+        # wrapped in a broadcast hint; with the session threshold
+        # zeroed the plan must contain a SortMerge/ShuffledHash join.
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+            plan = L.pagerank(docs, 20, iterations=1)._jdf.queryExecution(
+            ).executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.usefixtures("spark")
+class TestHostPriors:
+    def test_blend_and_keep(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta " * 20, "web"),
+                (2, "zz " * 10, "web"),
+                (3, "one two three four five six seven eight nine ten " * 8,
+                 "news"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        docs = docs.select(
+            "doc_id", F.rtrim(F.col("text")).alias("text"), "source"
+        )
+        out = (
+            L.host_quality_priors(docs)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        assert set(out["host"]) == {"web.example.com", "news.example.com"}
+        web = out[out["host"] == "web.example.com"]
+        assert web["host_prior"].nunique() == 1
+        assert web["host_prior"].iloc[0] == pytest.approx(
+            round(web["doc_quality"].mean(), 6), abs=1e-6
+        )
+        for _, r in out.iterrows():
+            want = 0.5 * r["doc_quality"] + 0.5 * r["host_prior"]
+            assert r["combined"] == pytest.approx(want, abs=1e-12)
+            assert bool(r["keep"]) == (r["combined"] > 0.55)
+
+    def test_host_join_is_broadcast(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma " * 30, "web") for i in range(10)],
+            "doc_id long, text string, source string",
+        )
+        plan = L.host_quality_priors(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
