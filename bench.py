@@ -57,17 +57,27 @@ def main() -> None:
             ).collect()[0]
             n_spans, n_pages = int(row["spans"]), int(row["pages"])
 
-    # headline throughput: extract_spans runs FIRST in the loop and so
-    # absorbs session warm-up (codegen/Arrow/shuffle init) beyond the
-    # parquet warmup above; re-time it warm and take the best so
-    # pages/sec reflects steady-state extraction, not JVM startup
+    # headline throughput: re-time extract_spans warm WITH THE SHARED
+    # INPUT CACHE DROPPED. The builder itself is uncached, but Spark's
+    # CacheManager substitutes any semantically-equal plan fragment
+    # with a persisted InMemoryRelation — the in-loop extract_spans
+    # timing therefore read the cache and would overstate pages/sec.
+    # Two warm uncached runs, best-of: steady-state full-pipeline
+    # extraction, comparable with earlier rounds.
+    from pero_ocr_spark import corpus as _corpus
+
+    for _df in _corpus._EXTRACTED_CACHE.values():
+        _df.unpersist(blocking=True)
+    _corpus._EXTRACTED_CACHE.clear()
     fn = Q.queries()["extract_spans"]
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    warm = round(time.perf_counter() - t0, 3)
-    extract_sec = (
-        min(timings.get("extract_spans", warm), warm) or 1e-9
-    )
+    warms = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warms.append(round(time.perf_counter() - t0, 3))
+    extract_sec = min(warms) or 1e-9
+    # the in-loop row was cache-substituted; publish the honest figure
+    timings["extract_spans"] = extract_sec
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     full = {
