@@ -154,7 +154,17 @@ def main(argv: list[str] | None = None) -> int:
             [(int(s),) for s in todo], "shard int"
         ).coalesce(1).write.mode("append").parquet(manifest)
     wall = time.perf_counter() - t0
-    m = dict(obs.get)
+    if todo:
+        m = dict(obs.get)
+    else:
+        # fully resumed: every shard already carried a manifest row, so
+        # the (empty) write may run ZERO tasks — e.g. when the input
+        # plan was substituted with a cached InMemoryRelation whose
+        # batches all prune — and an Observation with no completed task
+        # never produces its metrics row (obs.get raises). Nothing was
+        # written; the metrics are zeros by definition.
+        m = {k: 0 for k in
+             ("n_spans", "n_text", "n_media", "n_chars", "max_ord")}
     m.update(
         pipeline=args.pipeline,
         output=args.output,

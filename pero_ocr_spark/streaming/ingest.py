@@ -63,3 +63,48 @@ def stream_ingest_pages(
         .trigger(availableNow=True)
         .start()
     )
+
+
+WARC_SCHEMA = "shard_id long, warc binary"
+
+
+def stream_ingest_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 16,
+):
+    """Continuous crawl-archive ingest: WARC shard blobs arriving as
+    parquet files → length-framed record parse → HTTP 200 bodies →
+    the batch DOM extraction → shard-partitioned spans. A WARC shard
+    never spans micro-batches (a blob arrives whole in one row), so
+    each bounded micro-batch runs the exact batch pipeline; the same
+    (batch_id, shard) dynamic-overwrite write makes replays
+    idempotent."""
+    from pero_ocr_spark.operators import html, sampling
+    from pero_ocr_spark.sources import warc
+
+    shards = spark.readStream.schema(WARC_SCHEMA).parquet(warc_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        recs = warc.parse_warc_records(batch_df).filter(
+            F.col("status") == 200
+        )
+        spans = html.html_to_spans(
+            recs.select("doc_id", F.col("body").alias("html"))
+        ).withColumn("shard", sampling._residue(n_shards).cast("int"))
+        (
+            spans.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "shard")
+            .parquet(out_dir)
+        )
+
+    return (
+        shards.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

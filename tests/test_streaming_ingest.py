@@ -36,3 +36,40 @@ def test_stream_ingest_matches_batch(spark, sf_dir, tmp_path):
     q2 = ingest.stream_ingest_pages(spark, pages_dir, out_dir, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_stream_ingest_warc_matches_batch(spark, sf_dir, tmp_path):
+    from pero_ocr_spark.sources import warc as W
+
+    warc_dir = str(tmp_path / "warc")
+    out_dir = str(tmp_path / "warc_spans")
+    ckpt = str(tmp_path / "warc_ckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    pages = H.synthesize_html_interleaved(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    shards = W.synthesize_warc_shards(W.capture_table(pages), n_shards=6)
+    shards.coalesce(3).write.mode("overwrite").parquet(warc_dir)
+
+    q = ingest.stream_ingest_warc(spark, warc_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    recs = W.parse_warc_records(spark.read.parquet(warc_dir)).filter(
+        "status = 200"
+    )
+    from pyspark.sql import functions as F
+    want = H.html_to_spans(recs.select("doc_id", F.col("body").alias("html")))
+    key = ["doc_id", "ord", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )
+    # 404 captures contribute nothing
+    assert got.filter((got.doc_id % 50) == 7).count() == 0
+
+    # checkpoint replay: nothing new
+    n = got.count()
+    q2 = ingest.stream_ingest_warc(spark, warc_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n
