@@ -87,7 +87,7 @@ def _union_find_runs(mask: np.ndarray, slack: int):
     (all_runs, find) where all_runs = [(y, start, end_excl, label)]
     and find() resolves a run label to its component root. slack=1
     gives 8-connectivity (diagonal run adjacency), 0 gives 4."""
-    h = mask.shape[0]
+    h, w = mask.shape
     parent: list[int] = [0]
 
     def find(x: int) -> int:
@@ -96,30 +96,44 @@ def _union_find_runs(mask: np.ndarray, slack: int):
             x = parent[x]
         return x
 
+    # run extraction vectorized over the WHOLE mask at once: a padded
+    # false column on each side guarantees every run opens and closes
+    # inside its own row, so one flat edge scan finds all runs — the
+    # old per-row loop paid a numpy call per pixel row even when the
+    # row was empty (most rows of a text page are)
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = mask
+    flat = padded.ravel()
+    edges = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    if len(edges) == 0:
+        return [], find
+    W = w + 2
+    run_y = (edges[::2] // W).tolist()
+    run_s = (edges[::2] % W - 1).tolist()
+    run_e = (edges[1::2] - edges[::2] + (edges[::2] % W) - 1).tolist()
+
     all_runs: list[tuple[int, int, int, int]] = []
     prev_runs: list[tuple[int, int, int]] = []
-    for y in range(h):
-        row = mask[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        edges = np.flatnonzero(np.diff(np.concatenate(([False], row, [False]))))
-        runs = []
-        for s, e in zip(edges[::2], edges[1::2]):
-            lab = 0
-            for ps, pe, pl in prev_runs:
-                if ps < e + slack and s < pe + slack:  # column overlap
-                    root = find(pl)
-                    if lab == 0:
-                        lab = root
-                    elif root != lab:
-                        parent[root] = find(lab)
-            if lab == 0:
-                parent.append(len(parent))
-                lab = len(parent) - 1
-            runs.append((int(s), int(e), lab))
-            all_runs.append((y, int(s), int(e), lab))
-        prev_runs = runs
+    runs: list[tuple[int, int, int]] = []
+    prev_y = -2
+    for y, s, e in zip(run_y, run_s, run_e):
+        if y != prev_y:
+            prev_runs = runs if y == prev_y + 1 else []
+            runs = []
+            prev_y = y
+        lab = 0
+        for ps, pe, pl in prev_runs:
+            if ps < e + slack and s < pe + slack:  # column overlap
+                root = find(pl)
+                if lab == 0:
+                    lab = root
+                elif root != lab:
+                    parent[root] = find(lab)
+        if lab == 0:
+            parent.append(len(parent))
+            lab = len(parent) - 1
+        runs.append((s, e, lab))
+        all_runs.append((y, s, e, lab))
     return all_runs, find
 
 
