@@ -3531,3 +3531,46 @@ def q_host_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import linkgraph
 
     return linkgraph.host_quality_priors(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "similarity_quantized_topk",
+    f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+sq AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
+         END AS s,
+         emb
+  FROM e0),
+eq AS (
+  SELECT vec_id,
+         list_transform(emb, x -> round(x / s)) AS q
+  FROM sq),
+en AS (
+  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM eq),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.q, b.q) / (a.qn * b.qn), 6) AS qcosine
+  FROM en a JOIN en b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)}))
+SELECT query_id, neighbor_id, qcosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS rn
+  FROM sims)
+WHERE rn <= 5
+""",
+)
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQ8 similarity: int8 codes (4x smaller scan at 100 TB), cosine
+    # computed on the quantized vectors directly - the per-vector
+    # scales cancel, so ranking never dequantizes. Same deterministic
+    # tiebreak as the exact baseline.
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.quantized_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )

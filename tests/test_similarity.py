@@ -117,3 +117,36 @@ class TestKMeans:
         one = {r["vec_id"]: r["cell"]
                for r in similarity.kmeans_assign(emb, k=4, iters=1).collect()}
         assert any(one[v] != a[v] for v in a)
+
+
+class TestSQ8Quantization:
+    def test_codes_bounded_and_scale(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in similarity.with_sq8(df).collect()}
+        assert out[1]["q_emb"] == [64, -127, 32]  # scale = 1/127
+        assert abs(out[1]["q_scale"] - 1.0 / 127) < 1e-9
+        # zero vector: guarded scale, all-zero codes (no null poison)
+        assert out[2]["q_emb"] == [0, 0, 0]
+        assert out[2]["q_scale"] == 1.0
+
+    def test_quantized_topk_high_recall_vs_exact(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qids = list(range(8))
+        exact = similarity.cosine_topk(emb, qids, k=5).toPandas()
+        quant = similarity.quantized_topk(emb, qids, k=5).toPandas()
+        assert len(quant) == len(exact)
+        # SQ8 keeps ~1e-2 cosine fidelity; top-5 sets should mostly agree
+        agree = 0
+        for q in qids:
+            a = set(exact[exact.query_id == q]["neighbor_id"])
+            b = set(quant[quant.query_id == q]["neighbor_id"])
+            agree += len(a & b)
+        assert agree >= 0.7 * len(exact)
+        # codes never exceed int8 range
+        codes = similarity.with_sq8(emb).selectExpr(
+            "max(array_max(transform(q_emb, x -> abs(x)))) AS m"
+        ).collect()[0]["m"]
+        assert codes <= 127
