@@ -3574,3 +3574,115 @@ def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
     )
+
+
+@register(
+    "warc_stream_ingest",
+    f"""
+WITH {_HTML_PARA_CTE},
+kept AS (
+  SELECT k.doc_id, -1 AS bk, 'text' AS kind,
+         d.source || ' report' AS text, NULL AS media_ref
+  FROM k JOIN documents d USING (doc_id) WHERE k.nw0 >= 8
+  UNION ALL
+  SELECT doc_id, pi*2, 'text', ptext, NULL
+  FROM par WHERE nw >= 8 OR pi > 0
+  UNION ALL
+  SELECT doc_id, pi*2 + 1, 'media', NULL,
+         'img://' || doc_id || '/' || pi
+  FROM par WHERE pi % 2 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       kind, text, media_ref
+FROM kept
+WHERE doc_id % 50 <> 7
+""",
+)
+def q_warc_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured-Streaming web ingest, externally verified: WARC shard
+    # blobs land as files, an availableNow foreachBatch run parses and
+    # extracts them with the exactly-once (batch_id, shard) dynamic-
+    # overwrite write, and the sink contents must equal the SAME
+    # closed form as the batch path (warc_html_spans oracle) — the
+    # streaming engine may split shards across micro-batches however
+    # it likes, the union of idempotent batch writes must not care.
+    import os
+
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+    from pero_ocr_spark.streaming import ingest
+
+    root = _scratch("warc_stream")
+    warc_dir, out_dir, ckpt = (
+        os.path.join(root, d) for d in ("shards", "spans", "ckpt")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html_interleaved(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    W.synthesize_warc_shards(W.capture_table(pages), n_shards=32).coalesce(
+        4
+    ).write.mode("overwrite").parquet(warc_dir)
+    q = ingest.stream_ingest_warc(spark, warc_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "ord", "kind", "text", "media_ref"
+    )
+
+
+def _redirect_iter(i: int) -> str:
+    return f"""
+r{i + 1} AS (
+  SELECT r.doc_id,
+         CASE WHEN s.status = 301 THEN h.nxt ELSE r.cur END AS cur,
+         r.hops + CASE WHEN s.status = 301 THEN 1 ELSE 0 END AS hops
+  FROM r{i} r JOIN st s ON s.doc_id = r.cur JOIN hop h ON h.doc_id = r.cur)"""
+
+
+@register(
+    "warc_redirect_resolution",
+    """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents),
+st AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 IN (3, 10, 17) THEN 301
+              WHEN doc_id % 50 = 7 THEN 404 ELSE 200 END AS status
+  FROM documents),
+hop AS (SELECT doc_id, (doc_id + 7) % (SELECT n FROM cnt) AS nxt FROM documents),
+r0 AS (SELECT doc_id, doc_id AS cur, 0 AS hops FROM documents),"""
+    + ",".join(_redirect_iter(i) for i in range(4))
+    + """
+SELECT r.doc_id, u0.url AS start_url, u1.url AS final_url,
+       CAST(s.status AS BIGINT) AS final_status,
+       CAST(r.hops AS BIGINT) AS hops,
+       s.status <> 301 AS resolved
+FROM r4 r
+JOIN u u0 ON u0.doc_id = r.doc_id
+JOIN u u1 ON u1.doc_id = r.cur
+JOIN st s ON s.doc_id = r.cur
+""",
+)
+def q_warc_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl post-processing: 301 chains followed by URL equi-joins over
+    # the parsed archive (chains of length 1-3 by construction: 17->24,
+    # 10->17->24, 3->10->17->24); oracle = hops unrolled over id
+    # arithmetic. Nothing broadcast - at corpus scale the record table
+    # and the frontier are both corpus-sized.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    pages = H.synthesize_html(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    caps = W.capture_table(pages, with_redirects=True, n_docs=n)
+    recs = W.parse_warc_records(W.synthesize_warc_shards(caps, n_shards=32))
+    return W.resolve_redirects(recs, max_hops=4)

@@ -50,12 +50,16 @@ def build_warc_shard(records) -> bytes:
     record separator CRLF CRLF.
     """
     out = bytearray()
-    for doc_id, url, status, body in records:
+    for rec in records:
+        doc_id, url, status, body = rec[:4]
+        location = rec[4] if len(rec) > 4 else ""
         body_b = body.encode("utf-8")
         status = int(status)
+        loc_hdr = f"Location: {location}\r\n" if location else ""
         http = (
             f"HTTP/1.1 {status} {_REASON.get(status, 'OK')}\r\n"
             f"Content-Type: text/html; charset=utf-8\r\n"
+            f"{loc_hdr}"
             f"Content-Length: {len(body_b)}\r\n\r\n"
         ).encode("ascii") + body_b
         out += (
@@ -73,9 +77,8 @@ def build_warc_shard(records) -> bytes:
 
 
 def parse_warc_shard(buf: bytes):
-    """Length-framed record walk →
-    ``[(rec_index, doc_id, url, status, content_type, body_str), …]``.
-    """
+    """Length-framed record walk → ``[(rec_index, doc_id, url, status,
+    content_type, location, body_str), …]``."""
     out, pos, idx = [], 0, 0
     n = len(buf)
     while pos < n:
@@ -97,7 +100,8 @@ def parse_warc_shard(buf: bytes):
         body = block[http_end + 4 :].decode("utf-8")
         out.append(
             (idx, doc_id, fields["WARC-Target-URI"], status,
-             hfields.get("Content-Type", ""), body)
+             hfields.get("Content-Type", ""), hfields.get("Location", ""),
+             body)
         )
         idx += 1
     return out
@@ -119,23 +123,58 @@ _REC_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("status", LongType()),
     StructField("content_type", StringType()),
+    StructField("location", StringType()),
     StructField("body", StringType()),
 ])
 
 
-def capture_table(pages: DataFrame) -> DataFrame:
+def capture_table(
+    pages: DataFrame, with_redirects: bool = False, n_docs: int | None = None
+) -> DataFrame:
     """(doc_id, html) + documents.source → the deterministic capture:
     ``url = https://{source}.example.com/doc/{doc_id}``; every 50th
-    doc (doc_id % 50 == 7) was a 404 with an empty body."""
+    doc (doc_id % 50 == 7) was a 404 with an empty body.
+
+    ``with_redirects=True`` adds the 301 branch: docs with
+    ``doc_id % 40 ∈ {3, 10, 17}`` are redirects to ``(doc_id+7) mod
+    n_docs`` via a Location header — residues chosen so chains of
+    length 1, 2 and 3 all occur (17→24 resolves, 10→17→24, 3→10→17→24)
+    and every chain terminates."""
     is404 = F.col("doc_id") % 50 == 7
-    return pages.select(
+    url = F.concat(
+        F.lit("https://"), F.col("source"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    if not with_redirects:
+        return pages.select(
+            "doc_id",
+            url.alias("url"),
+            F.when(is404, F.lit(404)).otherwise(F.lit(200)).cast("long").alias("status"),
+            F.when(is404, F.lit("")).otherwise(F.col("html")).alias("body"),
+            F.lit("").alias("location"),
+        )
+    if n_docs is None:
+        raise ValueError("with_redirects=True requires n_docs")
+    is301 = (F.col("doc_id") % 40).isin(3, 10, 17)
+    target = (F.col("doc_id") + 7) % n_docs
+    # Location must be the TARGET doc's url, whose host comes from the
+    # target's source — join the (doc_id, source) pairs back on target
+    hosts = pages.select(
+        F.col("doc_id").alias("t_id"), F.col("source").alias("t_source")
+    )
+    cap = pages.withColumn("t_id", target).join(F.broadcast(hosts), "t_id")
+    loc = F.concat(
+        F.lit("https://"), F.col("t_source"),
+        F.lit(".example.com/doc/"), F.col("t_id").cast("string"),
+    )
+    return cap.select(
         "doc_id",
-        F.concat(
-            F.lit("https://"), F.col("source"),
-            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.when(is404, F.lit(404)).otherwise(F.lit(200)).cast("long").alias("status"),
-        F.when(is404, F.lit("")).otherwise(F.col("html")).alias("body"),
+        url.alias("url"),
+        F.when(is301, F.lit(301))
+        .when(is404, F.lit(404))
+        .otherwise(F.lit(200)).cast("long").alias("status"),
+        F.when(is301 | is404, F.lit("")).otherwise(F.col("html")).alias("body"),
+        F.when(is301, loc).otherwise(F.lit("")).alias("location"),
     )
 
 
@@ -146,8 +185,12 @@ def synthesize_warc_shards(captures: DataFrame, n_shards: int = 32) -> DataFrame
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        loc = (
+            pdf["location"] if "location" in pdf.columns
+            else [""] * len(pdf)
+        )
         blob = build_warc_shard(
-            list(zip(pdf["doc_id"], pdf["url"], pdf["status"], pdf["body"]))
+            list(zip(pdf["doc_id"], pdf["url"], pdf["status"], pdf["body"], loc))
         )
         return pd.DataFrame({
             "shard_id": [int(pdf["shard_id"].iloc[0])],
@@ -171,9 +214,9 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in
                     ("shard_id", "rec_index", "doc_id", "url", "status",
-                     "content_type", "body")}
+                     "content_type", "location", "body")}
             for sid, blob in zip(pdf["shard_id"], pdf["warc"]):
-                for idx, doc_id, url, status, ctype, body in parse_warc_shard(
+                for idx, doc_id, url, status, ctype, loc, body in parse_warc_shard(
                     bytes(blob)
                 ):
                     rows["shard_id"].append(int(sid))
@@ -182,7 +225,60 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
                     rows["url"].append(url)
                     rows["status"].append(status)
                     rows["content_type"].append(ctype)
+                    rows["location"].append(loc)
                     rows["body"].append(body)
             yield pd.DataFrame(rows)
 
     return shards.select("shard_id", "warc").mapInPandas(gen, schema=_REC_SCHEMA)
+
+
+def resolve_redirects(recs: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Follow 301 chains through the archive by URL (the way a crawl
+    post-processor does — no id arithmetic): each hop is one left
+    equi-join of the frontier's Location against the record table's
+    Target-URI. Bounded unrolled hops keep the plan finite; a chain
+    still pointing at a 301 (or at a URL missing from the capture)
+    after ``max_hops`` is flagged unresolved.
+
+    Scale shape: ``max_hops`` shuffle joins on the url key, each
+    touching only still-redirecting rows (the frontier shrinks every
+    hop); nothing is broadcast — both sides are corpus-sized."""
+    targets = recs.select(
+        F.col("url").alias("t_url"),
+        F.col("status").alias("t_status"),
+        F.col("location").alias("t_location"),
+    )
+    cur = recs.select(
+        "doc_id",
+        F.col("url").alias("start_url"),
+        F.col("url").alias("final_url"),
+        F.col("status").alias("final_status"),
+        "location",
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(max_hops):
+        follow = (F.col("final_status") == 301) & (F.col("location") != "")
+        hit = follow & F.col("t_url").isNotNull()
+        cur = (
+            cur.join(targets, cur["location"] == targets["t_url"], "left")
+            .select(
+                "doc_id",
+                "start_url",
+                F.when(hit, F.col("t_url"))
+                .otherwise(F.col("final_url")).alias("final_url"),
+                F.when(hit, F.col("t_status"))
+                .otherwise(F.col("final_status")).alias("final_status"),
+                F.when(hit, F.col("t_location"))
+                .otherwise(F.when(follow, F.lit("")).otherwise(F.col("location")))
+                .alias("location"),
+                (F.col("hops") + F.when(hit, 1).otherwise(0)).alias("hops"),
+            )
+        )
+    return cur.select(
+        "doc_id",
+        "start_url",
+        "final_url",
+        "final_status",
+        F.col("hops").cast("long").alias("hops"),
+        (F.col("final_status") != 301).alias("resolved"),
+    )

@@ -15,7 +15,7 @@ class TestFraming:
             (99, "https://c.example.com/doc/99", 200, "<p>x</p>"),
         ]
         back = W.parse_warc_shard(W.build_warc_shard(recs))
-        assert [(d, u, s, b) for _, d, u, s, _, b in back] == recs
+        assert [(d, u, s, b) for _, d, u, s, _, _, b in back] == recs
         assert [i for i, *_ in back] == [0, 1, 2]
 
     def test_body_containing_warc_header_survives(self):
@@ -27,22 +27,23 @@ class TestFraming:
                 (6, "https://e.example.com/doc/6", 200, "<p>after</p>")]
         back = W.parse_warc_shard(W.build_warc_shard(recs))
         assert len(back) == 2
-        assert back[0][5] == evil
-        assert back[1][5] == "<p>after</p>"
+        assert back[0][6] == evil
+        assert back[1][6] == "<p>after</p>"
 
     def test_utf8_body_content_length_in_bytes(self):
         body = "über 北京 naïve"                   # multi-byte chars
         back = W.parse_warc_shard(
             W.build_warc_shard([(9, "https://u.example.com/doc/9", 200, body)])
         )
-        assert back[0][5] == body
+        assert back[0][6] == body
 
     def test_http_fields_parsed(self):
         back = W.parse_warc_shard(
             W.build_warc_shard([(3, "https://h.example.com/doc/3", 404, "")])
         )
-        idx, doc_id, url, status, ctype, body = back[0]
+        idx, doc_id, url, status, ctype, location, body = back[0]
         assert (doc_id, status, body) == (3, 404, "")
+        assert location == ""
         assert ctype == "text/html; charset=utf-8"
 
     def test_bad_version_line_raises(self):
@@ -82,3 +83,52 @@ class TestSparkStages:
         for _, grp in recs.groupby("shard_id"):
             g = grp.sort_values("rec_index")
             assert list(g["doc_id"]) == sorted(g["doc_id"])
+
+
+class TestRedirects:
+    def test_location_header_roundtrip(self):
+        recs = [(3, "https://a.example.com/doc/3", 301, "",
+                 "https://b.example.com/doc/10"),
+                (10, "https://b.example.com/doc/10", 200, "<p>final</p>")]
+        back = W.parse_warc_shard(W.build_warc_shard(recs))
+        assert back[0][3] == 301
+        assert back[0][5] == "https://b.example.com/doc/10"
+        assert back[1][5] == ""            # no Location on a 200
+
+    def test_resolve_chains_by_url(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"<p>doc {i}</p>", "web") for i in range(60)],
+            "doc_id long, html string, source string",
+        )
+        caps = W.capture_table(docs, with_redirects=True, n_docs=60)
+        recs = W.parse_warc_records(W.synthesize_warc_shards(caps, n_shards=4))
+        out = W.resolve_redirects(recs, max_hops=4).toPandas().set_index("doc_id")
+        # chain lengths by construction: 17 -> 24 (1 hop),
+        # 10 -> 17 -> 24 (2), 3 -> 10 -> 17 -> 24 (3)
+        assert out.loc[3, "hops"] == 3 and out.loc[3, "final_status"] == 200
+        assert out.loc[10, "hops"] == 2
+        assert out.loc[17, "hops"] == 1
+        assert out.loc[3, "final_url"].endswith("/doc/24")
+        assert bool(out.loc[3, "resolved"])
+        # non-redirect rows untouched
+        assert out.loc[24, "hops"] == 0
+        assert out.loc[24, "final_url"] == out.loc[24, "start_url"]
+        # the 404 branch is preserved through resolution
+        assert out.loc[7, "final_status"] == 404
+
+    def test_unresolvable_location_flagged(self, spark):
+        # a Location pointing OUTSIDE the capture: follow once, miss,
+        # stay 301, resolved=False, no infinite loop
+        rows = [(1, "https://a.example.com/doc/1", 301, "",
+                 "https://gone.example.com/404me"),
+                (2, "https://a.example.com/doc/2", 200, "<p>x</p>", "")]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, url string, status long, body string, location string",
+        )
+        recs = W.parse_warc_records(W.synthesize_warc_shards(df, n_shards=1))
+        out = W.resolve_redirects(recs, max_hops=4).toPandas().set_index("doc_id")
+        assert not bool(out.loc[1, "resolved"])
+        assert out.loc[1, "final_status"] == 301
+        assert out.loc[1, "hops"] == 0
+        assert bool(out.loc[2, "resolved"])
