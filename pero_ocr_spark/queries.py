@@ -3686,3 +3686,38 @@ def q_warc_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = W.capture_table(pages, with_redirects=True, n_docs=n)
     recs = W.parse_warc_records(W.synthesize_warc_shards(caps, n_shards=32))
     return W.resolve_redirects(recs, max_hops=4)
+
+
+@register(
+    "warc_robots_filter",
+    """
+WITH cap AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS src_idx
+  FROM documents)
+SELECT doc_id, url, host,
+       CASE WHEN src_idx % 5 = 0 THEN 'disallow_all'
+            WHEN src_idx % 5 = 2 THEN 'disallow_odd'
+            ELSE 'allow' END AS rule,
+       CASE WHEN src_idx % 5 = 0 THEN FALSE
+            WHEN src_idx % 5 = 2 AND doc_id % 2 = 1 THEN FALSE
+            ELSE TRUE END AS allowed
+FROM cap
+""",
+)
+def q_warc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl compliance: parsed per-host robots rules (host-sized table,
+    # broadcast) applied to the capture urls - the corpus side never
+    # shuffles; rule kinds cover full-block, pattern-block and allow.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    caps = W.capture_table(pages).select("doc_id", "url")
+    return W.robots_filter(caps, W.synth_robots(docs))

@@ -282,3 +282,47 @@ def resolve_redirects(recs: DataFrame, max_hops: int = 4) -> DataFrame:
         F.col("hops").cast("long").alias("hops"),
         (F.col("final_status") != 301).alias("resolved"),
     )
+
+
+# ------------------------------------------------------------ robots.txt
+
+def synth_robots(docs: DataFrame) -> DataFrame:
+    """Deterministic per-host robots.txt: hosts whose source index is
+    ≡ 0 (mod 5) disallow ``/doc/`` for everyone (full block), hosts
+    ≡ 2 (mod 5) disallow only doc paths ending in an odd id via the
+    crawl convention ``Disallow: /doc/*1$``-style rules — expressed
+    here as the parsed rule table (host, rule_kind) the way a fetcher
+    caches robots after parsing, since rule semantics, not file
+    syntax, are what the filter applies at scale."""
+    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("long")
+    return docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        src_idx.alias("src_idx"),
+    ).distinct().select(
+        "host",
+        F.when(F.col("src_idx") % 5 == 0, F.lit("disallow_all"))
+        .when(F.col("src_idx") % 5 == 2, F.lit("disallow_odd"))
+        .otherwise(F.lit("allow")).alias("rule"),
+    )
+
+
+def robots_filter(captures: DataFrame, robots: DataFrame) -> DataFrame:
+    """Apply parsed robots rules to the capture table: the rule table
+    is host-sized (~10^7 rows at corpus scale), so it broadcasts; the
+    capture side never shuffles. Emits every capture with its verdict
+    — downstream fetch/extract stages filter on ``allowed``."""
+    doc_part = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    joined = captures.withColumn("host", host).join(
+        F.broadcast(robots), "host", "left"
+    )
+    allowed = (
+        F.when(F.col("rule") == "disallow_all", F.lit(False))
+        .when((F.col("rule") == "disallow_odd") & (doc_part % 2 == 1), F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    return joined.select(
+        "doc_id", "url", "host",
+        F.coalesce(F.col("rule"), F.lit("allow")).alias("rule"),
+        allowed.alias("allowed"),
+    )

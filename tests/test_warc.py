@@ -132,3 +132,35 @@ class TestRedirects:
         assert out.loc[1, "final_status"] == 301
         assert out.loc[1, "hops"] == 0
         assert bool(out.loc[2, "resolved"])
+
+
+class TestRobots:
+    def test_rule_branches_and_broadcast(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "<p>x</p>", f"src{s}") for i, s in
+             [(0, 0), (1, 0), (2, 2), (3, 2), (4, 1)]],
+            "doc_id long, html string, source string",
+        )
+        caps = W.capture_table(docs).select("doc_id", "url")
+        out = W.robots_filter(caps, W.synth_robots(docs)).toPandas(
+        ).set_index("doc_id")
+        # src0: disallow_all blocks both ids
+        assert not out.loc[0, "allowed"] and not out.loc[1, "allowed"]
+        # src2: disallow_odd blocks odd doc ids only
+        assert out.loc[2, "allowed"] and not out.loc[3, "allowed"]
+        # src1: allow
+        assert out.loc[4, "allowed"] and out.loc[4, "rule"] == "allow"
+        # host-sized rule table must broadcast
+        plan = W.robots_filter(caps, W.synth_robots(docs))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_unknown_host_defaults_to_allow(self, spark):
+        caps = spark.createDataFrame(
+            [(9, "https://nowhere.example.org/doc/9")], "doc_id long, url string"
+        )
+        robots = spark.createDataFrame(
+            [("web.example.com", "disallow_all")], "host string, rule string"
+        )
+        out = W.robots_filter(caps, robots).collect()[0]
+        assert out["allowed"] and out["rule"] == "allow"
