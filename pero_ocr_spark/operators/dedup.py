@@ -252,25 +252,83 @@ def minhash_lsh_pairs(
     return _verify_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    driver_edge_cap: int = 4_000_000,
+) -> DataFrame:
     """Connected components over the near-dup pair graph → canonical
     cluster ids (the dedup end-step: every document maps to the
     minimum doc_id of its duplicate component).
 
-    Iterative min-label propagation in plain DataFrame ops — the
-    GraphFrames-free formulation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup clusters are tiny, so 2-3).
-    Each round is one shuffle; the loop stops early at fixpoint.
+    Two regimes, picked by a measured pair count (the pair frame is
+    persisted first, so the expensive upstream — shingling / minhash /
+    LSH verify — runs exactly once either way):
 
-    Iteration state handling: the edge list is materialized ONCE
-    (persist) so the upstream pair pipeline (shingling/minhash/LSH)
-    never re-executes, and each round's labels are localCheckpoint-ed
-    so the plan doesn't deepen and the fixpoint count() is a cheap
-    scan of cached partitions. On a fault-tolerant cluster use
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
-    instead of localCheckpoint.
+    * ``n_pairs <= driver_edge_cap`` — ONE driver union-find pass over
+      the collected edge list. The collect is bounded by the cap
+      (~16 bytes/pair → ≤64 MB at the default), never corpus-sized:
+      dup PAIRS post-LSH-verify are a tiny fraction of documents at
+      any healthy threshold, and the cap is checked, not assumed.
+      This replaces ~4 Spark jobs per propagation round with zero.
+    * above the cap — iterative min-label propagation in plain
+      DataFrame ops (the GraphFrames-free formulation): each round
+      every node takes the min of its own and its neighbors' labels;
+      converges in O(component diameter) rounds. Each round is one
+      shuffle; the loop stops early at fixpoint. Labels are
+      localCheckpoint-ed so the plan doesn't deepen; on a
+      fault-tolerant cluster use ``setCheckpointDir`` +
+      ``.checkpoint()`` instead.
+
+    Both paths return identical rows: every node appearing in a pair,
+    labeled with the minimum id of its component.
     """
+    pairs = pairs.select("doc_a", "doc_b").persist()
+    try:
+        n_pairs = pairs.count()
+        if n_pairs <= driver_edge_cap:
+            return _clusters_driver_union_find(pairs)
+        return _clusters_label_propagation(pairs, max_iter)
+    finally:
+        pairs.unpersist()
+
+
+def _clusters_driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Small-graph CC path: path-compressed union-find on the driver,
+    root = minimum member (union always hangs the larger root under
+    the smaller), matching the propagation fixpoint exactly."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    id_type = pairs.schema["doc_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return pairs.sparkSession.createDataFrame(rows, out_schema)
+
+
+def _clusters_label_propagation(pairs: DataFrame, max_iter: int) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

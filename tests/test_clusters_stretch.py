@@ -21,6 +21,29 @@ def test_duplicate_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_paths_agree(spark):
+    # the size gate must be invisible: the distributed propagation
+    # path (forced via driver_edge_cap=0) and the driver union-find
+    # path produce identical labelings
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            pairs, driver_edge_cap=0
+        ).collect()
+    }
+    assert fast == dist and fast
+
+
 def test_duplicate_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
