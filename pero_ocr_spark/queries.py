@@ -3721,3 +3721,34 @@ def q_warc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     caps = W.capture_table(pages).select("doc_id", "url")
     return W.robots_filter(caps, W.synth_robots(docs))
+
+
+@register(
+    "warc_charset_decode",
+    """
+SELECT doc_id,
+       CASE doc_id % 10
+         WHEN 1 THEN 'utf-16-le' WHEN 6 THEN 'utf-16-le'
+         WHEN 2 THEN 'utf-16-be' WHEN 7 THEN 'utf-16-be'
+         WHEN 3 THEN 'latin-1'   WHEN 9 THEN 'latin-1'
+         WHEN 8 THEN 'cp1252'
+         ELSE 'utf-8' END AS charset,
+       CASE doc_id % 10
+         WHEN 1 THEN 'bom' WHEN 6 THEN 'bom'
+         WHEN 2 THEN 'bom' WHEN 7 THEN 'bom'
+         WHEN 8 THEN 'meta'
+         WHEN 4 THEN 'sniff' WHEN 9 THEN 'sniff'
+         ELSE 'header' END AS charset_source,
+       text || ' café' AS text
+FROM documents
+""",
+)
+def q_warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # byte→text front door: deterministic multi-encoding synthesis
+    # (BOM / header / meta / sniff rungs, non-ascii probe suffix) then
+    # the WHATWG-ordered detection ladder; every decoded text must
+    # equal original + probe regardless of which rung fired. Narrow
+    # Arrow map end-to-end — zero shuffles.
+    from pero_ocr_spark.operators import charset
+
+    return charset.decode_corpus(_t(spark, sf_dir, "documents"))
