@@ -3752,3 +3752,35 @@ def q_warc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import charset
 
     return charset.decode_corpus(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "warc_gzip_ingest",
+    """
+SELECT doc_id,
+       CAST(doc_id % 32 AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) - 1
+            AS BIGINT) AS rec_index,
+       CAST(CASE WHEN doc_id % 50 = 7 THEN 404 ELSE 200 END AS BIGINT)
+         AS status
+FROM documents
+""",
+)
+def q_warc_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .warc.gz container form (the actual Common Crawl layout): one
+    # gzip member per record, members walked by decompressor handoff
+    # (never delimiter-searched); record set, order and status branch
+    # must equal the plain-framed parse exactly.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    shards = W.synthesize_warc_shards(
+        W.capture_table(pages), n_shards=32, gzip_members=True
+    )
+    return W.parse_warc_records(shards).select(
+        "doc_id", "shard_id", "rec_index", "status"
+    )

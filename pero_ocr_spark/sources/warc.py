@@ -42,43 +42,85 @@ WARC_DATE = "2026-01-01T00:00:00Z"   # deterministic capture timestamp
 _REASON = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}
 
 
-def build_warc_shard(records) -> bytes:
+def build_warc_shard(records, gzip_members: bool = False) -> bytes:
     """``[(doc_id, url, status, body_str), …]`` → one WARC shard.
 
     Each record: WARC/1.0 header block (Content-Length = byte length
     of the captured HTTP message), then the HTTP response, then the
     record separator CRLF CRLF.
+
+    ``gzip_members=True`` emits the Common Crawl ``.warc.gz``
+    convention: each record is its own gzip member and the shard is
+    the member concatenation — readers can seek to any member and
+    decompress one record without touching the rest (the property
+    that makes .warc.gz splittable by offset index at corpus scale).
     """
     out = bytearray()
     for rec in records:
-        doc_id, url, status, body = rec[:4]
-        location = rec[4] if len(rec) > 4 else ""
-        body_b = body.encode("utf-8")
-        status = int(status)
-        loc_hdr = f"Location: {location}\r\n" if location else ""
-        http = (
-            f"HTTP/1.1 {status} {_REASON.get(status, 'OK')}\r\n"
-            f"Content-Type: text/html; charset=utf-8\r\n"
-            f"{loc_hdr}"
-            f"Content-Length: {len(body_b)}\r\n\r\n"
-        ).encode("ascii") + body_b
-        out += (
-            f"WARC/1.0\r\n"
-            f"WARC-Type: response\r\n"
-            f"WARC-Record-ID: "
-            f"<urn:uuid:00000000-0000-0000-0000-{int(doc_id):012d}>\r\n"
-            f"WARC-Date: {WARC_DATE}\r\n"
-            f"WARC-Target-URI: {url}\r\n"
-            f"Content-Type: application/http; msgtype=response\r\n"
-            f"Content-Length: {len(http)}\r\n\r\n"
-        ).encode("ascii")
-        out += http + b"\r\n\r\n"
+        out += _encode_record(rec, gzip_members)
     return bytes(out)
+
+
+def _encode_record(rec, gzip_member: bool) -> bytes:
+    doc_id, url, status, body = rec[:4]
+    location = rec[4] if len(rec) > 4 else ""
+    body_b = body.encode("utf-8")
+    status = int(status)
+    loc_hdr = f"Location: {location}\r\n" if location else ""
+    http = (
+        f"HTTP/1.1 {status} {_REASON.get(status, 'OK')}\r\n"
+        f"Content-Type: text/html; charset=utf-8\r\n"
+        f"{loc_hdr}"
+        f"Content-Length: {len(body_b)}\r\n\r\n"
+    ).encode("ascii") + body_b
+    raw = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: "
+        f"<urn:uuid:00000000-0000-0000-0000-{int(doc_id):012d}>\r\n"
+        f"WARC-Date: {WARC_DATE}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii") + http + b"\r\n\r\n"
+    if not gzip_member:
+        return raw
+    # one gzip member per record, deterministic bytes (mtime pinned)
+    import gzip as _gzip
+    import io
+
+    sink = io.BytesIO()
+    with _gzip.GzipFile(fileobj=sink, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return sink.getvalue()
 
 
 def parse_warc_shard(buf: bytes):
     """Length-framed record walk → ``[(rec_index, doc_id, url, status,
-    content_type, location, body_str), …]``."""
+    content_type, location, body_str), …]``.
+
+    A shard starting with the gzip magic is treated as a member
+    concatenation (the ``.warc.gz`` convention): members are walked
+    one at a time via the decompressor's ``unused_data`` handoff —
+    never by searching the compressed bytes for a delimiter — and the
+    records they contain are re-indexed sequentially, so plain and
+    gzipped shards parse identically.
+    """
+    if buf[:2] == b"\x1f\x8b":
+        import zlib
+
+        out, pos, idx = [], 0, 0
+        view = memoryview(buf)
+        while pos < len(buf):
+            d = zlib.decompressobj(wbits=31)
+            raw = d.decompress(view[pos:])
+            if not d.eof:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            pos = len(buf) - len(d.unused_data)
+            for rec in parse_warc_shard(raw):
+                out.append((idx,) + rec[1:])
+                idx += 1
+        return out
     out, pos, idx = [], 0, 0
     n = len(buf)
     while pos < n:
@@ -178,9 +220,12 @@ def capture_table(
     )
 
 
-def synthesize_warc_shards(captures: DataFrame, n_shards: int = 32) -> DataFrame:
+def synthesize_warc_shards(
+    captures: DataFrame, n_shards: int = 32, gzip_members: bool = False
+) -> DataFrame:
     """(doc_id, url, status, body) → one WARC blob per shard
-    (``shard = doc_id % n_shards``), records ordered by doc_id."""
+    (``shard = doc_id % n_shards``), records ordered by doc_id.
+    ``gzip_members=True`` → the ``.warc.gz`` member-per-record form."""
     n = int(captures.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -190,7 +235,8 @@ def synthesize_warc_shards(captures: DataFrame, n_shards: int = 32) -> DataFrame
             else [""] * len(pdf)
         )
         blob = build_warc_shard(
-            list(zip(pdf["doc_id"], pdf["url"], pdf["status"], pdf["body"], loc))
+            list(zip(pdf["doc_id"], pdf["url"], pdf["status"], pdf["body"], loc)),
+            gzip_members=gzip_members,
         )
         return pd.DataFrame({
             "shard_id": [int(pdf["shard_id"].iloc[0])],

@@ -55,6 +55,57 @@ class TestFraming:
         assert W.build_warc_shard(recs) == W.build_warc_shard(recs)
 
 
+class TestGzipMembers:
+    RECS = [
+        (1, "https://a.example.com/doc/1", 200, "<p>hello</p>"),
+        (57, "https://b.example.com/doc/57", 404, ""),
+        (99, "https://c.example.com/doc/99", 200, "<p>x</p>"),
+    ]
+
+    def test_gzip_parses_identically_to_plain(self):
+        plain = W.parse_warc_shard(W.build_warc_shard(self.RECS))
+        gz = W.parse_warc_shard(
+            W.build_warc_shard(self.RECS, gzip_members=True)
+        )
+        assert gz == plain
+
+    def test_one_member_per_record_seekable(self):
+        # the .warc.gz property: each member decompresses to exactly
+        # one record, so a reader can start at any member offset
+        import zlib
+
+        buf = W.build_warc_shard(self.RECS, gzip_members=True)
+        pos, members = 0, []
+        while pos < len(buf):
+            d = zlib.decompressobj(wbits=31)
+            raw = d.decompress(buf[pos:])
+            members.append(raw)
+            pos = len(buf) - len(d.unused_data)
+        assert len(members) == len(self.RECS)
+        for m, rec in zip(members, self.RECS):
+            parsed = W.parse_warc_shard(m)
+            assert len(parsed) == 1 and parsed[0][1] == rec[0]
+
+    def test_gzip_deterministic_bytes(self):
+        a = W.build_warc_shard(self.RECS, gzip_members=True)
+        assert a == W.build_warc_shard(self.RECS, gzip_members=True)
+        assert a[:2] == b"\x1f\x8b"
+
+    def test_truncated_member_raises(self):
+        buf = W.build_warc_shard(self.RECS, gzip_members=True)
+        with pytest.raises(ValueError):
+            W.parse_warc_shard(buf[: len(buf) - 8])
+
+    def test_body_embedding_gzip_magic_survives(self):
+        # a body that CONTAINS the gzip magic must not confuse the
+        # member walk (members are found by decompressor handoff,
+        # never by scanning for \x1f\x8b)
+        evil = "x\x1f\x8by" + "\r\n\r\nWARC/1.0\r\n"
+        recs = [(5, "https://e.example.com/doc/5", 200, evil)]
+        back = W.parse_warc_shard(W.build_warc_shard(recs, gzip_members=True))
+        assert back[0][6] == evil
+
+
 @pytest.mark.usefixtures("spark")
 class TestSparkStages:
     def test_shard_roundtrip(self, spark):
