@@ -52,6 +52,46 @@ def synth_edges(docs: DataFrame, n_docs: int) -> DataFrame:
     return edges.filter(F.col("src") != F.col("dst"))
 
 
+def anchor_text_corpus(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Anchor-text harvesting: what the web SAYS about each page.
+
+    The ``j``-th outlink of ``src`` carries the two-word anchor at word
+    offset ``2j`` of ``src``'s text; anchors are aggregated per TARGET
+    document — in-link count, distinct referring hosts, and the
+    lexicographically first anchor (a deterministic representative).
+    Search and corpus-curation stacks use exactly this artifact as an
+    off-page quality/topic signal.
+
+    Scale shape: the anchor is derived IN the source row (no
+    edges↔docs join at all — the edge synthesis and the text live in
+    the same row), so the whole operator is one explode + one
+    map-side-combinable aggregation shuffled on ``dst``. In-degree
+    skew (popular pages) is absorbed by the partial aggregates: only
+    (dst, partial count/set/min) rows cross the wire, never the
+    anchors of all 10^12 edges.
+    """
+    deg = (F.col("doc_id") % 3 + 2).cast("int")
+    exploded = docs.select(
+        F.col("doc_id").alias("src"),
+        "source",
+        F.split(F.col("text"), " ").alias("w"),
+        F.explode(F.sequence(F.lit(0), deg - 1)).alias("j"),
+    )
+    edges = exploded.select(
+        "src",
+        "source",
+        ((F.col("src") * 7 + F.col("j") * 13 + 1) % n_docs).alias("dst"),
+        F.array_join(F.slice(F.col("w"), 2 * F.col("j") + 1, 2), " ").alias(
+            "anchor"
+        ),
+    ).filter(F.col("src") != F.col("dst"))
+    return edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("source").alias("n_src_hosts"),
+        F.min("anchor").alias("top_anchor"),
+    )
+
+
 def pagerank(
     docs: DataFrame,
     n_docs: int,

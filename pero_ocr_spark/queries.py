@@ -3784,3 +3784,135 @@ def q_warc_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.parse_warc_records(shards).select(
         "doc_id", "shard_id", "rec_index", "status"
     )
+
+
+@register(
+    "warc_cdx_index",
+    """
+SELECT CAST(doc_id % 32 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(*) AS BIGINT) AS n_verified
+FROM documents
+GROUP BY doc_id % 32
+""",
+)
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDX offset index over .warc.gz shards: every entry's (offset,
+    # length) byte slice is independently re-parsed in-task; the
+    # oracle pins n_verified == n_records, so a single entry whose
+    # slice does not stand alone fails the external hash check.
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    shards = W.synthesize_warc_shards(
+        W.capture_table(pages), n_shards=32, gzip_members=True
+    )
+    return W.cdx_index(shards).groupBy("shard_id").agg(
+        F.count("*").alias("n_records"),
+        F.sum("verified").alias("n_verified"),
+    )
+
+
+@register(
+    "iceberg_snapshot_reads",
+    _EXTRACTED_CTE
+    + """
+, tags AS (
+  SELECT 'current' AS tag, doc_id, ord, text FROM extracted
+  UNION ALL
+  SELECT 'time_travel_v1', doc_id, ord, text FROM extracted
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'incremental_v1_v2', doc_id, ord, text FROM extracted
+  WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'pruned_range', doc_id, ord, text FROM extracted
+  WHERE doc_id BETWEEN 100 AND 149
+)
+SELECT tag,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(ord) AS BIGINT) AS sum_ord,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM tags
+GROUP BY tag
+""",
+)
+def q_iceberg_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot-table lifecycle over the extraction output (the
+    # north-rule Iceberg sink): commit the even-doc half as v1,
+    # append the odd half as v2, then verify four read paths against
+    # closed-form arithmetic — current, time travel to v1,
+    # incremental v1->v2, and a stats-pruned range read (pruning is
+    # an optimization, so the exact predicate is applied on top).
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    spans = corpus.extracted_spans(spark, sf_dir)
+    table = IceTable(_scratch("icetable"), stats_cols=("doc_id",))
+    table.commit(
+        spans.filter(F.col("doc_id") % 2 == 0).repartitionByRange(8, "doc_id")
+    )
+    table.commit(
+        spans.filter(F.col("doc_id") % 2 == 1).repartitionByRange(8, "doc_id")
+    )
+    reads = [
+        ("current", table.read(spark)),
+        ("time_travel_v1", table.read(spark, version=1)),
+        ("incremental_v1_v2", table.incremental(spark, 1, 2)),
+        (
+            "pruned_range",
+            table.read(spark, prune={"doc_id": (100, 149)}).filter(
+                F.col("doc_id").between(100, 149)
+            ),
+        ),
+    ]
+    parts = [
+        df.select(F.lit(tag).alias("tag"), "doc_id", "ord", "text")
+        for tag, df in reads
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("tag").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("ord").alias("sum_ord"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
+@register(
+    "web_anchor_text",
+    """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+e AS (
+  SELECT d.doc_id AS src, d.source,
+         (d.doc_id * 7 + t.j * 13 + 1) % n.n_docs AS dst,
+         array_to_string(list_slice(d.w, 2 * t.j + 1, 2 * t.j + 2), ' ')
+           AS anchor
+  FROM d, n, generate_series(0, 3) t(j)
+  WHERE t.j <= d.doc_id % 3 + 1)
+SELECT dst AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src_hosts,
+       MIN(anchor) AS top_anchor
+FROM e
+WHERE src <> dst
+GROUP BY dst
+""",
+)
+def q_web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # off-page signal: aggregate what linking pages say about each
+    # target. Anchor text is derived inside the source row (no
+    # edges-to-docs join), one explode + one map-side-combinable
+    # shuffle on dst — in-degree skew ships partial aggregates only.
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.anchor_text_corpus(docs, n_docs=docs.count())

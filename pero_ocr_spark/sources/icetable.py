@@ -1,0 +1,393 @@
+"""From-scratch snapshot-table format on parquet ("IceTable").
+
+The north rule targets an Iceberg output table at 10^12-document
+scale: atomic commits, snapshot isolation, time travel, incremental
+(changelog) reads, and scan planning from file-level statistics
+instead of directory listings. The Iceberg runtime jars are not on
+this sandbox's classpath (``sources/iceberg.py`` probes and falls
+back), so this module implements the table-format *semantics* from
+scratch over plain parquet + JSON metadata, following the published
+Iceberg spec ideas (spec v2, apache/iceberg docs) — no Iceberg code:
+
+  <root>/data/<commit-uuid>/part-*.parquet     immutable data files
+  <root>/metadata/snap-<v>.json                one snapshot per commit
+  <root>/metadata/version-hint.text            current-version pointer
+
+Scale properties (the parts that matter at 10^12 docs):
+
+* **Commit cost is O(files added), not O(table).** A snapshot records
+  only the files it ADDS plus a parent pointer; the live file set is
+  the chain walk, cut short by the nearest ``overwrite`` snapshot
+  (Iceberg's manifest-list reuse). Appending 1 shard to a 10^12-doc
+  table writes one small JSON.
+* **Stats are gathered task-side.** Per-file row counts and column
+  min/max come from parquet footers read in a Spark job over the
+  file list (the write tasks' footers, exactly what Iceberg collects
+  at write time); the driver only ever holds the (path, rows,
+  min/max) manifest rows.
+* **Scan planning never lists directories.** ``files()`` plans from
+  the manifest chain and prunes by stats overlap against a column
+  range predicate — with range-clustered writes (``repartitionByRange``
+  on the stats column) a narrow predicate plans a handful of files
+  out of millions.
+* **Commits are atomic + optimistic.** The snapshot file is created
+  with O_EXCL (two racing committers: one wins, the loser sees
+  ``CommitConflict``) and the version pointer is an ``os.replace``
+  (atomic on POSIX). Readers resolve the current version from the
+  pointer, falling back to a metadata scan (Iceberg's version-hint
+  recovery path).
+
+Reference analog: pero-ocr's processing_manager checkpoints progress
+to a DB row per page (``document_ocr/processing_manager.py``); here the
+unit is an immutable snapshot of the whole table, which is what makes
+resume = "re-read last committed snapshot" trivially consistent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another committer published the version this commit was based on."""
+
+
+def _shape(schema_json):
+    """Schema comparison key: names + types, nullability ignored — a
+    parquet round trip reports every column nullable, and (as in
+    Iceberg) required→optional is not an incompatible change."""
+    if isinstance(schema_json, dict):
+        return {
+            k: _shape(v) for k, v in schema_json.items() if k != "nullable"
+        }
+    if isinstance(schema_json, list):
+        return [_shape(v) for v in schema_json]
+    return schema_json
+
+
+def _meta(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _snap_path(root: str, version: int) -> str:
+    return os.path.join(_meta(root), f"snap-{version}.json")
+
+
+def _footer_stats(paths, stats_cols):
+    """Per-file (path, rows, {col: [min, max]}) from parquet footers.
+
+    Runs inside Spark tasks — only footer metadata is read (a few KB
+    per file regardless of file size), never data pages.
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in names:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                stats[col] = [int(lo), int(hi)] if isinstance(lo, int) else [lo, hi]
+        out.append((path, md.num_rows, stats))
+    return out
+
+
+class IceTable:
+    """A snapshot-versioned parquet table rooted at ``root``.
+
+    ``stats_cols`` are the columns whose per-file min/max the write
+    path records for scan pruning (the analog of Iceberg's
+    ``write.metadata.metrics`` columns).
+    """
+
+    def __init__(self, root: str, stats_cols: tuple[str, ...] = ("doc_id",)):
+        self.root = root
+        self.stats_cols = tuple(stats_cols)
+        os.makedirs(_meta(root), exist_ok=True)
+
+    # -- version resolution -------------------------------------------------
+
+    def current_version(self) -> int:
+        """0 = empty table. Falls back to a metadata scan if the
+        pointer file is missing (crash between snapshot create and
+        pointer swap — the snapshot with no pointer is still the
+        winner, exactly like Iceberg's version-hint recovery)."""
+        hint = os.path.join(_meta(self.root), "version-hint.text")
+        try:
+            with open(hint) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            versions = [
+                int(n[5:-5])
+                for n in os.listdir(_meta(self.root))
+                if n.startswith("snap-") and n.endswith(".json")
+            ]
+            return max(versions, default=0)
+
+    def snapshot(self, version: int) -> dict:
+        with open(_snap_path(self.root, version)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: (version, operation, summary)."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:  # expired
+                continue
+            out.append(
+                {"version": v, "operation": s["operation"], "summary": s["summary"]}
+            )
+        return out
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        expected_version: int | None = None,
+    ) -> int:
+        """Write ``df``'s rows as new immutable data files and publish
+        them as the next snapshot. Returns the committed version.
+
+        ``operation``: ``append`` adds to the live set; ``overwrite``
+        replaces it (prior files stay on disk for time travel until
+        ``expire_snapshots``). ``expected_version`` enables optimistic
+        concurrency: the commit fails with :class:`CommitConflict` if
+        the table advanced past it.
+        """
+        if operation not in ("append", "overwrite"):
+            raise ValueError(f"unknown operation {operation!r}")
+        base = self.current_version()
+        if expected_version is not None and base != expected_version:
+            raise CommitConflict(
+                f"table at v{base}, commit based on v{expected_version}"
+            )
+        if base and operation == "append":
+            prev = self.snapshot(base)["schema"]
+            if _shape(json.loads(prev)) != _shape(json.loads(df.schema.json())):
+                raise ValueError(
+                    "schema mismatch vs current snapshot "
+                    "(evolve via operation='overwrite' after a migration read)"
+                )
+
+        stage = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(stage)
+        spark = df.sparkSession
+        part_files = sorted(
+            os.path.join(stage, n)
+            for n in os.listdir(stage)
+            if n.endswith(".parquet")
+        )
+        # footer stats task-side; the collect is manifest rows only
+        cols = self.stats_cols
+        manifest = [
+            {"path": p, "rows": r, "stats": s}
+            for batch in (
+                spark.sparkContext.parallelize(part_files, max(1, len(part_files)))
+                .glom()
+                .map(lambda ps, c=cols: _footer_stats(ps, c))
+                .collect()
+            )
+            for (p, r, s) in batch
+        ]
+        added_rows = sum(f["rows"] for f in manifest)
+        total = added_rows if operation == "overwrite" else added_rows + (
+            self.snapshot(base)["summary"]["total_rows"] if base else 0
+        )
+        snap = {
+            "version": base + 1,
+            "parent": base,
+            "operation": operation,
+            "schema": df.schema.json(),
+            "manifest": manifest,
+            "summary": {
+                "added_files": len(manifest),
+                "added_rows": added_rows,
+                "total_rows": total,
+            },
+        }
+        tmp = _snap_path(self.root, base + 1) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            # O_EXCL link of the fully-written temp file: exactly one
+            # of two racing committers creates snap-<v>.json
+            os.link(tmp, _snap_path(self.root, base + 1))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(f"concurrent commit won v{base + 1}") from None
+        os.unlink(tmp)
+        hint = os.path.join(_meta(self.root), "version-hint.text")
+        tmp = hint + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(base + 1))
+        os.replace(tmp, hint)  # atomic pointer swap
+        return base + 1
+
+    # -- scan planning ------------------------------------------------------
+
+    def _chain(self, version: int) -> list[dict]:
+        """Snapshots contributing live files at ``version`` (newest
+        first), cut at the nearest overwrite."""
+        out = []
+        v = version
+        while v:
+            s = self.snapshot(v)
+            out.append(s)
+            if s["operation"] == "overwrite" or s.get("terminator"):
+                break
+            v = s["parent"]
+        return out
+
+    def files(
+        self,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> list[str]:
+        """Data files for a snapshot, optionally stats-pruned.
+
+        ``prune`` maps a stats column to an inclusive ``(lo, hi)``
+        range; files whose recorded min/max cannot overlap are
+        skipped — an *optimization only*, readers still apply the
+        exact predicate (a file may mix matching and non-matching
+        rows). Planning is pure manifest arithmetic: no filesystem
+        listing, no footer reads.
+        """
+        version = self.current_version() if version is None else version
+        out = []
+        for snap in self._chain(version):
+            for f in snap["manifest"]:
+                keep = True
+                for col, (lo, hi) in (prune or {}).items():
+                    st = f["stats"].get(col)
+                    if st is not None and (st[1] < lo or st[0] > hi):
+                        keep = False
+                        break
+                if keep:
+                    out.append(f["path"])
+        return sorted(out)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read: the plan is pinned to the file list
+        of one immutable snapshot, so concurrent commits never tear a
+        running query (the whole point of snapshot tables)."""
+        files = self.files(version, prune)
+        if not files:
+            version = self.current_version() if version is None else version
+            schema = self.snapshot(version)["schema"] if version else None
+            if schema is None:
+                raise ValueError("empty table with no snapshot to take schema from")
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+        return spark.read.parquet(*files)
+
+    def incremental(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Rows appended in ``(from_version, to_version]`` — the
+        changelog read that lets a downstream consumer resume from its
+        last processed snapshot instead of rescanning the table."""
+        if from_version > to_version:
+            raise ValueError("from_version must be <= to_version")
+        files = []
+        for v in range(from_version + 1, to_version + 1):
+            s = self.snapshot(v)
+            if s["operation"] == "overwrite":
+                raise ValueError(
+                    f"v{v} is an overwrite; incremental reads only span appends"
+                )
+            files.extend(f["path"] for f in s["manifest"])
+        if not files:
+            return self.read(spark, to_version).limit(0)
+        return spark.read.parquet(*sorted(files))
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(
+        self, spark: SparkSession, target_files: int, cluster_by: str | None = None
+    ) -> int:
+        """Rewrite the live file set into ``target_files`` files
+        (range-clustered on ``cluster_by``, default the first stats
+        column) and publish the rewrite as an overwrite snapshot.
+
+        This is the small-files maintenance action: a streaming or
+        micro-batch producer appending every few minutes leaves
+        thousands of KB-sized files whose per-file open/footer cost
+        dominates scans; compaction restores big, range-clustered
+        files (which also restores pruning selectivity). Logical rows
+        are unchanged — readers see the same table, time travel to
+        pre-compaction snapshots still works until expiration."""
+        cluster_by = cluster_by or (self.stats_cols[0] if self.stats_cols else None)
+        base = self.current_version()
+        df = self.read(spark, version=base)
+        if cluster_by is not None:
+            df = df.repartitionByRange(target_files, cluster_by)
+        else:
+            df = df.repartition(target_files)
+        return self.commit(df, operation="overwrite", expected_version=base)
+
+    def expire_snapshots(self, keep_from: int) -> int:
+        """Drop snapshots older than ``keep_from`` and delete data
+        files no surviving snapshot references. Returns the number of
+        data files removed. (Iceberg's expire_snapshots action.)
+
+        Because an append snapshot lists only its ADDED files, the
+        oldest kept snapshot is first *compacted*: its chain's full
+        manifest is inlined and it becomes a chain terminator, so the
+        ancestor metadata it relied on can be deleted while every kept
+        version stays fully readable."""
+        current = self.current_version()
+        keep_from = max(1, min(keep_from, current))
+        if keep_from <= 1:
+            return 0
+        live: set[str] = set()
+        for v in range(keep_from, current + 1):
+            live.update(
+                f["path"] for snap in self._chain(v) for f in snap["manifest"]
+            )
+        oldest = self.snapshot(keep_from)
+        if not (oldest["operation"] == "overwrite" or oldest.get("terminator")):
+            oldest["manifest"] = [
+                f for snap in self._chain(keep_from) for f in snap["manifest"]
+            ]
+            oldest["terminator"] = True
+            tmp = _snap_path(self.root, keep_from) + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(oldest, f)
+            os.replace(tmp, _snap_path(self.root, keep_from))
+        removed = 0
+        for v in range(1, keep_from):
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                continue
+            for f in snap["manifest"]:
+                if f["path"] not in live and os.path.exists(f["path"]):
+                    os.unlink(f["path"])
+                    removed += 1
+            os.unlink(_snap_path(self.root, v))
+        return removed

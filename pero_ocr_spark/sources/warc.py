@@ -149,6 +149,61 @@ def parse_warc_shard(buf: bytes):
     return out
 
 
+def index_warc_shard(buf: bytes):
+    """CDX-style offset index → ``[(rec_index, doc_id, url, status,
+    offset, length), …]``.
+
+    ``offset``/``length`` frame the record *within the shard*: for a
+    gzip-member shard the compressed member bytes, for a plain shard
+    the framed record including its separator — in both cases
+    ``buf[offset : offset + length]`` parses standalone. This is the
+    web-archive random-access contract (the CDX(J) index that makes a
+    petabyte of ``.warc.gz`` seekable: readers fetch one record by
+    byte range instead of streaming the shard)."""
+    out = []
+    if buf[:2] == b"\x1f\x8b":
+        import zlib
+
+        pos, idx = 0, 0
+        view = memoryview(buf)
+        while pos < len(buf):
+            d = zlib.decompressobj(wbits=31)
+            raw = d.decompress(view[pos:])
+            if not d.eof:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            end = len(buf) - len(d.unused_data)
+            for _, doc_id, url, status, *_rest in parse_warc_shard(raw):
+                out.append((idx, doc_id, url, status, pos, end - pos))
+                idx += 1
+            pos = end
+        return out
+    pos = 0
+    for idx, (rec, nxt) in enumerate(
+        zip(recs := parse_warc_shard(buf), _record_ends(buf))
+    ):
+        out.append((idx, rec[1], rec[2], rec[3], pos, nxt - pos))
+        pos = nxt
+    assert len(out) == len(recs)
+    return out
+
+
+def _record_ends(buf: bytes):
+    """End offset of each framed record (separator included)."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        hdr_end = buf.index(b"\r\n\r\n", pos)
+        hdr = buf[pos:hdr_end].decode("utf-8")
+        clen = int(
+            next(
+                ln.split(": ", 1)[1]
+                for ln in hdr.split("\r\n")
+                if ln.startswith("Content-Length: ")
+            )
+        )
+        pos = hdr_end + 4 + clen + 4
+        yield pos
+
+
 # ------------------------------------------------------------- Spark stages
 
 _SHARD_SCHEMA = StructType([
@@ -276,6 +331,48 @@ def parse_warc_records(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.select("shard_id", "warc").mapInPandas(gen, schema=_REC_SCHEMA)
+
+
+_CDX_SCHEMA = StructType([
+    StructField("shard_id", LongType()),
+    StructField("rec_index", LongType()),
+    StructField("doc_id", LongType()),
+    StructField("url", StringType()),
+    StructField("status", LongType()),
+    StructField("rec_offset", LongType()),
+    StructField("rec_length", LongType()),
+    StructField("verified", LongType()),
+])
+
+
+def cdx_index(shards: DataFrame) -> DataFrame:
+    """(shard_id, warc) → CDX offset index, one row per record, each
+    entry independently VERIFIED by re-parsing only its byte slice
+    (``verified=1`` iff the slice yields exactly that record) — the
+    property a downstream range-fetch reader depends on. Stateless
+    ``mapInPandas``; scales with shard count like the record parse."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("shard_id", "rec_index", "doc_id", "url", "status",
+                     "rec_offset", "rec_length", "verified")}
+            for sid, blob in zip(pdf["shard_id"], pdf["warc"]):
+                buf = bytes(blob)
+                for idx, doc_id, url, status, off, length in index_warc_shard(buf):
+                    sliced = parse_warc_shard(buf[off : off + length])
+                    ok = len(sliced) == 1 and sliced[0][1] == doc_id
+                    rows["shard_id"].append(int(sid))
+                    rows["rec_index"].append(idx)
+                    rows["doc_id"].append(doc_id)
+                    rows["url"].append(url)
+                    rows["status"].append(status)
+                    rows["rec_offset"].append(off)
+                    rows["rec_length"].append(length)
+                    rows["verified"].append(int(ok))
+            yield pd.DataFrame(rows)
+
+    return shards.select("shard_id", "warc").mapInPandas(gen, schema=_CDX_SCHEMA)
 
 
 def resolve_redirects(recs: DataFrame, max_hops: int = 4) -> DataFrame:

@@ -1,0 +1,200 @@
+"""Snapshot-table format (sources/icetable.py): atomic commits,
+time travel, incremental reads, stats pruning, expiration."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.sources.icetable import CommitConflict, IceTable
+
+
+def _df(spark, lo, hi, tag="a"):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(tag + "-"), F.col("id")).alias("text"),
+        )
+        .repartitionByRange(4, "doc_id")
+    )
+
+
+@pytest.fixture
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+@pytest.mark.usefixtures("spark")
+class TestCommitRead:
+    def test_append_roundtrip(self, spark, root):
+        t = IceTable(root)
+        v = t.commit(_df(spark, 0, 100))
+        assert v == 1
+        got = t.read(spark).orderBy("doc_id").collect()
+        assert [r.doc_id for r in got] == list(range(100))
+
+    def test_append_accumulates_and_time_travel(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 100, 150))
+        assert t.read(spark).count() == 150
+        # v1 read unchanged after the append: snapshot isolation
+        assert t.read(spark, version=1).count() == 100
+        assert t.snapshot(2)["summary"]["total_rows"] == 150
+
+    def test_overwrite_replaces_live_set(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 500, 520), operation="overwrite")
+        assert t.read(spark).count() == 20
+        assert t.read(spark, version=1).count() == 100  # still travelable
+
+    def test_schema_mismatch_rejected(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        bad = spark.range(5).select(F.col("id").alias("other"))
+        with pytest.raises(ValueError, match="schema"):
+            t.commit(bad)
+
+    def test_empty_table_read_raises(self, spark, root):
+        with pytest.raises(ValueError, match="empty"):
+            IceTable(root).read(spark)
+
+
+@pytest.mark.usefixtures("spark")
+class TestConcurrency:
+    def test_stale_expected_version_conflicts(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        with pytest.raises(CommitConflict):
+            t.commit(_df(spark, 20, 30), expected_version=1)
+
+    def test_racing_snapshot_create_loses(self, spark, root):
+        # simulate the loser of a commit race: the winner's snapshot
+        # file already exists at the version this commit computes
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        winner = os.path.join(root, "metadata", "snap-2.json")
+        with open(winner, "w") as f:
+            json.dump(t.snapshot(1) | {"version": 2, "parent": 1}, f)
+        # pointer still says 1, so the next commit targets v2 and must lose
+        with pytest.raises(CommitConflict):
+            t.commit(_df(spark, 10, 20))
+
+    def test_version_hint_recovery(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        os.unlink(os.path.join(root, "metadata", "version-hint.text"))
+        assert t.current_version() == 2
+        assert t.read(spark).count() == 20
+
+
+@pytest.mark.usefixtures("spark")
+class TestPlanning:
+    def test_stats_pruning_skips_files(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 1000))  # range-clustered into 4 files
+        all_files = t.files()
+        assert len(all_files) == 4
+        pruned = t.files(prune={"doc_id": (10, 20)})
+        assert 0 < len(pruned) < len(all_files)
+        # pruning is an optimization: with the exact predicate applied
+        # the result equals the unpruned filtered read
+        got = (
+            t.read(spark, prune={"doc_id": (10, 20)})
+            .filter(F.col("doc_id").between(10, 20))
+            .count()
+        )
+        assert got == 11
+
+    def test_planning_is_manifest_only(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        # files() answers from metadata even if the data moved away
+        files = t.files()
+        assert all(p.startswith(root) for p in files)
+        assert t.snapshot(1)["summary"]["added_files"] == len(files)
+
+    def test_incremental_reads_only_new_rows(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 100, 150))
+        t.commit(_df(spark, 150, 170))
+        inc = t.incremental(spark, 1, 3)
+        assert sorted(r.doc_id for r in inc.collect()) == list(range(100, 170))
+        assert t.incremental(spark, 2, 2).count() == 0
+
+    def test_incremental_refuses_overwrite_span(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20), operation="overwrite")
+        with pytest.raises(ValueError, match="overwrite"):
+            t.incremental(spark, 1, 2)
+
+
+@pytest.mark.usefixtures("spark")
+class TestExpiration:
+    def test_expire_keeps_kept_versions_readable(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 100, 150))
+        t.commit(_df(spark, 150, 170))
+        removed = t.expire_snapshots(keep_from=2)
+        # v1's files are still referenced by v2/v3 chains -> kept
+        assert removed == 0
+        assert t.read(spark, version=2).count() == 150
+        assert t.read(spark).count() == 170
+        with pytest.raises(FileNotFoundError):
+            t.snapshot(1)
+
+    def test_expire_deletes_overwritten_files(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.commit(_df(spark, 500, 520), operation="overwrite")
+        t.commit(_df(spark, 520, 540))
+        removed = t.expire_snapshots(keep_from=2)
+        assert removed == 4  # v1's four range-partitioned files
+        assert t.read(spark).count() == 40
+        assert t.read(spark, version=2).count() == 20
+
+    def test_history_reflects_log(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20))
+        t.commit(_df(spark, 0, 5), operation="overwrite")
+        ops = [h["operation"] for h in t.history()]
+        assert ops == ["append", "append", "overwrite"]
+
+
+@pytest.mark.usefixtures("spark")
+class TestCompaction:
+    def test_compact_preserves_rows_and_shrinks_files(self, spark, root):
+        t = IceTable(root)
+        for lo in range(0, 100, 10):  # ten tiny appends -> >=10 files
+            t.commit(_df(spark, lo, lo + 10).coalesce(1))
+        assert len(t.files()) == 10
+        v = t.compact(spark, target_files=2)
+        assert len(t.files()) == 2
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == list(range(100))
+        # pre-compaction snapshot still time-travels
+        assert t.read(spark, version=v - 1).count() == 100
+        # compaction restored range clustering -> pruning works again
+        assert len(t.files(prune={"doc_id": (0, 10)})) == 1
+
+    def test_compact_conflicts_with_concurrent_commit(self, spark, root):
+        import json as _json
+        import os as _os
+
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        # a concurrent append wins version 2 while compact() is planning
+        winner = _os.path.join(root, "metadata", "snap-2.json")
+        with open(winner, "w") as f:
+            _json.dump(t.snapshot(1) | {"version": 2, "parent": 1}, f)
+        with pytest.raises(CommitConflict):
+            t.compact(spark, target_files=1)

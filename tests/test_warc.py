@@ -215,3 +215,38 @@ class TestRobots:
         )
         out = W.robots_filter(caps, robots).collect()[0]
         assert out["allowed"] and out["rule"] == "allow"
+
+
+class TestCdxIndex:
+    RECS = [
+        (1, "https://a.example.com/doc/1", 200, "<p>hello</p>"),
+        (57, "https://b.example.com/doc/57", 404, ""),
+        (99, "https://c.example.com/doc/99", 200, "<p>x</p>"),
+    ]
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_slices_parse_standalone(self, gz):
+        buf = W.build_warc_shard(self.RECS, gzip_members=gz)
+        idx = W.index_warc_shard(buf)
+        assert [e[1] for e in idx] == [r[0] for r in self.RECS]
+        for rec_index, doc_id, url, status, off, length in idx:
+            one = W.parse_warc_shard(buf[off : off + length])
+            assert len(one) == 1
+            assert (one[0][1], one[0][2], one[0][3]) == (doc_id, url, status)
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_offsets_tile_the_shard(self, gz):
+        # entries are contiguous and cover every byte exactly once
+        buf = W.build_warc_shard(self.RECS, gzip_members=gz)
+        idx = W.index_warc_shard(buf)
+        pos = 0
+        for _, _, _, _, off, length in idx:
+            assert off == pos
+            pos += length
+        assert pos == len(buf)
+
+    def test_index_matches_parse_order(self):
+        buf = W.build_warc_shard(self.RECS, gzip_members=True)
+        parsed = W.parse_warc_shard(buf)
+        idx = W.index_warc_shard(buf)
+        assert [(e[0], e[1]) for e in idx] == [(r[0], r[1]) for r in parsed]
