@@ -138,21 +138,30 @@ class _BlockParser(HTMLParser):
         return self.blocks
 
 
-def parse_html_blocks(df: DataFrame, html_col: str = "html") -> DataFrame:
+def parse_html_blocks(
+    df: DataFrame, html_col: str = "html", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, html) → one row per DOM text block with features.
 
     Narrow ``mapInPandas`` stage: column pruning pushes to the scan
-    (only doc_id + html cross the Arrow boundary), no shuffle.
+    (only doc_id + html + ``carry`` cross the Arrow boundary), no
+    shuffle. ``carry`` names extra string columns (e.g. the host)
+    replicated onto every block row — cheaper than a corpus-sized
+    join-back on doc_id afterwards.
     """
-    pruned = df.select("doc_id", html_col)
+    pruned = df.select("doc_id", *carry, html_col)
+    schema = BLOCK_SCHEMA + "".join(f", {c} string" for c in carry)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "block_id": [], "tag": [], "text": [],
                 "n_words": [], "n_link_words": [],
+                **{c: [] for c in carry},
             }
-            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+            for row in zip(pdf["doc_id"], pdf[html_col],
+                           *(pdf[c] for c in carry)):
+                doc_id, html, extras = row[0], row[1], row[2:]
                 parser = _BlockParser()
                 parser.feed(html)
                 for i, (tag, nw, lw, text) in enumerate(parser.finish()):
@@ -162,9 +171,11 @@ def parse_html_blocks(df: DataFrame, html_col: str = "html") -> DataFrame:
                     out["text"].append(text)
                     out["n_words"].append(nw)
                     out["n_link_words"].append(lw)
+                    for c, v in zip(carry, extras):
+                        out[c].append(v)
             yield pd.DataFrame(out)
 
-    return pruned.mapInPandas(gen, schema=BLOCK_SCHEMA)
+    return pruned.mapInPandas(gen, schema=schema)
 
 
 def classify_blocks(
@@ -250,8 +261,8 @@ _HEAD = "<html><head><title>meta title</title><script>var x=1;</script></head><b
 _TAIL = "</body></html>"
 
 
-def synthesize_html(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, text, source) → (doc_id, html).
+def synthesize_html(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """documents(doc_id, text, source) → (doc_id, *keep, html).
 
     Deterministic web-page shell around the document text: constant
     nav/aside/footer furniture (link-dense → boilerplate), an h1 from
@@ -292,7 +303,7 @@ def synthesize_html(docs: DataFrame) -> DataFrame:
         F.lit(_FOOTER),
         F.lit(_TAIL),
     )
-    return docs.select("doc_id", html.alias("html"))
+    return docs.select("doc_id", *keep, html.alias("html"))
 
 
 def html_to_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
@@ -315,6 +326,99 @@ def html_to_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
     is_media = F.col("tag") == "img"
     return good.select(
         "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, F.col("text")).alias("media_ref"),
+    )
+
+
+# ------------------------------------------------------------------
+# Inter-page template detection (site-level boilerplate)
+# ------------------------------------------------------------------
+
+TEMPLATE_DF_RATIO = 0.5  # block is template iff on ≥ half the host's pages
+TEMPLATE_MIN_DOCS = 2    # ... and on at least this many distinct pages
+
+
+def template_blocks(
+    blocks: DataFrame,
+    host_col: str = "host",
+    df_ratio: float = TEMPLATE_DF_RATIO,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Per-host template fingerprints from a parsed-blocks frame.
+
+    jusText/Boilerpipe decide per page from structure; real site
+    furniture is better caught ACROSS pages: a block whose normalized
+    content repeats on most pages of its host is template chrome no
+    matter how long or link-free it is (CleanEval / Templater-style
+    inter-page template detection). Emits one row per (host, block
+    fingerprint) that crosses the document-frequency bar.
+
+    Scale shape: ONE hash shuffle on (host, fp) with map-side partial
+    aggregation — the fingerprint is a 64-bit hash so long block texts
+    never shuffle; the host page-count side-table aggregates on the
+    same pass and broadcasts (one row per host). The HAVING bar means
+    the output is bounded by hosts × template-blocks-per-site, orders
+    of magnitude smaller than the corpus — broadcastable downstream.
+    Collision note: distinct (tag, text) pairs colliding in xxhash64
+    within one host would merge their document frequencies; at ~10^4
+    blocks per host the 64-bit birthday bound makes this negligible.
+    """
+    fp = F.xxhash64(F.col("tag"), F.col("text"))
+    # distinct doc count per (host, fp): a block repeated inside one
+    # page still counts that page once
+    per_block = (
+        blocks.groupBy(F.col(host_col).alias("host"), fp.alias("fp"))
+        .agg(F.count_distinct("doc_id").alias("doc_freq"))
+    )
+    host_docs = (
+        blocks.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count_distinct("doc_id").alias("host_docs"))
+    )
+    return (
+        per_block.join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("doc_freq") >= min_docs)
+            & (F.col("doc_freq") >= F.col("host_docs") * df_ratio)
+        )
+        .select("host", "fp", "doc_freq", "host_docs")
+    )
+
+
+def strip_template_blocks(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    df_ratio: float = TEMPLATE_DF_RATIO,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, host, html) → surviving blocks as ordered spans.
+
+    Two-pass template strip: pass 1 learns each host's template
+    fingerprints (one (host, fp) shuffle over the parsed blocks),
+    pass 2 anti-joins the same blocks against them and re-ranks the
+    survivors into dense reading order. The template table is
+    site-bounded, so the anti-join broadcasts; the blocks frame is
+    the only corpus-sized input and is exchanged once (doc_id windows).
+    Complementary to :func:`classify_blocks`: catches long, link-free
+    chrome (cookie banners, related-story widgets) that per-page
+    heuristics keep, while leaving short unique content untouched.
+    """
+    blocks = parse_html_blocks(pages, html_col, carry=(host_col,))
+    tpl = template_blocks(blocks, host_col, df_ratio, min_docs)
+    fp = F.xxhash64(F.col("tag"), F.col("text"))
+    kept = (
+        blocks.withColumn("fp", fp)
+        .withColumnRenamed(host_col, "host")
+        .join(F.broadcast(tpl.select("host", "fp")), ["host", "fp"], "left_anti")
+    )
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    is_media = F.col("tag") == "img"
+    return kept.select(
+        "doc_id",
+        "host",
         (F.row_number().over(w) - 1).cast("long").alias("ord"),
         F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
         F.when(~is_media, F.col("text")).alias("text"),

@@ -2781,6 +2781,64 @@ def q_html_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_template_strip",
+    f"""
+WITH {_HTML_PARA_CTE},
+blocks AS (
+  SELECT w.doc_id, d.source AS host, 0 AS bk,
+         'nav' AS tag, 'home about contact' AS text
+  FROM w JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 1, 'h1', d.source || ' report'
+  FROM k JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT p.doc_id, d.source, 2 + p.pi, 'p', p.ptext
+  FROM par p JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 2 + k.np, 'aside', 'buy now subscribe today'
+  FROM k JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 3 + k.np, 'footer', 'terms privacy copyright'
+  FROM k JOIN documents d USING (doc_id)
+),
+hd AS (
+  SELECT host, count(DISTINCT doc_id) AS host_docs FROM blocks GROUP BY host
+),
+tpl AS (
+  SELECT b.host, b.tag, b.text
+  FROM blocks b JOIN hd USING (host)
+  GROUP BY b.host, b.tag, b.text, hd.host_docs
+  HAVING count(DISTINCT doc_id) >= 2
+     AND count(DISTINCT doc_id) >= hd.host_docs * 0.5
+)
+SELECT doc_id, host,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       'text' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref
+FROM blocks b
+WHERE NOT EXISTS (
+  SELECT 1 FROM tpl t
+  WHERE t.host = b.host AND t.tag = b.tag AND t.text = b.text
+)
+""",
+)
+def q_html_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-page template detection: a block whose normalized content
+    # repeats on >=50% of its host's pages is site chrome regardless of
+    # per-page features — one (host, fp) shuffle learns the per-site
+    # template table (site-bounded -> broadcast), an anti-join strips
+    # it, doc_id windows re-rank the survivors. Catches long link-free
+    # furniture that jusText keeps (ref analog: pero-ocr drops
+    # repeated page furniture by layout position; across a web corpus
+    # the repeat signal is inter-page, not geometric)
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs, keep=("source",))
+    return H.strip_template_blocks(pages, host_col="source")
+
+
+@register(
     "corpus_shard_shuffle",
     """
 SELECT doc_id,

@@ -241,3 +241,56 @@ def test_parser_conserves_words_on_random_nested_markup():
         got = [w for _, _, _, text in blocks for w in text.split(" ")]
         assert got == want
         assert all(nw == len(t.split(" ")) for _, nw, _, t in blocks)
+
+
+# ------------------------------------------------------- template strip
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, host string, html string")
+
+
+def test_template_blocks_learns_per_host_chrome(spark):
+    banner = "<div>please accept our cookie policy before you continue reading</div>"
+    rows = [
+        (i, "a.com", f"<body>{banner}<p>unique article {i} body text</p></body>")
+        for i in range(4)
+    ] + [
+        # other host: same banner text on only 1 of 3 pages -> not template there
+        (10, "b.com", f"<body>{banner}<p>b page ten</p></body>"),
+        (11, "b.com", "<body><p>b page eleven</p></body>"),
+        (12, "b.com", "<body><p>b page twelve</p></body>"),
+    ]
+    blocks = H.parse_html_blocks(_pages(spark, rows), carry=("host",))
+    tpl = H.template_blocks(blocks).collect()
+    assert [(r.host, r.doc_freq, r.host_docs) for r in tpl] == [("a.com", 4, 4)]
+
+
+def test_strip_template_blocks_keeps_short_unique_content(spark):
+    # the banner is long and link-free (jusText would keep it); the
+    # content block is short (jusText context-free would hesitate) —
+    # the template rule strips by repetition, not length
+    banner = "<div>subscribe to our newsletter for weekly updates and offers</div>"
+    rows = [
+        (i, "h", f"<body>{banner}<p>note {i}</p></body>") for i in range(3)
+    ]
+    out = H.strip_template_blocks(_pages(spark, rows)).collect()
+    assert sorted((r.doc_id, r.ord, r.text) for r in out) == [
+        (0, 0, "note 0"), (1, 0, "note 1"), (2, 0, "note 2")
+    ]
+
+
+def test_strip_template_blocks_media_and_duplicate_content(spark):
+    # an <img> repeated across pages (site logo) is stripped; a content
+    # paragraph shared by 2 of 5 pages stays below the 0.5 bar
+    shared = "<p>this exact paragraph appears on two different pages</p>"
+    rows = [
+        (i, "h",
+         f'<body><img src="logo.png">{shared if i < 2 else f"<p>own {i}</p>"}'
+         f"<p>tail {i}</p></body>")
+        for i in range(5)
+    ]
+    out = H.strip_template_blocks(_pages(spark, rows)).collect()
+    kinds = {(r.doc_id, r.ord): (r.kind, r.text or r.media_ref) for r in out}
+    assert all(k[0] != "media" for k in kinds.values())  # logo gone
+    assert kinds[(0, 0)] == ("text", "this exact paragraph appears on two different pages")
+    assert kinds[(4, 0)] == ("text", "own 4")
