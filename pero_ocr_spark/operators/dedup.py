@@ -749,3 +749,85 @@ def canonical_url_dedup(docs_with_url: DataFrame) -> DataFrame:
         "canonical_url",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def duplicated_passage_spans(
+    docs: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Maximal cross-document duplicated passages of ≥ ``k`` tokens.
+
+    Substring-level exact dedup (the ExactSubstr semantics of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — there via a monolithic suffix array) re-expressed
+    relationally so it distributes:
+
+      1. every k-token window of every doc becomes (doc_id, pos, h)
+         with h = a 64-bit hash of the window text — an in-row
+         transform over a HOISTED split (no lambda re-inlining);
+      2. a window over h flags grams seen in ≥2 DISTINCT docs via
+         ``min(doc_id) != max(doc_id)`` — one hash shuffle, no join,
+         no count-distinct;
+      3. per doc, surviving positions merge into maximal runs
+         (gaps-and-islands: a new island when the gap to the previous
+         duplicated position exceeds k) — second shuffle on doc_id;
+      4. each island aggregates to [span_start, span_end).
+
+    Scale shape: rows ≈ token count (the k-gram stream), both shuffles
+    carry (long, int, long) triples — the window texts themselves
+    never shuffle. Skew on h is bounded: a gram repeated across
+    millions of docs concentrates one key, but the min/max window is
+    an order-free full-partition frame Spark computes with partial
+    aggregation buffers, not a sort. Collisions merge unrelated grams
+    (false duplicated positions) at the 64-bit birthday bound —
+    negligible below ~10^9 distinct grams per partition-key domain.
+
+    Returns (doc_id, span_start, span_end, n_tokens, n_grams); a doc
+    absent from the output has no ≥k-token passage shared with any
+    other doc.
+    """
+    ws = F.col("ws")
+    grams = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size(ws) >= k).select(
+        "doc_id",
+        # explode_outer: plain explode injects an implicit size>0 filter
+        # that Catalyst can push into the narrow stage and re-evaluate
+        # the whole transform a second time (size(ws)>=k already
+        # guarantees non-emptiness, so the row sets are identical)
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - k),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.xxhash64(F.array_join(F.slice(ws, p + 1, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+
+    over_h = Window.partitionBy("h")
+    dup = grams.withColumn(
+        "_cross",
+        F.min("doc_id").over(over_h) != F.max("doc_id").over(over_h),
+    ).filter("_cross")
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(by_doc).isNull()
+        | (F.col("pos") - F.lag("pos").over(by_doc) > k),
+        1,
+    ).otherwise(0)
+    islands = dup.withColumn("_brk", brk).withColumn(
+        "island", F.sum("_brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        "n_grams",
+    )

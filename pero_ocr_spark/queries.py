@@ -2127,6 +2127,56 @@ def q_dedup_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, len(ws) - 10)) AS INT) AS pos, ws
+  FROM w WHERE len(ws) >= 10),
+g2 AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + 10), ' ') AS gram
+  FROM g),
+d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY gram) AS mn,
+           max(doc_id) OVER (PARTITION BY gram) AS mx
+    FROM g2) WHERE mn <> mx),
+b AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+              THEN 1 ELSE 0 END AS brk
+  FROM d),
+i AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM b)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 10 AS INT) AS span_end,
+       CAST(max(pos) + 10 - min(pos) AS INT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i GROUP BY doc_id, island
+""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # substring-level exact dedup (ExactSubstr semantics, Lee et al.
+    # 2022) without the suffix array: hashed k-token windows, cross-doc
+    # flag via a min/max window on the hash (no join, no
+    # count-distinct), gaps-and-islands merge to maximal spans — two
+    # narrow-payload shuffles total
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.duplicated_passage_spans(
+        _t(spark, sf_dir, "documents"), k=10
+    )
+
+
+@register(
     "text_repetition_stats",
     """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -195,3 +195,38 @@ class TestLshBucketCap:
         assert capped_pairs == {(0, 1)}
         # capped output is a subset: the cap can only DROP pairs
         assert capped_pairs <= full_pairs
+
+
+class TestDuplicatedPassageSpans:
+    def _run(self, spark, rows, k):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.duplicated_passage_spans(docs, k=k).collect()
+        return {(r.doc_id, r.span_start, r.span_end): r.n_grams for r in out}
+
+    def test_shared_passage_found_in_both_docs(self, spark):
+        shared = "p q r s"  # 4 tokens, k=3 -> 2 grams, one merged span
+        spans = self._run(spark, [
+            (1, f"a b c {shared} d e f"),
+            (2, f"x y {shared} z w v u"),
+            (3, "totally unrelated words none shared here at all"),
+        ], k=3)
+        assert spans == {(1, 3, 7): 2, (2, 2, 6): 2}
+
+    def test_within_doc_repeat_alone_is_not_cross_doc(self, spark):
+        spans = self._run(spark, [
+            (1, "m n o padding m n o trailer words here"),
+            (2, "different vocabulary entirely for document two okay"),
+        ], k=3)
+        assert spans == {}
+
+    def test_nearby_duplicated_grams_merge_distant_do_not(self, spark):
+        # two shared 3-gram passages separated by > k unique tokens in
+        # doc 1 -> two islands; doc 2 carries them adjacent -> one
+        a, b = "h i j", "t u v"
+        spans = self._run(spark, [
+            (1, f"{a} u1 u2 u3 u4 u5 u6 u7 u8 u9 {b}"),
+            (2, f"{a} {b}"),
+        ], k=3)
+        # doc 2's bridging grams (i j t / j t u) are NOT cross-doc, but
+        # the gap between pos 0 and pos 3 is exactly k -> one island
+        assert spans == {(1, 0, 3): 1, (1, 12, 15): 1, (2, 0, 6): 2}
