@@ -3994,6 +3994,58 @@ def q_iceberg_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "icetable_upsert_delete",
+    """
+WITH res AS (
+  SELECT doc_id, text, source,
+         (doc_id*69069 + 12345) % 2147483647 % 100 AS r
+  FROM documents),
+merged AS (
+  SELECT doc_id,
+         CASE WHEN r < 10 THEN 'rev2 ' || text ELSE text END AS text,
+         source
+  FROM res
+  UNION ALL
+  SELECT doc_id + 5000000, 'ins ' || source, source FROM res WHERE r = 55
+)
+SELECT doc_id, text, source FROM merged
+WHERE NOT (doc_id % 2 = 1 AND doc_id < 100)
+""",
+)
+def q_icetable_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-level table ops on the snapshot format: commit the corpus
+    # range-clustered, MERGE a revision batch (10% revised + new docs
+    # far outside the key range), copy-on-write DELETE a narrow key
+    # band, then read the final snapshot. The upsert's binary-search
+    # key probe keeps non-overlapping files carried by reference (the
+    # insert batch at +5M does not widen the rewrite set), and the
+    # delete's stats prune bounds the rewrite to the low-key files —
+    # both snapshots are O(files touched), verified row-exact against
+    # the closed-form merge in DuckDB.
+    from pero_ocr_spark.operators import sampling
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    table = IceTable(_scratch("icetable_rowops"), stats_cols=("doc_id",))
+    base = docs.select("doc_id", "text", "source")
+    table.commit(base.repartitionByRange(8, "doc_id"))
+    r = sampling._residue(100)
+    upd = docs.filter(r < 10).select(
+        "doc_id", F.concat(F.lit("rev2 "), F.col("text")).alias("text"), "source"
+    )
+    ins = docs.filter(r == 55).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("ins "), F.col("source")).alias("text"),
+        "source",
+    )
+    table.upsert(upd.unionByName(ins), key="doc_id")
+    table.delete_where(
+        spark, "doc_id % 2 = 1 AND doc_id < 100", prune={"doc_id": (0, 99)}
+    )
+    return table.read(spark)
+
+
+@register(
     "web_anchor_text",
     """
 WITH d AS (

@@ -163,6 +163,7 @@ class IceTable:
         df: DataFrame,
         operation: str = "append",
         expected_version: int | None = None,
+        carry_manifest: list[dict] | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and publish
         them as the next snapshot. Returns the committed version.
@@ -171,10 +172,16 @@ class IceTable:
         replaces it (prior files stay on disk for time travel until
         ``expire_snapshots``). ``expected_version`` enables optimistic
         concurrency: the commit fails with :class:`CommitConflict` if
-        the table advanced past it.
+        the table advanced past it. ``carry_manifest`` (overwrite
+        only) re-lists existing data files — with their already-known
+        stats, no footer re-read — in the new snapshot: the file-level
+        reuse that makes copy-on-write upsert/delete O(files touched),
+        not O(table).
         """
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
+        if carry_manifest and operation != "overwrite":
+            raise ValueError("carry_manifest requires operation='overwrite'")
         base = self.current_version()
         if expected_version is not None and base != expected_version:
             raise CommitConflict(
@@ -209,9 +216,14 @@ class IceTable:
             for (p, r, s) in batch
         ]
         added_rows = sum(f["rows"] for f in manifest)
-        total = added_rows if operation == "overwrite" else added_rows + (
-            self.snapshot(base)["summary"]["total_rows"] if base else 0
-        )
+        carried_rows = sum(f["rows"] for f in (carry_manifest or []))
+        if operation == "overwrite":
+            total = added_rows + carried_rows
+        else:
+            total = added_rows + (
+                self.snapshot(base)["summary"]["total_rows"] if base else 0
+            )
+        manifest = (carry_manifest or []) + manifest
         snap = {
             "version": base + 1,
             "parent": base,
@@ -219,7 +231,8 @@ class IceTable:
             "schema": df.schema.json(),
             "manifest": manifest,
             "summary": {
-                "added_files": len(manifest),
+                "added_files": len(manifest) - len(carry_manifest or []),
+                "carried_files": len(carry_manifest or []),
                 "added_rows": added_rows,
                 "total_rows": total,
             },
@@ -324,6 +337,123 @@ class IceTable:
         if not files:
             return self.read(spark, to_version).limit(0)
         return spark.read.parquet(*sorted(files))
+
+    # -- row-level ops (copy-on-write MERGE / DELETE) -----------------------
+
+    def _live_entries(self, version: int | None = None) -> list[dict]:
+        """Manifest entries (path/rows/stats) live at ``version``."""
+        version = self.current_version() if version is None else version
+        return [f for snap in self._chain(version) for f in snap["manifest"]]
+
+    def upsert(self, updates: DataFrame, key: str | None = None) -> int:
+        """Latest-wins MERGE on ``key`` (default: first stats column),
+        copy-on-write: rows of ``updates`` replace same-key rows, new
+        keys append. Returns the committed version.
+
+        Cost is O(files whose key range overlaps the update batch),
+        not O(table): the update keys' min/max (one tiny agg) prunes
+        the live manifest by recorded per-file stats; only overlapping
+        files are re-read, anti-joined against the update key set, and
+        rewritten — every other file carries into the new snapshot by
+        reference. With range-clustered writes (``compact``'s default)
+        a narrow update batch touches a handful of files out of
+        millions. The anti-join's right side is the update batch's
+        distinct keys — typically broadcast-sized; for corpus-scale
+        backfills AQE plans a shuffle join and the shape still holds.
+        """
+        key = key or (self.stats_cols[0] if self.stats_cols else None)
+        if key is None:
+            raise ValueError("upsert needs a key column (set stats_cols)")
+        import bisect
+
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        if not base:
+            return self.commit(updates, "append")
+        lo, hi = updates.agg(F.min(key), F.max(key)).first()
+        if lo is None:
+            return base  # empty update batch: no-op
+        # Exact file pruning needs more than the batch's global
+        # [min, max] — one new key at the far end of the keyspace would
+        # mark every file a rewrite candidate. When the distinct key
+        # set is driver-small (the common MERGE batch), collect it
+        # sorted and probe each file's range with a binary search;
+        # otherwise fall back to the global range (still sound, just
+        # coarser — Iceberg's metadata-only planning has the same
+        # precision cliff once the batch stops being enumerable).
+        keys = updates.select(key).distinct()
+        key_list: list | None = None
+        if keys.limit(65_537).count() <= 65_536:
+            key_list = sorted(r[0] for r in keys.collect())
+        entries = self._live_entries(base)
+        cand, carry = [], []
+        for f in entries:
+            st = f["stats"].get(key)
+            if st is None:  # no recorded stats -> must assume overlap
+                cand.append(f)
+            elif key_list is not None:
+                i = bisect.bisect_left(key_list, st[0])
+                hit = i < len(key_list) and key_list[i] <= st[1]
+                (cand if hit else carry).append(f)
+            else:
+                (carry if st[1] < lo or st[0] > hi else cand).append(f)
+        spark = updates.sparkSession
+        if cand:
+            survivors = (
+                spark.read.parquet(*sorted(f["path"] for f in cand))
+                .join(keys, key, "left_anti")
+            )
+            new_df = survivors.unionByName(updates)
+        else:
+            new_df = updates
+        return self.commit(
+            new_df,
+            operation="overwrite",
+            expected_version=base,
+            carry_manifest=carry,
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicate: str,
+        prune: dict[str, tuple] | None = None,
+    ) -> int:
+        """Copy-on-write DELETE: rewrite files that may hold matching
+        rows without the matches; carry the rest by reference.
+
+        ``predicate`` is a SQL boolean over the table's columns
+        (rows it selects are REMOVED); ``prune`` optionally narrows
+        the rewrite set by stats ranges, same semantics as
+        :meth:`files` — sound because a non-overlapping file cannot
+        contain a matching row *for predicates implied by that range*
+        (the caller owns that implication, as in Iceberg's
+        metadata-only delete planning).
+        """
+        base = self.current_version()
+        if not base:
+            raise ValueError("delete on empty table")
+        entries = self._live_entries(base)
+        cand, carry = [], []
+        for f in entries:
+            keep = True
+            for col, (lo, hi) in (prune or {}).items():
+                st = f["stats"].get(col)
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    keep = False
+                    break
+            (cand if keep else carry).append(f)
+        if not cand:
+            return base  # nothing can match: metadata-only no-op
+        survivors = (
+            spark.read.parquet(*sorted(f["path"] for f in cand))
+            .filter(f"NOT ({predicate})")
+        )
+        return self.commit(
+            survivors,
+            operation="overwrite",
+            expected_version=base,
+            carry_manifest=carry,
+        )
 
     # -- maintenance --------------------------------------------------------
 
