@@ -34,7 +34,7 @@ contiguous ids make the modulus exact, and N comes from table metadata
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -176,4 +176,40 @@ def host_quality_priors(
         "host_docs",
         combined.alias("combined"),
         (combined > threshold).alias("keep"),
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    delay_col: str = "crawl_delay",
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: per-host FIFO fetch slots.
+
+    A web crawler must serialize fetches within a host (robots
+    crawl-delay) while staying fully parallel across hosts. Given a
+    frontier of (url key, host, priority, per-host crawl delay), each
+    host's URLs are ranked by (priority DESC, doc_id) and assigned
+    sequential slots; ``fetch_at = slot * crawl_delay`` is the
+    earliest politeness-legal fetch offset, so the scheduler output
+    maps directly onto per-host worker queues.
+
+    Scale shape: one hash shuffle on host; the per-host window sort is
+    the schedule itself (any politeness-correct scheduler must order
+    within host). Host skew is real (a 10^8-page host) but benign
+    here: the window carries four scalar columns, and a single host's
+    run is a sequential queue at fetch time anyway — the schedule for
+    it is consumed incrementally, not materialized hot.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col("doc_id")
+    )
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return frontier.select(
+        "doc_id",
+        F.col(host_col).alias("host"),
+        F.col(priority_col).alias("priority"),
+        slot.alias("slot"),
+        (slot * F.col(delay_col)).cast("long").alias("fetch_at"),
     )

@@ -13,7 +13,7 @@ optional groupBy — no joins, no explode except the shingle fingerprint
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_P = 2_147_483_647
@@ -460,4 +460,108 @@ def dedup_paragraphs(docs: DataFrame, para_words: int = 10) -> DataFrame:
         F.size("paras").cast("long").alias("n_paras"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("deduped_text"),
+    )
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per-document top-``top_k`` keywords by TF-IDF.
+
+    Classic corpus-relative term salience: tf = in-doc term count,
+    idf = ln((N + 1) / (df + 1)) with df = documents containing the
+    term. The term stream is one explode of the tokenized corpus;
+    tf aggregates map-side on (doc_id, term); df aggregates the
+    (doc_id, term)-distinct stream on term alone, yielding a
+    vocabulary-sized table that broadcasts back. Ranking is a window
+    over (doc_id) on the scored frame — ties broken lexically so the
+    result is a pure function of the corpus.
+    """
+    terms = docs.select(
+        "doc_id", F.explode_outer(_words()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n"))
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame, query_terms: list[str], top_k: int = 50
+) -> DataFrame:
+    """Top-``top_k`` documents for a bag-of-words query under BM25.
+
+    Okapi BM25 with the standard (k1, b) defaults and the
+    non-negative idf variant idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    The per-term frequency stream is filtered to the query terms
+    BEFORE any shuffle — the corpus-sized explode collapses to
+    ~|query| rows per matching doc at the scan, so the aggregation
+    and the final top-k sort touch only candidate documents. Document
+    lengths ride the same tokenization pass; the corpus-wide avgdl is
+    a one-row broadcast.
+
+    Ranking sorts on the ROUNDED score (6 dp) with doc_id tiebreak,
+    making the cut deterministic and engine-portable.
+    """
+    q = [t for t in query_terms if t]
+    ws = _words()
+    toks = docs.select(
+        "doc_id", ws.alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").cast("double").alias("dl"),
+        F.explode_outer(F.col("ws")).alias("term"),
+    )
+    hits = toks.filter(F.col("term").isin(q))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(ws)).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+        .select("doc_id", "n_terms_hit", "score")
     )

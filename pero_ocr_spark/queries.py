@@ -4076,3 +4076,106 @@ def q_web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return linkgraph.anchor_text_corpus(docs, n_docs=docs.count())
+
+
+@register(
+    "crawl_frontier_schedule",
+    """
+WITH f AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         CAST((doc_id*69069 + 12345) % 2147483647 % 100 AS INT) AS priority,
+         1 + CAST(substr(source, 4) AS INT) % 5 AS delay
+  FROM documents)
+SELECT doc_id, host, priority,
+       CAST(row_number() OVER (
+              PARTITION BY host ORDER BY priority DESC, doc_id) - 1
+            AS BIGINT) AS slot,
+       CAST((row_number() OVER (
+              PARTITION BY host ORDER BY priority DESC, doc_id) - 1) * delay
+            AS BIGINT) AS fetch_at
+FROM f
+""",
+)
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # politeness-aware crawl scheduling: priority-ranked FIFO slots
+    # within each host (robots crawl-delay serialization), fully
+    # parallel across hosts — one host shuffle, window = the schedule
+    from pero_ocr_spark.operators import linkgraph, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        sampling._residue(100).cast("int").alias("priority"),
+        (1 + F.substring("source", 4, 10).cast("int") % 5)
+        .cast("int")
+        .alias("crawl_delay"),
+    )
+    return linkgraph.frontier_schedule(frontier)
+
+
+@register(
+    "text_tfidf_keywords",
+    """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM t WHERE term <> '' GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, CAST(dft.df AS BIGINT) AS df,
+         round(tf.tf * ln((n.n + 1.0) / (dft.df + 1.0)), 6) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s)
+WHERE rank <= 5
+""",
+)
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-relative term salience: tf map-side on (doc, term), df on
+    # the vocabulary table (broadcast back), per-doc top-5 by rounded
+    # score with lexical tiebreak
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.tfidf_keywords(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+@register(
+    "text_bm25_search",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, len(ws) * 1.0 AS dl, unnest(ws) AS term FROM w),
+hits AS (
+  SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+  FROM tok WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, term),
+stats AS (SELECT count(*) * 1.0 AS n, avg(len(ws)) AS avgdl FROM w),
+dft AS (SELECT term, count(*) * 1.0 AS df FROM hits GROUP BY term),
+s AS (
+  SELECT h.doc_id,
+         ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl)) AS c
+  FROM hits h JOIN dft d USING (term) CROSS JOIN stats st),
+agg AS (
+  SELECT doc_id, round(sum(c), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM s GROUP BY doc_id)
+SELECT doc_id, n_terms_hit, score FROM agg
+ORDER BY score DESC, doc_id LIMIT 50
+""",
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 top-50: the corpus explode collapses to query-term
+    # hits at the scan (filter before any shuffle), avgdl is a one-row
+    # broadcast, the cut sorts on the rounded score for a
+    # deterministic engine-portable boundary
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.bm25_search(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "merge"], top_k=50
+    )

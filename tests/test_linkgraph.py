@@ -114,3 +114,23 @@ class TestHostPriors:
         plan = L.host_quality_priors(docs)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestFrontierSchedule:
+    def test_per_host_fifo_and_politeness(self, spark):
+        rows = [
+            # (doc_id, host, priority, crawl_delay)
+            (1, "a", 5, 2), (2, "a", 9, 2), (3, "a", 5, 2),
+            (4, "b", 1, 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, host string, priority int, crawl_delay int"
+        )
+        out = {r.doc_id: (r.slot, r.fetch_at)
+               for r in L.frontier_schedule(df).collect()}
+        # host a: priority 9 first, then priority-5 ties by doc_id
+        assert out[2] == (0, 0)
+        assert out[1] == (1, 2)
+        assert out[3] == (2, 4)
+        # host b schedules independently from slot 0 with its own delay
+        assert out[4] == (0, 0)

@@ -82,3 +82,36 @@ def test_media_real_path_is_gated(spark, sf_dir):
     m = media.media_spans(spans).limit(1)
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         media.decode_media(m, real=True).collect()
+
+
+class TestRanking:
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"), (3, "banana date")],
+            "doc_id long, text string",
+        )
+        out = textstats.tfidf_keywords(docs, top_k=2).collect()
+        top = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out}
+        # banana is in every doc -> idf = ln(4/4) = 0; unique terms win
+        assert top[(1, 1)] == ("apple", 2, 1)
+        assert top[(2, 1)] == ("cherry", 1, 1)
+        assert top[(1, 2)][0] == "banana" and top[(1, 2)][2] == 3
+
+    def test_bm25_matches_handcomputed_single_term(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "x x y z z q"), (3, "p q r")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: (r.score, r.n_terms_hit)
+               for r in textstats.bm25_search(docs, ["x"], top_k=10).collect()}
+        assert set(out) == {1, 2}
+        n, avgdl = 3.0, 4.0
+        idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+        def s(tf, dl):
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        assert out[1] == (s(1, 3), 1)
+        assert out[2] == (s(2, 6), 1)
+        # doc 2 has higher tf -> higher score despite longer doc
+        assert out[2][0] > out[1][0]
