@@ -4179,3 +4179,33 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_search(
         _t(spark, sf_dir, "documents"), ["spark", "window", "merge"], top_k=50
     )
+
+
+@register(
+    "icetable_schema_evolution",
+    """
+SELECT doc_id, text,
+       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+FROM documents
+""",
+)
+def q_icetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # add-column schema evolution on the snapshot table: v1 commits
+    # two columns, v2 appends three; the current read projects every
+    # file through the LATEST snapshot schema so pre-evolution rows
+    # surface the new column as null — no rewrite of old data files
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents")
+    table = IceTable(_scratch("icetable_evolve"), stats_cols=("doc_id",))
+    table.commit(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .repartitionByRange(4, "doc_id")
+    )
+    table.commit(
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text", "lang")
+        .repartitionByRange(4, "doc_id")
+    )
+    return table.read(spark)

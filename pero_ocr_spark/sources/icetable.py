@@ -69,6 +69,20 @@ def _shape(schema_json):
     return schema_json
 
 
+def _is_column_add(prev_shape, new_shape) -> bool:
+    """True iff ``new`` = ``prev`` plus appended top-level columns —
+    the only schema evolution an append may carry (Iceberg's
+    add-column; drops/renames/retypes need a rewrite)."""
+    try:
+        prev_fields = {f["name"]: f for f in prev_shape["fields"]}
+        new_fields = {f["name"]: f for f in new_shape["fields"]}
+    except (KeyError, TypeError):
+        return False
+    return set(prev_fields) <= set(new_fields) and all(
+        prev_fields[n] == new_fields[n] for n in prev_fields
+    )
+
+
 def _meta(root: str) -> str:
     return os.path.join(root, "metadata")
 
@@ -143,6 +157,17 @@ class IceTable:
         with open(_snap_path(self.root, version)) as f:
             return json.load(f)
 
+    def _snapshot_schema(self, version: int):
+        """The snapshot's schema as an all-nullable StructType — data
+        files written before an add-column evolution project the new
+        columns as nulls when scanned through it."""
+        from pyspark.sql.types import StructType
+
+        fields = json.loads(self.snapshot(version)["schema"])
+        for f in fields.get("fields", []):
+            f["nullable"] = True
+        return StructType.fromJson(fields)
+
     def history(self) -> list[dict]:
         """Commit log, oldest first: (version, operation, summary)."""
         out = []
@@ -188,11 +213,13 @@ class IceTable:
                 f"table at v{base}, commit based on v{expected_version}"
             )
         if base and operation == "append":
-            prev = self.snapshot(base)["schema"]
-            if _shape(json.loads(prev)) != _shape(json.loads(df.schema.json())):
+            prev = _shape(json.loads(self.snapshot(base)["schema"]))
+            new = _shape(json.loads(df.schema.json()))
+            if prev != new and not _is_column_add(prev, new):
                 raise ValueError(
-                    "schema mismatch vs current snapshot "
-                    "(evolve via operation='overwrite' after a migration read)"
+                    "incompatible schema vs current snapshot — appends may "
+                    "only ADD columns (drop/rename/retype requires "
+                    "operation='overwrite' after a migration read)"
                 )
 
         stage = os.path.join(self.root, "data", uuid.uuid4().hex)
@@ -306,17 +333,18 @@ class IceTable:
     ) -> DataFrame:
         """Snapshot-isolated read: the plan is pinned to the file list
         of one immutable snapshot, so concurrent commits never tear a
-        running query (the whole point of snapshot tables)."""
+        running query (the whole point of snapshot tables). The scan
+        is projected through the SNAPSHOT's schema (all-nullable), so
+        files written before an add-column evolution surface the new
+        columns as nulls."""
+        version = self.current_version() if version is None else version
+        if not version:
+            raise ValueError("empty table with no snapshot to take schema from")
+        schema = self._snapshot_schema(version)
         files = self.files(version, prune)
         if not files:
-            version = self.current_version() if version is None else version
-            schema = self.snapshot(version)["schema"] if version else None
-            if schema is None:
-                raise ValueError("empty table with no snapshot to take schema from")
-            from pyspark.sql.types import StructType
-
-            return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
-        return spark.read.parquet(*files)
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
 
     def incremental(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -336,7 +364,9 @@ class IceTable:
             files.extend(f["path"] for f in s["manifest"])
         if not files:
             return self.read(spark, to_version).limit(0)
-        return spark.read.parquet(*sorted(files))
+        return spark.read.schema(self._snapshot_schema(to_version)).parquet(
+            *sorted(files)
+        )
 
     # -- row-level ops (copy-on-write MERGE / DELETE) -----------------------
 
@@ -401,10 +431,13 @@ class IceTable:
         spark = updates.sparkSession
         if cand:
             survivors = (
-                spark.read.parquet(*sorted(f["path"] for f in cand))
+                spark.read.schema(self._snapshot_schema(base))
+                .parquet(*sorted(f["path"] for f in cand))
                 .join(keys, key, "left_anti")
             )
-            new_df = survivors.unionByName(updates)
+            # allowMissingColumns: an update batch may carry an
+            # add-column evolution; survivors project it as null
+            new_df = survivors.unionByName(updates, allowMissingColumns=True)
         else:
             new_df = updates
         return self.commit(
@@ -445,7 +478,8 @@ class IceTable:
         if not cand:
             return base  # nothing can match: metadata-only no-op
         survivors = (
-            spark.read.parquet(*sorted(f["path"] for f in cand))
+            spark.read.schema(self._snapshot_schema(base))
+            .parquet(*sorted(f["path"] for f in cand))
             .filter(f"NOT ({predicate})")
         )
         return self.commit(

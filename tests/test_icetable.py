@@ -292,3 +292,41 @@ class TestRowLevelOps:
         assert removed > 0  # the rewritten file's old version is gone
         got = {r.doc_id: r.text for r in t.read(spark).collect()}
         assert got[0] == "u-0" and got[99] == "a-99" and len(got) == 100
+
+
+@pytest.mark.usefixtures("spark")
+class TestSchemaEvolution:
+    def _df3(self, spark, lo, hi, tag="b"):
+        return _df(spark, lo, hi, tag).withColumn("lang", F.lit("en"))
+
+    def test_append_may_add_columns_old_files_project_null(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(self._df3(spark, 10, 20))
+        got = {r.doc_id: r.lang for r in t.read(spark).collect()}
+        assert len(got) == 20
+        assert got[5] is None and got[15] == "en"
+        # time travel to v1 sees the ORIGINAL two-column schema
+        assert t.read(spark, version=1).columns == ["doc_id", "text"]
+
+    def test_append_dropping_a_column_rejected(self, spark, root):
+        t = IceTable(root)
+        t.commit(self._df3(spark, 0, 10))
+        with pytest.raises(ValueError, match="ADD"):
+            t.commit(_df(spark, 10, 20))
+
+    def test_incremental_across_evolution_uses_target_schema(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(self._df3(spark, 10, 20))
+        inc = t.incremental(spark, 1, 2)
+        assert inc.columns == ["doc_id", "text", "lang"]
+        assert inc.count() == 10
+
+    def test_upsert_with_evolved_batch(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 20))
+        t.upsert(self._df3(spark, 5, 8, tag="u"))
+        got = {r.doc_id: (r.text, r.lang) for r in t.read(spark).collect()}
+        assert got[6] == ("u-6", "en")
+        assert got[15] == ("a-15", None)
