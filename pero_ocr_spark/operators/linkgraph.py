@@ -213,3 +213,35 @@ def frontier_schedule(
         slot.alias("slot"),
         (slot * F.col(delay_col)).cast("long").alias("fetch_at"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "url", cmp_col: str = "content_hash"
+) -> DataFrame:
+    """Crawl-delta classification between two snapshot tables.
+
+    Recrawl pipelines need the delta, not the crawl: which URLs
+    appeared, vanished, or changed content since the last snapshot.
+    Full-outer join on the URL key comparing content digests:
+
+      added      — in new only          removed — in old only
+      changed    — digests differ       unchanged — digests equal
+
+    Scale shape: one co-partitioned sort-merge join on the key;
+    NOTHING broadcasts (both snapshots are corpus-sized) and only
+    (key, digest) pairs shuffle — with both snapshots bucketed on the
+    key (the snapshot table's natural clustering) the exchange is
+    avoided entirely. Downstream consumers filter to
+    status != 'unchanged', which prunes ~all of a typical recrawl.
+    """
+    o = old.select(F.col(key).alias("url"), F.col(cmp_col).alias("_oh"))
+    n = new.select(F.col(key).alias("url"), F.col(cmp_col).alias("_nh"))
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -4209,3 +4209,67 @@ def q_icetable_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(4, "doc_id")
     )
     return table.read(spark)
+
+
+@register(
+    "crawl_snapshot_diff",
+    """
+WITH r AS (
+  SELECT doc_id, text, source,
+         (doc_id*69069 + 12345) % 2147483647 % 20 AS r20
+  FROM documents),
+o AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         text
+  FROM r),
+n AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         CASE WHEN r20 = 0 THEN 'v2 ' || text ELSE text END AS text
+  FROM r WHERE r20 <> 1
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/doc/' || (doc_id + 7000000),
+         'new ' || source
+  FROM r WHERE r20 = 2),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url, o.text AS ot, n.text AS nt
+  FROM o FULL OUTER JOIN n ON o.url = n.url)
+SELECT url,
+       CASE WHEN ot IS NULL THEN 'added'
+            WHEN nt IS NULL THEN 'removed'
+            WHEN ot <> nt THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+""",
+)
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recrawl delta: full-outer on url comparing sha-256 content
+    # digests (only (url, digest) pairs shuffle; nothing broadcasts —
+    # both snapshots are corpus-sized). The synthetic new snapshot
+    # changes 1/20 of pages, drops 1/20, adds 1/20 at fresh URLs.
+    from pero_ocr_spark.operators import linkgraph, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    r20 = sampling._residue(20)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(url.alias("url"), F.sha2(F.col("text"), 256).alias("h"))
+    changed = docs.filter(r20 != 1).select(
+        url.alias("url"),
+        F.sha2(
+            F.when(r20 == 0, F.concat(F.lit("v2 "), F.col("text")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("h"),
+    )
+    added = docs.filter(r20 == 2).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            (F.col("doc_id") + 7_000_000).cast("string"),
+        ).alias("url"),
+        F.sha2(F.concat(F.lit("new "), F.col("source")), 256).alias("h"),
+    )
+    return linkgraph.snapshot_diff(
+        old, changed.unionByName(added), key="url", cmp_col="h"
+    )

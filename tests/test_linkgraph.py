@@ -134,3 +134,17 @@ class TestFrontierSchedule:
         assert out[3] == (2, 4)
         # host b schedules independently from slot 0 with its own delay
         assert out[4] == (0, 0)
+
+
+class TestSnapshotDiff:
+    def test_four_way_classification(self, spark):
+        old = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, h string"
+        )
+        new = spark.createDataFrame(
+            [("u1", "h1"), ("u2", "HX"), ("u4", "h4")], "url string, h string"
+        )
+        out = {r.url: r.status
+               for r in L.snapshot_diff(old, new, cmp_col="h").collect()}
+        assert out == {"u1": "unchanged", "u2": "changed",
+                       "u3": "removed", "u4": "added"}
