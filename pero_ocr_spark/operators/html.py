@@ -41,7 +41,7 @@ from collections.abc import Iterator
 from html.parser import HTMLParser
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Block-level elements: opening or closing one terminates the current
@@ -77,12 +77,14 @@ class _BlockParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int, str]] = []
+        self.links: list[tuple[str, str]] = []  # (href, anchor text)
         self._tag_stack: list[str] = []
         self._cur_tag = "body"
         self._words: list[str] = []
         self._link_words = 0
         self._link_depth = 0
         self._skip_depth = 0
+        self._open_links: list[tuple[str, list[str]]] = []
 
     def _flush(self) -> None:
         if self._words:
@@ -100,6 +102,7 @@ class _BlockParser(HTMLParser):
             return
         elif tag == "a":
             self._link_depth += 1
+            self._open_links.append((dict(attrs).get("href") or "", []))
         elif tag == "img":
             # media element: its own zero-word block carrying the src
             # as text, so the interleaved span model sees it in order
@@ -117,6 +120,9 @@ class _BlockParser(HTMLParser):
             return
         elif tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
+            if self._open_links:
+                href, words = self._open_links.pop()
+                self.links.append((href, " ".join(words)))
         elif tag in BLOCK_TAGS:
             self._flush()
             if self._tag_stack:
@@ -131,10 +137,15 @@ class _BlockParser(HTMLParser):
         self._words.extend(words)
         if self._link_depth:
             self._link_words += len(words)
+        if self._open_links:
+            self._open_links[-1][1].extend(words)
 
     def finish(self) -> list[tuple[str, int, int, str]]:
         self.close()
         self._flush()
+        while self._open_links:  # unclosed <a>: emit what it captured
+            href, words = self._open_links.pop()
+            self.links.append((href, " ".join(words)))
         return self.blocks
 
 
@@ -330,6 +341,56 @@ def html_to_spans(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
         F.when(~is_media, F.col("text")).alias("text"),
         F.when(is_media, F.col("text")).alias("media_ref"),
+    )
+
+
+LINK_SCHEMA = "doc_id long, link_id int, href string, anchor string"
+
+
+def parse_html_outlinks(
+    df: DataFrame, html_col: str = "html", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, html) → one row per ``<a href>`` in document order,
+    with the link's anchor text. Same narrow mapInPandas shape as
+    :func:`parse_html_blocks` (one parser walk; no shuffle); feeds the
+    link-graph operators (PageRank, anchor-text harvest) from real
+    markup instead of a synthetic edge rule."""
+    pruned = df.select("doc_id", *carry, html_col)
+    schema = LINK_SCHEMA + "".join(f", {c} string" for c in carry)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "link_id": [], "href": [], "anchor": [],
+                **{c: [] for c in carry},
+            }
+            for row in zip(pdf["doc_id"], pdf[html_col],
+                           *(pdf[c] for c in carry)):
+                doc_id, html, extras = row[0], row[1], row[2:]
+                parser = _BlockParser()
+                parser.feed(html)
+                parser.finish()
+                for i, (href, anchor) in enumerate(parser.links):
+                    out["doc_id"].append(doc_id)
+                    out["link_id"].append(i)
+                    out["href"].append(href)
+                    out["anchor"].append(anchor)
+                    for c, v in zip(carry, extras):
+                        out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(gen, schema=schema)
+
+
+def resolve_href(href: Column, host: Column, base: Column) -> Column:
+    """Resolve an href against its page: fragments stick to the base
+    URL, absolute URLs pass through, root- and page-relative paths
+    join the host. Pure column expression (codegen)."""
+    return (
+        F.when(href.startswith("#"), F.concat(base, href))
+        .when(href.startswith("http"), href)
+        .when(href.startswith("/"), F.concat(F.lit("https://"), host, href))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/"), href))
     )
 
 

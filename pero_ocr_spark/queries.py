@@ -4273,3 +4273,65 @@ def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.snapshot_diff(
         old, changed.unionByName(added), key="url", cmp_col="h"
     )
+
+
+@register(
+    "html_outlinks",
+    f"""
+WITH {_HTML_PARA_CTE},
+raw AS (
+  SELECT k.doc_id, 0 AS grp, 0 AS sub, '/' AS href, 'home' AS anchor FROM k
+  UNION ALL
+  SELECT doc_id, 0, 1, '/about', 'about' FROM k
+  UNION ALL
+  SELECT doc_id, 0, 2, '/c', 'contact' FROM k
+  UNION ALL
+  SELECT doc_id, 1, pi, '#r',
+         array_to_string(list_slice(ws, pi*12+1, pi*12+2), ' ')
+  FROM par0 JOIN par USING (doc_id, pi)
+  WHERE pi % 3 = 2 AND nw = 12
+  UNION ALL
+  SELECT doc_id, 2, 0, '/ad1', 'buy now' FROM k
+  UNION ALL
+  SELECT doc_id, 2, 1, '/ad2', 'subscribe today' FROM k
+  UNION ALL
+  SELECT doc_id, 3, 0, '/tos', 'terms' FROM k
+  UNION ALL
+  SELECT doc_id, 3, 1, '/priv', 'privacy' FROM k
+),
+numbered AS (
+  SELECT r.doc_id, d.source || '.example.com' AS host, href, anchor,
+         CAST(row_number() OVER (
+                PARTITION BY r.doc_id ORDER BY grp, sub) - 1 AS INT)
+           AS link_id
+  FROM raw r JOIN documents d ON r.doc_id = d.doc_id)
+SELECT doc_id, link_id, href, anchor,
+       CASE WHEN href LIKE '#%'
+              THEN 'https://' || host || '/doc/' || doc_id || href
+            WHEN href LIKE '/%'
+              THEN 'https://' || host || href
+            ELSE 'https://' || host || '/' || href END AS url
+FROM numbered
+""",
+)
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outlink harvesting from real markup: one parser walk per page
+    # (same Arrow stage family as block parse), hrefs resolved against
+    # the page URL with a pure codegen expression — the link-graph
+    # feeder (PageRank / anchor aggregation) for DOM-born edges
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs, keep=("source",))
+    links = H.parse_html_outlinks(pages, carry=("source",))
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
+    )
+    return links.select(
+        "doc_id",
+        "link_id",
+        "href",
+        "anchor",
+        H.resolve_href(F.col("href"), host, base).alias("url"),
+    )

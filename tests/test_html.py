@@ -294,3 +294,48 @@ def test_strip_template_blocks_media_and_duplicate_content(spark):
     assert all(k[0] != "media" for k in kinds.values())  # logo gone
     assert kinds[(0, 0)] == ("text", "this exact paragraph appears on two different pages")
     assert kinds[(4, 0)] == ("text", "own 4")
+
+
+# ---------------------------------------------------------------- outlinks
+
+def _links(markup):
+    p = H._BlockParser()
+    p.feed(markup)
+    p.finish()
+    return p.links
+
+
+def test_links_captured_in_document_order_with_anchors():
+    assert _links(
+        '<nav><a href="/">home</a> <a href="/x">go there</a></nav>'
+        '<p>text <a href="b.html">rel link</a> tail</p>'
+    ) == [("/", "home"), ("/x", "go there"), ("b.html", "rel link")]
+
+
+def test_unclosed_and_nested_links_still_emit():
+    # inner closes first (endtag order); unclosed outer emits at finish
+    assert _links('<p><a href="/o">out <a href="/i">in</a></p>') == [
+        ("/i", "in"), ("/o", "out")
+    ]
+
+
+def test_link_without_href_yields_empty_string():
+    assert _links("<a>bare</a>") == [("", "bare")]
+
+
+def test_resolve_href_rules(spark):
+    rows = [(1, "#f"), (2, "http://other.com/p"), (3, "/abs"), (4, "rel.html")]
+    df = spark.createDataFrame(rows, "doc_id long, href string")
+    from pyspark.sql import functions as F
+    out = {r.doc_id: r.url for r in df.select(
+        "doc_id",
+        H.resolve_href(
+            F.col("href"), F.lit("h.com"), F.lit("https://h.com/doc/9")
+        ).alias("url"),
+    ).collect()}
+    assert out == {
+        1: "https://h.com/doc/9#f",
+        2: "http://other.com/p",
+        3: "https://h.com/abs",
+        4: "https://h.com/rel.html",
+    }
