@@ -233,6 +233,41 @@ def classify_blocks(
     )
 
 
+def classify_blocks_densitometric(blocks: DataFrame) -> DataFrame:
+    """Boilerpipe's NumWordsRulesClassifier over a parsed-blocks frame.
+
+    The published shallow-text-features decision tree (Kohlschütter,
+    Fankhauser, Nejdl: "Boilerplate Detection using Shallow Text
+    Features", WSDM 2010; boilerpipe NumWordsRulesClassifier): each
+    block is judged from (prev, curr, next) word counts and link
+    densities only. Absent neighbours count as empty blocks (0 words,
+    0 density), matching the reference classifier.
+
+    Pure Catalyst: two lag/lead window scans on the same (doc_id,
+    block_id) ordering the jusText classifier already uses — in a
+    combined plan Catalyst shares the single exchange. Emits
+    ``cls`` = 'content' | 'boilerplate'.
+    """
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    ld = F.col("n_link_words") / F.greatest(F.col("n_words"), F.lit(1))
+    step = blocks.withColumn("_ld", ld).select(
+        "*",
+        F.coalesce(F.lag("n_words").over(w), F.lit(0)).alias("_pw"),
+        F.coalesce(F.lead("n_words").over(w), F.lit(0)).alias("_nw"),
+        F.coalesce(F.lag("_ld").over(w), F.lit(0.0)).alias("_pld"),
+    )
+    content = F.when(
+        F.col("_ld") <= 0.333333,
+        F.when(
+            F.col("_pld") <= 0.555556,
+            (F.col("n_words") > 16) | (F.col("_nw") > 15) | (F.col("_pw") > 4),
+        ).otherwise((F.col("n_words") > 40) | (F.col("_nw") > 17)),
+    ).otherwise(F.lit(False))
+    return step.withColumn(
+        "cls", F.when(content, F.lit("content")).otherwise(F.lit("boilerplate"))
+    ).drop("_ld", "_pw", "_nw", "_pld")
+
+
 def extract_main_content(
     pages: DataFrame, html_col: str = "html"
 ) -> DataFrame:

@@ -339,3 +339,45 @@ def test_resolve_href_rules(spark):
         3: "https://h.com/abs",
         4: "https://h.com/rel.html",
     }
+
+
+# --------------------------------------------------- densitometric classify
+
+def test_densitometric_tree_branches(spark):
+    # rows as (block_id, n_words, n_link_words); doc 1
+    rows = [
+        (0, 3, 3),    # ld=1.0 -> boilerplate (right branch)
+        (1, 20, 0),   # prev ld=1.0>0.556: strict rule, nw<=40, next<=17 -> bp
+        (2, 5, 0),    # prev nw=20>4 -> content (neighbour rescue)
+        (3, 2, 0),    # prev nw=5>4 -> content
+        (4, 2, 0),    # prev nw=2<=4, next=0 -> boilerplate
+    ]
+    df = spark.createDataFrame(
+        [(1, b, "p", "t", nw, lw) for b, nw, lw in rows],
+        "doc_id long, block_id int, tag string, text string, "
+        "n_words int, n_link_words int",
+    )
+    out = {r.block_id: r.cls
+           for r in H.classify_blocks_densitometric(df).collect()}
+    assert out == {0: "boilerplate", 1: "boilerplate", 2: "content",
+                   3: "content", 4: "boilerplate"}
+
+
+def test_densitometric_high_prev_density_branch(spark):
+    # prev ld > 0.555556: the stricter (nw>40 | next>17) rule applies
+    rows = [
+        (0, 4, 4),    # ld=1.0 boilerplate, sets pld=1.0 for next
+        (1, 30, 0),   # strict rule: nw<=40 BUT next 50>17 -> content
+        (2, 50, 0),   # prev ld=0; nw>16 -> content
+        (3, 1, 4),    # ld>1/3 -> boilerplate
+        (4, 30, 0),   # strict rule again (pld=4): nw<=40, next 0 -> bp
+    ]
+    df = spark.createDataFrame(
+        [(1, b, "p", "t", nw, lw) for b, nw, lw in rows],
+        "doc_id long, block_id int, tag string, text string, "
+        "n_words int, n_link_words int",
+    )
+    out = {r.block_id: r.cls
+           for r in H.classify_blocks_densitometric(df).collect()}
+    assert out == {0: "boilerplate", 1: "content", 2: "content",
+                   3: "boilerplate", 4: "boilerplate"}
