@@ -522,6 +522,55 @@ def strip_template_blocks(
     )
 
 
+def ensemble_extract(
+    pages: DataFrame,
+    html_col: str = "html",
+    host_col: str = "host",
+    df_ratio: float = TEMPLATE_DF_RATIO,
+    min_docs: int = TEMPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Ensemble main-content extraction over three boilerplate
+    signals: inter-page template frequency VETOES (repetition across a
+    site's pages is direct evidence of chrome — the two per-page
+    classifiers are correlated and would jointly re-admit a long
+    link-free banner under a naive majority vote), then jusText
+    neighbour inheritance and Boilerpipe's densitometric tree vote by
+    OR — a block one per-page family recognizes as content survives
+    the other's idiosyncratic miss (jusText rescues short notes via
+    neighbours; densitometric rescues isolated long paragraphs).
+
+    Plan shape: ONE parser pass feeds all three; jusText and
+    densitometric share the (doc_id, block_id) window exchange, the
+    template table is site-bounded and broadcast. Output is the
+    ordered span model (doc_id, ord, kind, text, media_ref).
+    """
+    blocks = parse_html_blocks(pages, html_col, carry=(host_col,)).withColumnRenamed(
+        host_col, "host"
+    )
+    jt = classify_blocks(blocks).withColumnRenamed("cls", "cls_jt")
+    both = classify_blocks_densitometric(jt).withColumnRenamed("cls", "cls_dens")
+    tpl = template_blocks(blocks, "host", df_ratio, min_docs)
+    fp = F.xxhash64(F.col("tag"), F.col("text"))
+    flagged = both.withColumn("fp", fp).join(
+        F.broadcast(tpl.select("host", "fp", F.lit(True).alias("_tpl"))),
+        ["host", "fp"],
+        "left",
+    )
+    keep = F.col("_tpl").isNull() & (
+        (F.col("cls_jt") == "good") | (F.col("cls_dens") == "content")
+    )
+    kept = flagged.filter(keep)
+    w = Window.partitionBy("doc_id").orderBy("block_id")
+    is_media = F.col("tag") == "img"
+    return kept.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        F.when(is_media, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+        F.when(~is_media, F.col("text")).alias("text"),
+        F.when(is_media, F.col("text")).alias("media_ref"),
+    )
+
+
 def synthesize_html_interleaved(docs: DataFrame) -> DataFrame:
     """Like :func:`synthesize_html`, but with an ``<img>`` after every
     odd-indexed paragraph (``src="img://{doc_id}/{i}"``) — the

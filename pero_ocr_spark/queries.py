@@ -4399,3 +4399,121 @@ def q_html_densitometric_classify(spark: SparkSession, sf_dir: str) -> DataFrame
     return H.classify_blocks_densitometric(blocks).select(
         "doc_id", "block_id", "cls"
     )
+
+
+@register(
+    "corpus_rollup_stats",
+    """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+)
+def q_corpus_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus reporting cube: per-(source, lang) doc/char/token totals
+    # with ROLLUP subtotals and grand total in ONE pass — Catalyst
+    # expands grouping sets map-side, so the shuffle still carries
+    # partial aggregates only (no per-level rescan)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang", "n_chars",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs", "sum_chars", "sum_tokens",
+        )
+    )
+
+
+@register(
+    "html_ensemble_extract",
+    f"""
+WITH {_HTML_PARA_CTE},
+blocks AS (
+  SELECT w.doc_id, d.source AS host, 0 AS bk, 'nav' AS tag,
+         'home about contact' AS text, 3 AS nw, 3 AS lw, 'bad' AS jt
+  FROM w JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 1, 'h1', d.source || ' report', 2, 0,
+         CASE WHEN k.nw0 >= 8 THEN 'good' ELSE 'bad' END
+  FROM k JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT p.doc_id, d.source, 2 + p.pi, 'p', p.ptext, p.nw,
+         CASE WHEN p.pi % 3 = 2 AND p.nw = 12 THEN 2 ELSE 0 END,
+         CASE WHEN p.nw >= 8 OR p.pi > 0 THEN 'good' ELSE 'bad' END
+  FROM par p JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 2 + k.np, 'aside',
+         'buy now subscribe today', 4, 4, 'bad'
+  FROM k JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT k.doc_id, d.source, 3 + k.np, 'footer',
+         'terms privacy copyright', 3, 2, 'bad'
+  FROM k JOIN documents d USING (doc_id)
+),
+f AS (
+  SELECT doc_id, host, bk, tag, text, nw, jt,
+         lw * 1.0 / greatest(nw, 1) AS ld,
+         coalesce(lag(nw) OVER wd, 0) AS pw,
+         coalesce(lead(nw) OVER wd, 0) AS nx,
+         coalesce(lag(lw * 1.0 / greatest(nw, 1)) OVER wd, 0.0) AS pld
+  FROM blocks
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY bk)
+),
+dens AS (
+  SELECT *,
+         CASE WHEN ld <= 0.333333 THEN
+           CASE WHEN pld <= 0.555556 THEN
+             CASE WHEN nw > 16 OR nx > 15 OR pw > 4 THEN 1 ELSE 0 END
+           ELSE
+             CASE WHEN nw > 40 OR nx > 17 THEN 1 ELSE 0 END
+           END
+         ELSE 0 END AS v_dens
+  FROM f
+),
+hd AS (
+  SELECT host, count(DISTINCT doc_id) AS host_docs FROM blocks GROUP BY host),
+tpl AS (
+  SELECT b.host, b.tag, b.text
+  FROM blocks b JOIN hd USING (host)
+  GROUP BY b.host, b.tag, b.text, hd.host_docs
+  HAVING count(DISTINCT doc_id) >= 2
+     AND count(DISTINCT doc_id) >= hd.host_docs * 0.5
+),
+voted AS (
+  SELECT d.doc_id, d.bk, d.text,
+         t.text IS NULL AND (d.jt = 'good' OR d.v_dens = 1) AS keep
+  FROM dens d LEFT JOIN tpl t
+    ON d.host = t.host AND d.tag = t.tag AND d.text = t.text
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       'text' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref
+FROM voted WHERE keep
+""",
+)
+def q_html_ensemble_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three-signal ensemble from ONE parser pass: inter-page template
+    # frequency VETOES (the per-page classifiers are correlated and
+    # would jointly re-admit long link-free chrome), then jusText OR
+    # densitometric keeps; windows share one exchange, the template
+    # table broadcasts
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = H.synthesize_html(docs, keep=("source",))
+    return H.ensemble_extract(pages, host_col="source")

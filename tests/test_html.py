@@ -381,3 +381,26 @@ def test_densitometric_high_prev_density_branch(spark):
            for r in H.classify_blocks_densitometric(df).collect()}
     assert out == {0: "boilerplate", 1: "content", 2: "content",
                    3: "boilerplate", 4: "boilerplate"}
+
+
+def test_ensemble_template_vetoes_correlated_perpage_votes(spark):
+    # a long link-free cookie banner on every page: jusText AND
+    # densitometric both call it content (their shared blind spot) —
+    # the template veto still strips it; short unique notes survive
+    # via the jusText neighbour rescue (densitometric alone would
+    # drop them)
+    banner = ("we use cookies to improve your experience please accept "
+              "our policy to continue enjoying this excellent site today")
+    rows = [
+        (i, "h",
+         f"<body><div>{banner}</div><p>meaningful article number {i} "
+         f"with enough words to stand decided alone</p><p>ps {i}</p></body>")
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, host string, html string")
+    out = [(r.doc_id, r.ord, r.text)
+           for r in H.ensemble_extract(pages).collect()]
+    texts = {t for _, _, t in out}
+    assert not any("cookies" in t for t in texts)       # veto won
+    assert any(t.startswith("meaningful") for t in texts)
+    assert any(t.startswith("ps") for t in texts)       # neighbour rescue
