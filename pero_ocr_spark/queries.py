@@ -4517,3 +4517,51 @@ def q_html_ensemble_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pages = H.synthesize_html(docs, keep=("source",))
     return H.ensemble_extract(pages, host_col="source")
+
+
+@register(
+    "events_asof_join",
+    """
+WITH c AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.value,
+       v.event_id AS view_event_id,
+       CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT) AS lag_us
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the canonical time-series join Spark lacks natively: each
+    # purchase matched to the user's latest at-or-before view via the
+    # union-window technique (ONE key shuffle + per-key sort; no
+    # inequality theta-join, no pair-space blowup). Oracle = DuckDB's
+    # native ASOF LEFT JOIN.
+    from pero_ocr_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = timeseries.asof_join(
+        purchases, views, on="user_id", time="ts", right_cols=("event_id",)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("event_id_asof").alias("view_event_id"),
+        # ts is TIMESTAMP_NTZ; cast is value-preserving under the
+        # pinned UTC session and unix_micros requires TIMESTAMP
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("lag_us"),
+    )

@@ -1,0 +1,42 @@
+"""As-of join (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pero_ocr_spark.operators.timeseries import asof_join
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_latest_at_or_before_per_key(spark):
+    left = spark.createDataFrame(
+        [(1, _t(10), "L10"), (1, _t(5), "L5"), (2, _t(7), "L7")],
+        "k long, ts timestamp_ntz, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(3), 100), (1, _t(5), 101), (1, _t(9), 102), (2, _t(8), 200)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = {r.name: r.rid_asof for r in asof_join(
+        left, right, on="k", time="ts", right_cols=("rid",)
+    ).collect()}
+    # L5 matches the EQUAL-timestamp right row (<= semantics);
+    # L7 has no right row at-or-before -> null
+    assert out == {"L10": 102, "L5": 101, "L7": None}
+
+
+def test_asof_tiebreak_on_equal_right_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, _t(6), "L")], "k long, ts timestamp_ntz, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(4), 7), (1, _t(4), 9), (1, _t(4), 8)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    got = asof_join(
+        left, right, on="k", time="ts", right_cols=("rid",), tiebreak="rid"
+    ).collect()[0]
+    assert got.rid_asof == 9  # max tiebreak wins deterministically
