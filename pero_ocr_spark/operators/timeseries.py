@@ -79,3 +79,56 @@ def asof_join(
         F.col("_f_" + c).alias(c + suffix) for c in carried
     ]
     return filled.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    time: str,
+    start: str,
+    end: str,
+    point_cols: tuple[str, ...],
+    interval_cols: tuple[str, ...],
+    bucket_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """All (point, interval) pairs with equal key and
+    ``start <= point.time < end`` — the interval-containment join.
+
+    Spark plans a raw inequality join as a per-key nested loop
+    (broadcast-nested-loop or cartesian), quadratic in the hot key.
+    This is the bucketized formulation every range-join implementation
+    uses (e.g. the Databricks range-join hint): intervals replicate to
+    each fixed-width time bucket they overlap, points map to exactly
+    ONE bucket, and the pair space collapses to an equi-join on
+    (key, bucket) plus the exact predicate. Replication factor is
+    ceil(interval_len / bucket_width) + 1 ≈ 2 for widths matched to
+    typical interval length; a point is in one bucket, so no
+    deduplication is needed.
+
+    Timestamps may be TIMESTAMP or TIMESTAMP_NTZ (cast under the
+    pinned UTC session). Returns ``point_cols`` + ``interval_cols``.
+    """
+    w = bucket_width_us
+    p_us = F.unix_micros(F.col(time).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end).cast("timestamp"))
+
+    p = points.select(
+        F.col(on).alias("_k"), *point_cols, p_us.alias("_t"),
+        F.floor(p_us / w).alias("_b"),
+    )
+    i = intervals.select(
+        F.col(on).alias("_k"), *interval_cols, s_us.alias("_s"), e_us.alias("_e"),
+    ).filter(F.col("_e") > F.col("_s")).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / w), F.floor((F.col("_e") - 1) / w)
+            )
+        ).alias("_b"),
+    )
+    joined = p.join(i, ["_k", "_b"]).filter(
+        (F.col("_t") >= F.col("_s")) & (F.col("_t") < F.col("_e"))
+    )
+    return joined.select(*point_cols, *interval_cols)

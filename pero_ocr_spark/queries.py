@@ -4565,3 +4565,48 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_us"),
     )
+
+
+@register(
+    "events_range_join",
+    """
+WITH c AS (
+  SELECT event_id AS click_event_id, user_id, ts FROM events
+  WHERE event_type = 'click'),
+s AS (
+  SELECT event_id AS signup_event_id, user_id, ts FROM events
+  WHERE event_type = 'signup')
+SELECT c.click_event_id, s.signup_event_id
+FROM c JOIN s
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+""",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval-containment join (clicks within 1h after a same-user
+    # signup) WITHOUT the nested-loop plan Spark gives inequality
+    # joins: intervals replicate to the <=2 hour-buckets they overlap,
+    # points map to exactly one bucket, equi-join on (key, bucket) +
+    # exact predicate — the range-join-hint formulation, from scratch
+    from pero_ocr_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    return timeseries.range_join(
+        clicks,
+        signups,
+        on="user_id",
+        time="ts",
+        start="ts",
+        end="end_ts",
+        point_cols=("click_event_id",),
+        interval_cols=("signup_event_id",),
+    )

@@ -40,3 +40,49 @@ def test_asof_tiebreak_on_equal_right_timestamps(spark):
         left, right, on="k", time="ts", right_cols=("rid",), tiebreak="rid"
     ).collect()[0]
     assert got.rid_asof == 9  # max tiebreak wins deterministically
+
+
+def test_range_join_boundaries_and_multibucket(spark):
+    from pero_ocr_spark.operators.timeseries import range_join
+
+    # interval [10s, 20s) for key 1; bucket width 4s forces the
+    # interval across multiple buckets; points probe both boundaries
+    points = spark.createDataFrame(
+        [(1, _t(9), "before"), (1, _t(10), "at_start"), (1, _t(15), "inside"),
+         (1, _t(19), "last_in"), (1, _t(20), "at_end"), (2, _t(15), "other_key")],
+        "k long, ts timestamp_ntz, name string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _t(10), _t(20), "iv")],
+        "k long, s timestamp_ntz, e timestamp_ntz, iv string",
+    )
+    got = sorted(
+        r.name
+        for r in range_join(
+            points, intervals, on="k", time="ts", start="s", end="e",
+            point_cols=("name",), interval_cols=("iv",),
+            bucket_width_us=4_000_000,
+        ).collect()
+    )
+    assert got == ["at_start", "inside", "last_in"]
+
+
+def test_range_join_overlapping_intervals_yield_all_pairs(spark):
+    from pero_ocr_spark.operators.timeseries import range_join
+
+    points = spark.createDataFrame(
+        [(1, _t(12), "p")], "k long, ts timestamp_ntz, name string"
+    )
+    intervals = spark.createDataFrame(
+        [(1, _t(10), _t(20), "a"), (1, _t(11), _t(13), "b"), (1, _t(13), _t(14), "c")],
+        "k long, s timestamp_ntz, e timestamp_ntz, iv string",
+    )
+    got = sorted(
+        r.iv
+        for r in range_join(
+            points, intervals, on="k", time="ts", start="s", end="e",
+            point_cols=("name",), interval_cols=("iv",),
+            bucket_width_us=2_000_000,
+        ).collect()
+    )
+    assert got == ["a", "b"]
