@@ -194,3 +194,69 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return docs.select("doc_id", "source", split.alias("split"))
+
+
+def sample_dsir(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of a TARGET hashed
+    n-gram distribution vs the RAW corpus distribution, keep documents
+    that look more target-like than corpus-like.
+
+    Features are hashed word unigrams (``n_buckets`` buckets of the
+    portable polynomial hash); both distributions are Laplace-smoothed
+    bucket frequencies estimated from the corpus itself — the target
+    here is one source stratum, standing in for the curated reference
+    corpus (Wikipedia/books) a production run would broadcast from a
+    table instead.
+
+        score(d) = mean_w [ ln p_t(b(w)) − ln p_r(b(w)) ],  keep ⇔ > 0
+
+    Plan shape: the two distributions are vocabulary-bounded aggs
+    (≤ ``n_buckets`` rows each) that BROADCAST back onto the exploded
+    word stream together with the two one-row totals; the only
+    corpus-wide shuffle is the final per-doc mean (map-side combined).
+    Nothing corpus-sized is ever collected or broadcast.
+    """
+    from pero_ocr_spark.operators.textstats import _poly_hash
+
+    stream = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(_poly_hash(F.col("word")), F.lit(n_buckets)).alias("b"),
+        )
+    )
+    targ = (
+        stream.filter(F.col("source") == target_source)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    raw = stream.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cr")
+    )
+    tot_t = targ.agg(F.sum("ct").alias("tt"))
+    tot_r = raw.agg(F.sum("cr").alias("tr"))
+    logratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0.0)) + 1.0)
+        / (F.col("tt") + F.lit(float(n_buckets)))
+    ) - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(n_buckets))))
+    scored = (
+        stream.join(F.broadcast(targ), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logratio), 6).alias("avg_logratio"))
+    )
+    return scored.withColumn("keep", F.col("avg_logratio") > 0)

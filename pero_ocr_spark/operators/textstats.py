@@ -565,3 +565,49 @@ def bm25_search(
         .limit(top_k)
         .select("doc_id", "n_terms_hit", "score")
     )
+
+
+def char_entropy(docs: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Per-doc character-level Shannon entropy (bits/char) with a keep
+    flag — the information-density quality signal (a cheap stand-in
+    for the compression-ratio filters in Gopher/RefinedWeb: machine-
+    generated or template junk is low-entropy, natural text sits
+    around 4 bits/char for English).
+
+    Computed IN-ROW with zero shuffles: the char array is sorted and a
+    single ``aggregate`` fold walks its runs — a (prev, run, acc)
+    accumulator whose finish step closes the last run. O(n log n) per
+    row inside whole-stage codegen; a 10^12-doc scoring pass is a pure
+    narrow map over the scan."""
+    d = docs.select(
+        "doc_id", F.array_sort(F.split(F.col("text"), "")).alias("cs")
+    )
+    n = F.size("cs").cast("double")
+    term = lambda run: F.when(  # noqa: E731 — local closure, not a def
+        run > 0, (run / n) * F.log2(run / n)
+    ).otherwise(F.lit(0.0))
+    ent = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1.0)).alias(
+                "run"
+            ),
+            F.when(x == a["prev"], a["acc"])
+            .otherwise(a["acc"] + term(a["run"]))
+            .alias("acc"),
+        ),
+        lambda a: -(a["acc"] + term(a["run"])),
+    )
+    scored = d.select(
+        "doc_id",
+        F.round(F.when(F.size("cs") == 0, F.lit(0.0)).otherwise(ent), 6).alias(
+            "char_entropy"
+        ),
+    )
+    return scored.withColumn("keep", F.col("char_entropy") >= threshold)

@@ -4610,3 +4610,167 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_cols=("click_event_id",),
         interval_cols=("signup_event_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 finale: information-density filtering, DSIR importance
+# resampling, and distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle_ctes(n_merges: int = 4) -> str:
+    """Unrolled DuckDB CTE chain mirroring operators/bpe.train_bpe:
+    word-frequency table → k iterations of (pair count → deterministic
+    argmax → literal replace application). ``e{k}`` is the final
+    encoding table."""
+    parts = [
+        """
+WITH wct AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+e0 AS (
+  SELECT word, freq,
+         '<' || array_to_string(string_split(word, ''), '><') || '>' AS enc
+  FROM wct)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT freq,
+         string_split(regexp_replace(enc, '^<|>$', '', 'g'), '><') AS syms
+  FROM e{i - 1}),
+p{i} AS (
+  SELECT pair, sum(freq) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+                  j -> syms[j] || '|' || syms[j + 1])) AS pair
+    FROM s{i} WHERE len(syms) >= 2)
+  GROUP BY 1),
+b{i} AS (
+  SELECT string_split(pair, '|')[1] AS l,
+         string_split(pair, '|')[2] AS r, cnt
+  FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+e{i} AS (
+  SELECT word, freq,
+         replace(enc, '<' || l || '><' || r || '>',
+                 '<' || l || r || '>') AS enc
+  FROM e{i - 1} CROSS JOIN b{i})"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "text_char_entropy",
+    """
+WITH c AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text)),
+                i -> substr(text, i, 1))) AS ch
+  FROM documents),
+k AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS k
+      FROM c GROUP BY 1, 2),
+t AS (SELECT doc_id, sum(k) AS n FROM k GROUP BY 1),
+e AS (SELECT k.doc_id,
+             round(-sum((k / n) * log2(k / n)), 6) AS char_entropy
+      FROM k JOIN t USING (doc_id) GROUP BY 1)
+SELECT doc_id, char_entropy, char_entropy >= 3.0 AS keep FROM e
+""",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # character-level Shannon entropy as an information-density
+    # quality gate — computed in-row (sorted-array run-length fold,
+    # zero shuffles), the compression-ratio-filter analog
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_dsir_importance",
+    f"""
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+b AS (
+  SELECT doc_id, source,
+         {_DUCK_POLY.format(col="word")} % 64 AS b
+  FROM w WHERE word <> ''),
+t AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM b
+      WHERE source = 'src0' GROUP BY 1),
+r AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM b GROUP BY 1),
+tt AS (SELECT sum(ct) AS tt FROM t),
+tr AS (SELECT sum(cr) AS tr FROM r),
+s AS (
+  SELECT doc_id,
+         round(avg(ln((coalesce(ct, 0) + 1) / (tt + 64))
+                   - ln((cr + 1) / (tr + 64))), 6) AS avg_logratio
+  FROM b LEFT JOIN t USING (b) JOIN r USING (b)
+  CROSS JOIN tt CROSS JOIN tr
+  GROUP BY 1)
+SELECT doc_id, avg_logratio, avg_logratio > 0 AS keep FROM s
+""",
+)
+def q_sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance resampling: hashed-unigram target/raw
+    # log-likelihood ratio; distributions are two <=64-row broadcast
+    # aggs, the only corpus shuffle is the per-doc mean
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.sample_dsir(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_bpe_train",
+    _bpe_oracle_ctes(4)
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS merge_rank, l AS left_sym, r AS right_sym,
+         l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b1
+  UNION ALL
+  SELECT CAST(2 AS INT), l, r, l || r, CAST(cnt AS BIGINT) FROM b2
+  UNION ALL
+  SELECT CAST(3 AS INT), l, r, l || r, CAST(cnt AS BIGINT) FROM b3
+  UNION ALL
+  SELECT CAST(4 AS INT), l, r, l || r, CAST(cnt AS BIGINT) FROM b4)
+""",
+)
+def q_vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE merge learning: one corpus-wide word count, then
+    # vocabulary-sized pair aggs + one-row argmax collects per merge
+    # (broadcast-codebook pattern); ties break on the pair string so
+    # training is deterministic and DuckDB-reproducible
+    from pero_ocr_spark.operators import bpe
+
+    merges, _vocab = bpe.train_bpe(_t(spark, sf_dir, "documents"), 4)
+    return merges
+
+
+@register(
+    "training_bpe_subword_counts",
+    _bpe_oracle_ctes(4)
+    + """,
+wd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+wsub AS (
+  SELECT word,
+         len(string_split(regexp_replace(enc, '^<|>$', '', 'g'),
+             '><')) AS nsub
+  FROM e4)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nsub) AS BIGINT) AS n_subwords
+FROM wd JOIN wsub USING (word) WHERE word <> '' GROUP BY 1
+""",
+)
+def q_training_bpe_subword_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # tokenizer application: the trained word→encoding table broadcasts
+    # onto the exploded word stream; per-doc re-agg is the only
+    # exchange (map-side combined)
+    from pero_ocr_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _merges, vocab = bpe.train_bpe(docs, 4)
+    return bpe.subword_counts(docs, vocab)

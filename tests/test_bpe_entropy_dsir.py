@@ -1,0 +1,139 @@
+"""Unit tests for the round-4 finale operators: distributed BPE
+training/application, char-entropy filtering, DSIR importance
+resampling. (Oracle parity for the registered queries is covered by
+test_oracle_parity.py; these pin hand-computed semantics.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts, sources=None):
+    sources = sources or ["src0"] * len(texts)
+    rows = [
+        (i, t, "en", s, len(t))
+        for i, (t, s) in enumerate(zip(texts, sources))
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, "
+        "n_chars LONG"
+    )
+
+
+class TestBPE:
+    def test_classic_merge_order(self, spark):
+        # words: low x2, lower x1 — the textbook example, ties break on
+        # the lexicographically smallest pair string
+        from pero_ocr_spark.operators import bpe
+
+        docs = _docs(spark, ["low low lower"])
+        merges, vocab = bpe.train_bpe(docs, 4)
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+             r["pair_count"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+        assert got == [
+            (1, "l", "o", "lo", 3),
+            (2, "lo", "w", "low", 3),
+            (3, "e", "r", "er", 1),
+            (4, "low", "er", "lower", 1),
+        ]
+        enc = {r["word"]: r["enc"] for r in vocab.collect()}
+        assert enc == {"low": "<low>", "lower": "<lower>"}
+
+    def test_self_overlapping_pair(self, spark):
+        # 'aaaa' under merge (a,a): left-to-right non-overlapping
+        # application must give <aa><aa>, then (aa,aa) merges next
+        from pero_ocr_spark.operators import bpe
+
+        merges, vocab = bpe.train_bpe(_docs(spark, ["aaaa"]), 2)
+        got = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+        assert got == [("a", "a", 3), ("aa", "aa", 1)]
+        assert vocab.collect()[0]["enc"] == "<aaaa>"
+
+    def test_subword_counts(self, spark):
+        from pero_ocr_spark.operators import bpe
+
+        docs = _docs(spark, ["low low lower", "low wow"])
+        _, vocab = bpe.train_bpe(docs, 4)
+        counts = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe.subword_counts(docs, vocab).collect()
+        }
+        # freqs: low:3 lower:1 wow:1 -> merges (o,w),(l,ow),(e,r),
+        # (low,er): low -> <low>, lower -> <lower>, wow -> <w><ow>
+        assert counts[0] == (3, 3)
+        assert counts[1] == (2, 1 + 2)
+
+    def test_merge_exhaustion_stops_early(self, spark):
+        from pero_ocr_spark.operators import bpe
+
+        merges, _ = bpe.train_bpe(_docs(spark, ["ab ab"]), 10)
+        assert merges.count() == 1  # (a,b) fuses everything; loop stops
+
+
+class TestCharEntropy:
+    @pytest.mark.parametrize(
+        "text,expected",
+        [("aaaa", 0.0), ("aabb", 1.0), ("abcd", 2.0), ("a", 0.0)],
+    )
+    def test_known_entropy(self, spark, text, expected):
+        from pero_ocr_spark.operators import textstats
+
+        row = textstats.char_entropy(_docs(spark, [text])).collect()[0]
+        assert row["char_entropy"] == pytest.approx(expected, abs=1e-6)
+        assert row["keep"] == (expected >= 3.0)
+
+    def test_natural_text_kept(self, spark):
+        from pero_ocr_spark.operators import textstats
+
+        docs = _docs(
+            spark,
+            ["the quick brown fox jumps over the lazy dog", "aa aa aa aa"],
+        )
+        got = {r["doc_id"]: r["keep"]
+               for r in textstats.char_entropy(docs).collect()}
+        assert got == {0: True, 1: False}
+
+
+class TestDSIR:
+    def test_target_vocab_scores_positive(self, spark):
+        # target stratum uses a disjoint vocabulary: target docs must
+        # score > 0 (target-like), the rest < 0
+        from pero_ocr_spark.operators import sampling
+
+        docs = _docs(
+            spark,
+            ["alpha beta alpha", "beta alpha beta",
+             "gamma delta epsilon", "delta epsilon gamma"],
+            sources=["src0", "src0", "src7", "src9"],
+        )
+        got = sampling.sample_dsir(docs, target_source="src0").collect()
+        keep = {r["doc_id"]: r["keep"] for r in got}
+        assert keep == {0: True, 1: True, 2: False, 3: False}
+        scores = {r["doc_id"]: r["avg_logratio"] for r in got}
+        assert scores[0] > 0 > scores[2]
+
+    def test_zero_shuffle_score_is_mean_of_word_ratios(self, spark):
+        # a doc repeating ONE word scores exactly the single-bucket
+        # log-ratio: ln((ct+1)/(tt+64)) - ln((cr+1)/(tr+64))
+        import math
+
+        from pero_ocr_spark.operators import sampling
+
+        docs = _docs(spark, ["zed zed zed", "yon yon"],
+                     sources=["src0", "src3"])
+        got = {r["doc_id"]: r["avg_logratio"]
+               for r in sampling.sample_dsir(docs,
+                                             target_source="src0").collect()}
+        # zed: ct=3, tt=3, cr=3, tr=5 (assuming no bucket collision
+        # between 'zed' and 'yon' under the 64-bucket poly hash)
+        expect0 = math.log((3 + 1) / (3 + 64)) - math.log((3 + 1) / (5 + 64))
+        expect1 = math.log((0 + 1) / (3 + 64)) - math.log((2 + 1) / (5 + 64))
+        assert got[0] == pytest.approx(expect0, abs=1e-6)
+        assert got[1] == pytest.approx(expect1, abs=1e-6)
