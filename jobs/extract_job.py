@@ -26,6 +26,12 @@ Pipelines:
     replaced, never silently skipped and never double-appended. The
     underscore prefix keeps the manifest invisible to plain
     ``spark.read.parquet(output)`` consumers.
+    With ``--sink icetable`` the spans commit into the from-scratch
+    snapshot table (sources/icetable.py) instead: one APPEND commit
+    per run whose snapshot ``properties`` carry the shard list, so
+    shard completion publishes atomically with the data and resume
+    reads the table's own commit log — the north rule's "Iceberg
+    output table" shape end to end.
   * ``ingest``  — (doc_id, html) pages → DOM-parsed, boilerplate-
     stripped interleaved (kind, text, media_ref, ord) spans.
   * ``warc``    — (shard_id, warc) archive blobs (Common Crawl shape)
@@ -68,6 +74,60 @@ def _spark(app: str) -> SparkSession:
     )
 
 
+def _run_icetable(spark, args, sharded, t0) -> int:
+    """Span emission into the snapshot table (the production analog of
+    the north rule's Iceberg output): one APPEND commit per run, with
+    the shard list recorded in the snapshot's ``properties`` so shard
+    completion publishes ATOMICALLY with the data. Resume reads done
+    shards from the table's own commit log — a crash before the commit
+    leaves no marker (shards fully re-run), a crash after leaves
+    marker + data (shards skipped); no side manifest can ever
+    disagree with the table, under ANY committer.
+    """
+    from pero_ocr_spark.operators import telemetry
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    table = IceTable(args.output)
+    done: set[int] = set()
+    for snap in table.history():
+        done.update(int(s) for s in snap["properties"].get("shards", []))
+    todo = sorted(set(range(args.shards)) - done)
+    zeros = {k: 0 for k in
+             ("n_spans", "n_text", "n_media", "n_chars", "max_ord")}
+    if todo:
+        batch = sharded.filter(F.col("shard").isin([int(s) for s in todo]))
+        # one task (→ one data file) per pending shard; the commit
+        # records per-file doc_id min/max for pruned reads
+        observed, obs = telemetry.observe_extraction(
+            batch.repartition(len(todo), "shard")
+        )
+        version = table.commit(
+            observed,
+            "append",
+            properties={"pipeline": args.pipeline, "shards": todo},
+        )
+        try:
+            m = dict(obs.get)
+        except Exception:  # zero-task write: empty residue classes only
+            m = dict(zeros)
+    else:
+        version = table.current_version()
+        m = dict(zeros)
+    wall = time.perf_counter() - t0
+    m.update(
+        pipeline=args.pipeline,
+        output=args.output,
+        sink="icetable",
+        table_version=version,
+        shards=args.shards,
+        wall_sec=round(wall, 2),
+        spans_per_sec=round((m["n_spans"] or 0) / wall, 1),
+        resumed_shards_skipped=len(done),
+    )
+    print(json.dumps(m))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -76,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="input table directory")
     ap.add_argument("--output", required=True, help="output parquet directory")
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument(
+        "--sink",
+        choices=["parquet", "icetable"],
+        default="parquet",
+        help="parquet: sharded dirs + _shards_done manifest; icetable: "
+        "snapshot-table commits with the shard list recorded in "
+        "snapshot properties (resume is commit-atomic — no side "
+        "manifest to desynchronize from the data)",
+    )
     args = ap.parse_args(argv)
 
     from pero_ocr_spark.operators import extract, sampling, telemetry
@@ -118,6 +187,8 @@ def main(argv: list[str] | None = None) -> int:
     sharded = spans.withColumn(
         "shard", sampling._residue(args.shards).cast("int")
     )
+    if args.sink == "icetable":
+        return _run_icetable(spark, args, sharded, t0)
     # shard-granularity resume: done = has a manifest row (written only
     # after a data-job commit), NOT "shard dir exists" — partial dirs
     # from a crashed run are rewritten below, not skipped

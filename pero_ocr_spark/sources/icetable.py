@@ -177,7 +177,12 @@ class IceTable:
             except FileNotFoundError:  # expired
                 continue
             out.append(
-                {"version": v, "operation": s["operation"], "summary": s["summary"]}
+                {
+                    "version": v,
+                    "operation": s["operation"],
+                    "summary": s["summary"],
+                    "properties": s.get("properties", {}),
+                }
             )
         return out
 
@@ -189,6 +194,7 @@ class IceTable:
         operation: str = "append",
         expected_version: int | None = None,
         carry_manifest: list[dict] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and publish
         them as the next snapshot. Returns the committed version.
@@ -201,7 +207,13 @@ class IceTable:
         only) re-lists existing data files — with their already-known
         stats, no footer re-read — in the new snapshot: the file-level
         reuse that makes copy-on-write upsert/delete O(files touched),
-        not O(table).
+        not O(table). ``properties`` is an arbitrary JSON-serializable
+        dict stored IN the snapshot (the analog of Iceberg's snapshot
+        summary properties) — because it publishes atomically with the
+        data, writers can record progress markers (e.g. which input
+        shards a job has ingested) that are exactly-once by
+        construction: a crash before the commit leaves no marker, a
+        crash after leaves marker AND data.
         """
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
@@ -257,6 +269,7 @@ class IceTable:
             "operation": operation,
             "schema": df.schema.json(),
             "manifest": manifest,
+            "properties": properties or {},
             "summary": {
                 "added_files": len(manifest) - len(carry_manifest or []),
                 "carried_files": len(carry_manifest or []),

@@ -123,3 +123,71 @@ def test_warc_job_parses_archive_shards_to_spans(spark, sf_dir, tmp_path, capsys
     # the 404 captures (doc_id % 50 == 7) must be absent
     n404 = df.filter((df.doc_id % 50) == 7).count()
     assert n404 == 0
+
+
+def test_icetable_sink_commits_spans_with_shard_properties(
+    spark, sf_dir, tmp_path, capsys
+):
+    """--sink icetable: spans land in the snapshot table, the commit's
+    properties carry the shard list, and reads see every span."""
+    mod = _job()
+    out = tmp_path / "ice"
+    rc = mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4", "--sink", "icetable"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["sink"] == "icetable" and m["table_version"] == 1
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    table = IceTable(str(out))
+    assert table.read(spark).count() == m["n_spans"] > 0
+    (snap,) = table.history()
+    assert snap["properties"]["shards"] == [0, 1, 2, 3]
+    assert snap["properties"]["pipeline"] == "extract"
+
+
+def test_icetable_sink_resume_is_commit_atomic(spark, sf_dir, tmp_path, capsys):
+    """Done shards come from the table's own commit log: a partial
+    prior commit (simulating a crash AFTER commit N) resumes with only
+    the missing shards, and a fully-committed table appends nothing —
+    no side manifest exists to disagree with the data."""
+    mod = _job()
+    out = tmp_path / "ice"
+    # simulate a prior run that committed shards {0, 1} then died
+    from pero_ocr_spark import corpus
+    from pero_ocr_spark.operators import extract, sampling
+    from pero_ocr_spark.sources.icetable import IceTable
+    from pyspark.sql import functions as F
+
+    spans = extract.extract_spans(
+        corpus.spans_table(spark, sf_dir)
+    ).withColumn("shard", sampling._residue(4).cast("int"))
+    table = IceTable(str(out))
+    table.commit(
+        spans.filter(F.col("shard") < 2),
+        properties={"pipeline": "extract", "shards": [0, 1]},
+    )
+    n_partial = table.read(spark).count()
+
+    rc = mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4", "--sink", "icetable"]
+    )
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["resumed_shards_skipped"] == 2 and m["table_version"] == 2
+    total = table.read(spark).count()
+    assert n_partial < total == spans.count()
+    assert m["n_spans"] == total - n_partial
+
+    # third run: everything recorded in the log -> append nothing
+    rc = mod.main(
+        ["--pipeline", "extract", "--input", f"{sf_dir}/documents.parquet",
+         "--output", str(out), "--shards", "4", "--sink", "icetable"]
+    )
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["resumed_shards_skipped"] == 4
+    assert m2["n_spans"] == 0 and m2["table_version"] == 2
+    assert table.read(spark).count() == total
