@@ -4774,3 +4774,56 @@ def q_training_bpe_subword_counts(
     docs = _t(spark, sf_dir, "documents")
     _merges, vocab = bpe.train_bpe(docs, 4)
     return bpe.subword_counts(docs, vocab)
+
+
+@register(
+    "icetable_stream_ingest",
+    f"""
+WITH {_HTML_PARA_CTE},
+kept AS (
+  SELECT k.doc_id, -1 AS bk, 'text' AS kind,
+         d.source || ' report' AS text, NULL AS media_ref
+  FROM k JOIN documents d USING (doc_id) WHERE k.nw0 >= 8
+  UNION ALL
+  SELECT doc_id, pi*2, 'text', ptext, NULL
+  FROM par WHERE nw >= 8 OR pi > 0
+  UNION ALL
+  SELECT doc_id, pi*2 + 1, 'media', NULL,
+         'img://' || doc_id || '/' || pi
+  FROM par WHERE pi % 2 = 1
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bk) - 1
+            AS BIGINT) AS ord,
+       kind, text, media_ref
+FROM kept
+""",
+)
+def q_icetable_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming → snapshot-table TRANSACTIONAL sink, externally
+    # verified: HTML pages ingest through availableNow micro-batches,
+    # each one atomic tagged APPEND commit (replays skip via the
+    # commit log, crash-mid-commit leaves no snapshot); the TABLE
+    # read-back must equal the batch pipeline's closed form however
+    # the engine slices the input into micro-batches.
+    import os
+
+    from pero_ocr_spark.operators import html as H
+    from pero_ocr_spark.sources.icetable import IceTable
+    from pero_ocr_spark.streaming import ingest
+
+    root = _scratch("icetable_stream")
+    pages_dir, table_root, ckpt = (
+        os.path.join(root, d) for d in ("pages", "table", "ckpt")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    H.synthesize_html_interleaved(docs).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(pages_dir)
+    q = ingest.stream_ingest_pages_icetable(spark, pages_dir, table_root, ckpt)
+    q.awaitTermination(300)
+    return (
+        IceTable(table_root)
+        .read(spark)
+        .select("doc_id", "ord", "kind", "text", "media_ref")
+    )

@@ -108,3 +108,69 @@ def stream_ingest_warc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def commit_batch_to_icetable(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    n_shards: int = 16,
+) -> bool:
+    """foreachBatch body for the TRANSACTIONAL streaming sink: run the
+    batch ingest pipeline on the micro-batch and commit the spans into
+    the snapshot table, recording ``batch_id`` in the snapshot's
+    properties. Returns False (and commits nothing) when the batch id
+    is already in the commit log — the replay branch.
+
+    Exactly-once without partition gymnastics: the snapshot publish is
+    atomic (O_EXCL), so a crash MID-commit leaves no snapshot and the
+    engine's replay re-runs the batch cleanly, while a crash AFTER the
+    commit but before the checkpoint advances makes the replay find
+    its batch_id in the log and skip — the same protocol Iceberg's own
+    Spark streaming sink uses. Single-writer per table (a concurrent
+    foreign commit raises CommitConflict and the engine retries the
+    batch, which is safe: the skip-check reruns first)."""
+    from pero_ocr_spark.operators import html, sampling
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    table = IceTable(table_root)
+    committed = {
+        s["properties"].get("stream_batch_id") for s in table.history()
+    }
+    if batch_id in committed:
+        return False
+    spans = (
+        html.html_to_spans(batch_df)
+        .withColumn("shard", sampling._residue(n_shards).cast("int"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    table.commit(
+        spans, "append", properties={"stream_batch_id": int(batch_id)}
+    )
+    return True
+
+
+def stream_ingest_pages_icetable(
+    spark: SparkSession,
+    pages_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    n_shards: int = 16,
+):
+    """Streaming HTML ingest into the snapshot table: each micro-batch
+    becomes one atomic APPEND commit tagged with its batch id (see
+    :func:`commit_batch_to_icetable`). Downstream consumers get
+    snapshot-isolated reads, time travel, and incremental (changelog)
+    tailing of the live stream — the north rule's "Iceberg output
+    table" as a continuously-ingesting sink."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_to_icetable(batch_df, batch_id, table_root, n_shards)
+
+    return (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
