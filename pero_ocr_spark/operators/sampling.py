@@ -260,3 +260,43 @@ def sample_dsir(
         .agg(F.round(F.avg(logratio), 6).alias("avg_logratio"))
     )
     return scored.withColumn("keep", F.col("avg_logratio") > 0)
+
+
+def sample_epoch_mixing(docs: DataFrame, mod: int = 1000) -> DataFrame:
+    """Epoch-weighted source mixing: replicate each document by its
+    source's repetition factor — the training-mixture stage where
+    high-quality sources run >1 epoch (e.g. Wikipedia x2.5) and bulk
+    crawl runs <1 (the fractional part becomes a deterministic
+    keep-probability via the portable LCG residue, so reruns are
+    stable and no RNG is involved).
+
+        w(source) ∈ {0.25, 0.5, …, 2.5};  n_copies = ⌊w⌋ + [res < frac·mod]
+
+    The weights here are synthesized from the source id (no curated
+    mixture table ships in this sandbox); production swaps in a
+    broadcast (source → weight) lookup with the identical plan.
+
+    Scale shape: ZERO shuffles — weight lookup, residue, and the
+    epoch explode are all in-row; output size is the token budget
+    (Σ n_copies), and the explode is bounded by max weight. Epoch
+    index is materialized so downstream shard-shuffle can decorrelate
+    copies across the training order.
+    """
+    sid = F.substring("source", 4, 10).cast("long")
+    w = 0.25 + (sid * 7 % 10) / 4.0
+    n_full = F.floor(w)
+    frac = w - n_full
+    extra = (_residue(mod) < frac * mod).cast("long")
+    n_copies = (n_full + extra).cast("int")
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("epoch"),
+            "n_copies",
+        )
+    )

@@ -4827,3 +4827,73 @@ def q_icetable_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read(spark)
         .select("doc_id", "ord", "kind", "text", "media_ref")
     )
+
+
+@register(
+    "icetable_incremental_agg",
+    """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+""",
+)
+def q_icetable_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental materialized-view maintenance over the snapshot
+    # table's changelog (the Iceberg-CDC consumption pattern): the
+    # per-source rollup is seeded from snapshot v1, the v1→v2 delta
+    # comes from the changelog read — ONLY v2's files are scanned,
+    # never the table — and partial aggregates merge by summation.
+    # The merged view must equal the full recompute (the oracle);
+    # at 10^12 docs the delta is the day's crawl, not the corpus.
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    root = _scratch("ice_increment")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    table = IceTable(root)
+    v1 = table.commit(docs.filter(F.col("doc_id") % 2 == 0), "append")
+    base = table.read(spark, v1).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    v2 = table.commit(docs.filter(F.col("doc_id") % 2 == 1), "append")
+    delta = table.incremental(spark, v1, v2).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sample_epoch_mixing",
+    """
+WITH d AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS sid,
+         (doc_id * 69069 + 12345) % 2147483647 % 1000 AS res
+  FROM documents),
+w AS (SELECT *, 0.25 + (sid * 7 % 10) / 4.0 AS wt FROM d),
+c AS (SELECT doc_id, source,
+             CAST(floor(wt) + CASE WHEN res < (wt - floor(wt)) * 1000
+                                   THEN 1 ELSE 0 END AS INT) AS n_copies
+      FROM w)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch,
+       n_copies
+FROM c WHERE n_copies > 0
+""",
+)
+def q_sample_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch-weighted training mixture: per-source repetition factors
+    # (fractional part = deterministic LCG-residue keep), zero-shuffle
+    # in-row replication via a bounded explode
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.sample_epoch_mixing(_t(spark, sf_dir, "documents"))

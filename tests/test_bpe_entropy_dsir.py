@@ -137,3 +137,26 @@ class TestDSIR:
         expect1 = math.log((0 + 1) / (3 + 64)) - math.log((2 + 1) / (5 + 64))
         assert got[0] == pytest.approx(expect0, abs=1e-6)
         assert got[1] == pytest.approx(expect1, abs=1e-6)
+
+
+class TestEpochMixing:
+    def test_copies_match_weights(self, spark):
+        from pero_ocr_spark.operators import sampling
+
+        # src1 -> sid 1 -> w = 0.25 + (7 % 10)/4 = 2.0 exactly: every
+        # doc gets exactly 2 epochs; src0 -> w = 0.25: docs appear
+        # once (residue < 250) or drop out
+        docs = _docs(
+            spark, ["a b"] * 6,
+            sources=["src1", "src1", "src0", "src0", "src0", "src0"],
+        )
+        rows = sampling.sample_epoch_mixing(docs).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+        assert by_doc[0] == [1, 2] and by_doc[1] == [1, 2]
+        for d in (2, 3, 4, 5):
+            assert by_doc.get(d, []) in ([], [1])
+        assert all(
+            r["n_copies"] == len(by_doc[r["doc_id"]]) for r in rows
+        )
