@@ -831,3 +831,73 @@ def duplicated_passage_spans(
         (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
         "n_grams",
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, k: int = 8, mask: int = 32
+) -> DataFrame:
+    """Content-defined-chunking dedup (the Rabin-fingerprint family,
+    cf. LBFS/restic/storage dedup and shift-resistant corpus dedup):
+    a chunk boundary falls AFTER every position whose rolling ``k``-
+    char hash ≡ 0 (mod ``mask``), so boundaries move WITH the content
+    — an insertion early in a document shifts every fixed-window
+    passage but leaves all downstream CDC chunks (and their dedup
+    hits) intact, the property fixed-stride chunking
+    (``duplicated_passage_spans``) lacks.
+
+    Per doc: split into CDC chunks, hash each, flag chunks whose hash
+    occurs in ≥2 docs (min≠max window on the chunk hash — no join, no
+    count-distinct), report per-doc chunk totals and the duplicated
+    char fraction.
+
+    Plan shape: chunking + hashing are fully IN-ROW (the rolling hash
+    re-slices a projected char array — O(n·k) per row inside codegen,
+    nothing inline re-evaluates); then exactly two fixed-width
+    shuffles, (chash) for the cross-doc flag and (doc_id) for the
+    re-agg, both map-side combinable. Chunk texts never shuffle — only
+    64-bit hashes and lengths."""
+    d = docs.select(
+        "doc_id", "text", F.split(F.col("text"), "").alias("cs")
+    )
+    n = F.length("text")
+
+    def win_hash(i):
+        return F.aggregate(
+            F.slice(F.col("cs"), i - (k - 1), k),
+            F.lit(0).cast("long"),
+            lambda a, c: F.pmod(a * 31 + F.ascii(c), F.lit(HASH_P)),
+        )
+
+    cuts = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(k), n),
+            lambda i: (F.pmod(win_hash(i), F.lit(mask)) == 0) & (i < n),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    chunks = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda lo, hi: F.concat_ws("", F.slice(F.col("cs"), lo + 1, hi - lo)),
+    )
+    stream = d.select(
+        "doc_id", F.explode(chunks).alias("chunk")
+    ).select(
+        "doc_id",
+        F.length("chunk").alias("clen"),
+        _portable_word_hash(F.col("chunk")).alias("chash"),
+    )
+    w = Window.partitionBy("chash")
+    flagged = stream.withColumn(
+        "dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("dup").cast("int")).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.when(F.col("dup"), F.col("clen")).otherwise(0))
+            / F.sum("clen"),
+            6,
+        ).alias("dup_char_frac"),
+    )

@@ -110,14 +110,34 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
-# Within the unchecked block, the round-3 verdict's directive-4
-# flagship set goes first — the judge asked for external rows on these
-# by name, and the driver may cap its check list.
+# Within the unchecked block, the highest-value queries go first —
+# the driver capped its check list at 50 of 87 in round 3, and with
+# 125 registered the cap decides which operators get an external
+# correctness row. Order: the round-3 verdict's directive-4 flagship
+# set (asked for by name), then the web-ingest container tier (WARC /
+# snapshot table / link graph — the north rule's core), then the
+# round-4 finale operators, then everything else by insertion order.
 _CHECK_FIRST = (
     "corpus_filter_pipeline", "curation_pipeline_e2e", "ocr_pipeline_e2e",
     "lineage_resume", "lm_perplexity_filter", "decontam_benchmark_overlap",
     "semantic_dedup", "dedup_keep_best", "sample_temperature",
     "training_chunk_documents",
+    # web-ingest container tier
+    "warc_ingest", "warc_html_spans", "warc_gzip_ingest",
+    "warc_stream_ingest", "warc_cdx_index", "warc_charset_decode",
+    "warc_robots_filter", "warc_redirect_resolution",
+    "iceberg_snapshot_reads", "icetable_upsert_delete",
+    "icetable_schema_evolution", "icetable_stream_ingest",
+    "icetable_incremental_agg",
+    "web_pagerank", "web_anchor_text", "host_quality_priors",
+    "html_template_strip", "html_ensemble_extract",
+    "html_densitometric_classify", "html_outlinks",
+    "dedup_substring_spans", "dedup_bloom_filter", "dedup_canonical_url",
+    "pdf_roundtrip", "rtl_visual_form",
+    # round-4 finale
+    "vocab_bpe_train", "training_bpe_subword_counts", "text_char_entropy",
+    "sample_dsir_importance", "sample_epoch_mixing",
+    "events_asof_join", "events_range_join",
 )
 
 
@@ -4897,3 +4917,53 @@ def q_sample_epoch_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import sampling
 
     return sampling.sample_epoch_mixing(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cdc_chunks",
+    """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([0],
+           list_filter(generate_series(8, n),
+             i -> i < n AND
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(substr(text, i - 7, 8), ''),
+                                   ch -> ascii(ch)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 2147483647) % 32 = 0)),
+           [n]) AS bounds
+  FROM d),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(bounds) - 1),
+                j -> substr(text, bounds[j] + 1,
+                            bounds[j + 1] - bounds[j]))) AS chunk
+  FROM c),
+h AS (
+  SELECT doc_id, length(chunk) AS clen,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split(chunk, ''),
+                          ch2 -> ascii(ch2)::BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS chash
+  FROM ch),
+f AS (
+  SELECT *,
+         min(doc_id) OVER (PARTITION BY chash)
+           <> max(doc_id) OVER (PARTITION BY chash) AS dup
+  FROM h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(sum(CASE WHEN dup THEN clen ELSE 0 END) * 1.0 / sum(clen), 6)
+         AS dup_char_frac
+FROM f GROUP BY 1
+""",
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-defined chunking: boundaries from a rolling k-char hash
+    # move WITH the content, so early edits don't shift downstream
+    # dedup hits (the property fixed-stride passage windows lack);
+    # chunking/hashing fully in-row, two fixed-width shuffles
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))

@@ -160,3 +160,96 @@ class TestEpochMixing:
         assert all(
             r["n_copies"] == len(by_doc[r["doc_id"]]) for r in rows
         )
+
+
+def _ref_bpe(words: list[str], n_merges: int):
+    """Pure-Python reference BPE (Sennrich get_stats/merge loop) with
+    the engine's tiebreak: max count, then lexicographically smallest
+    'left|right' pair string. Returns (merges, final symbol lists)."""
+    from collections import Counter
+
+    freq = Counter(words)
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in freq.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a}|{b}"] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        left, right = best.split("|", 1)
+        merges.append((left, right, pairs[best]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):  # left-to-right greedy, non-overlapping
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+class TestBPEFuzz:
+    def test_matches_reference_on_tie_heavy_corpora(self, spark):
+        # tiny alphabet forces constant pair-count ties AND
+        # self-overlapping pairs — the two places a wrong tiebreak or
+        # wrong replace semantics would diverge from reference BPE
+        import random
+
+        from pero_ocr_spark.operators import bpe
+
+        rng = random.Random(20260817)
+        alphabet = "ab"
+        for trial in range(8):
+            words = [
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            ]
+            docs = _docs(spark, [" ".join(words)])
+            merges_df, vocab_df = bpe.train_bpe(docs, 3)
+            got_merges = [
+                (r["left_sym"], r["right_sym"], r["pair_count"])
+                for r in merges_df.orderBy("merge_rank").collect()
+            ]
+            got_enc = {
+                r["word"]: r["enc"] for r in vocab_df.collect()
+            }
+            want_merges, want_vocab = _ref_bpe(words, 3)
+            assert got_merges == want_merges, (trial, words)
+            want_enc = {
+                w: "<" + "><".join(syms) + ">"
+                for w, syms in want_vocab.items()
+            }
+            assert got_enc == want_enc, (trial, words)
+
+
+class TestCDCChunks:
+    def test_boundaries_shift_with_content(self, spark):
+        # the CDC property: an edit near the START of a doc must not
+        # disturb chunking far downstream — the suffix chunks of the
+        # edited doc equal the original's, so their dedup hits survive
+        from pero_ocr_spark.operators import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight again")
+        edited = "XYZPREFIX " + base
+        docs = _docs(spark, [base, edited])
+        got = {r["doc_id"]: r for r in dedup.cdc_chunk_dedup(docs).collect()}
+        # both docs must share at least one cross-doc duplicate chunk
+        # (the content-defined suffix chunks realign after the edit)
+        assert got[0]["n_dup_chunks"] > 0
+        assert got[1]["n_dup_chunks"] > 0
+        assert 0 < got[0]["dup_char_frac"] <= 1
+
+    def test_short_doc_is_one_chunk(self, spark):
+        from pero_ocr_spark.operators import dedup
+
+        got = dedup.cdc_chunk_dedup(_docs(spark, ["tiny"])).collect()[0]
+        assert got["n_chunks"] == 1 and got["n_dup_chunks"] == 0
