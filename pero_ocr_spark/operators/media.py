@@ -155,3 +155,35 @@ def media_context_pairs(spans: DataFrame) -> DataFrame:
             F.coalesce("prev_text", "next_text").alias("caption"),
         )
     )
+
+
+def media_duplicate_groups(feats: DataFrame) -> DataFrame:
+    """Image-dedup tier over the FEATURE vectors (the pHash analog for
+    the embedding era): media items whose encoder output is identical
+    collapse into one group — (representative ref, item count, doc
+    count) per group. Grouping key is a rounded-component signature of
+    the vector itself, so the operator works unchanged when a real
+    encoder replaces the deterministic stub (exact-duplicate tier;
+    the NEAR-duplicate tier over real embeddings is
+    ``similarity.near_dup_pairs``).
+
+    Scale shape: the features stage is the cached-session Arrow map;
+    grouping is ONE map-side-combinable shuffle on the signature.
+    Feature vectors never shuffle — only the signature string and two
+    counters."""
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("feature"),
+            lambda x: F.round(x.cast("double"), 4).cast("string"),
+        ),
+    )
+    return (
+        feats.groupBy(sig.alias("sig"))
+        .agg(
+            F.min("media_ref").alias("rep_ref"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .select("rep_ref", "n_items", "n_docs")
+    )

@@ -4967,3 +4967,32 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import dedup
 
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_duplicate_groups",
+    _EXTRACTED_CTE
+    + """,
+m AS (
+  SELECT doc_id, media_ref,
+         list_sum(list_transform(string_split(media_ref, ''),
+                  c -> ascii(c))) % 997 AS seed
+  FROM extracted WHERE kind = 'media')
+SELECT min(media_ref) AS rep_ref,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM m GROUP BY seed
+""",
+)
+def q_media_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # image dedup over encoder outputs: identical feature vectors
+    # collapse to one group (signature = rounded components — works
+    # unchanged under a real encoder). The oracle reproduces the
+    # stub encoder's seed arithmetic: equal seed <=> equal vector
+    # (integer seeds can never differ by a multiple of 2*pi, and the
+    # nearest misses differ by >=0.018 rad >> the 4dp signature).
+    from pero_ocr_spark.operators import media
+
+    return media.media_duplicate_groups(
+        media.media_features(_decoded_media(spark, sf_dir))
+    )
