@@ -532,7 +532,13 @@ def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:
     side ever materialized with payloads. Docs shorter than the
     shingle width have no fingerprint and are kept verbatim.
     """
-    from pero_ocr_spark.operators import textstats
+    from pero_ocr_spark.operators import spread_scan, textstats
+
+    # both sides run the shingle-fingerprint fold (an interpreted
+    # higher-order transform) in their scan stage — spread a starved
+    # single-file local scan so the fold parallelizes (no-op at scale)
+    new_docs = spread_scan(new_docs)
+    snapshot = spread_scan(snapshot)
 
     def keys(df: DataFrame) -> DataFrame:
         fp = textstats.fingerprints(df, n=3).select("doc_id", "fp_min_shingle")
@@ -855,7 +861,12 @@ def cdc_chunk_dedup(
     nothing inline re-evaluates); then exactly two fixed-width
     shuffles, (chash) for the cross-doc flag and (doc_id) for the
     re-agg, both map-side combinable. Chunk texts never shuffle — only
-    64-bit hashes and lengths."""
+    64-bit hashes and lengths. The rolling-hash fold is the dominant
+    cost and runs in the SCAN stage, so a single-file local input is
+    spread first (no-op on a real multi-split corpus scan)."""
+    from pero_ocr_spark.operators import spread_scan
+
+    docs = spread_scan(docs)
     d = docs.select(
         "doc_id", "text", F.split(F.col("text"), "").alias("cs")
     )

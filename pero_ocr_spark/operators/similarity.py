@@ -46,20 +46,12 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scan-parallelism guard for the corpus side.
+    """Scan-parallelism guard for the corpus side (measured 6s
+    single-task vs <1s spread for the near-dup verify at sf0.1); the
+    shared implementation lives in ``operators.spread_scan``."""
+    from pero_ocr_spark.operators import spread_scan
 
-    A small single-file parquet scan arrives as ONE partition, and a
-    downstream broadcast join inherits it — serializing every per-row
-    bucket/norm/cosine fold on one core (higher-order functions are
-    interpreted, not whole-stage-codegen'd, so the per-row cost is
-    real: measured 6s single-task vs <1s spread for the near-dup
-    verify at sf0.1). Spread only when actually starved: at corpus
-    scale the input arrives in thousands of file splits and this is a
-    no-op (no shuffle added)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= max(2, n // 2):
-        return df
-    return df.repartition(n)
+    return spread_scan(df)
 
 
 def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
