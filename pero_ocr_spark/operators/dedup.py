@@ -52,7 +52,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     The split is hoisted into its own projection so ``element_at`` in
     the transform lambda indexes a materialized array — inlined, the
     split re-evaluates per element and the stage goes O(n²) per row
-    (the hoist measured 4× on the sf0.1 shingle stream)."""
+    (the hoist measured 4× on the sf0.1 shingle stream). The gram
+    fold runs in the scan stage, so a starved single-file local scan
+    is spread first (no-op on a multi-split corpus scan)."""
+    from pero_ocr_spark.operators import spread_scan
+
+    docs = spread_scan(docs)
     d = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
         F.size("ws") >= n
     )

@@ -158,9 +158,13 @@ def parse_html_blocks(
     (only doc_id + html + ``carry`` cross the Arrow boundary), no
     shuffle. ``carry`` names extra string columns (e.g. the host)
     replicated onto every block row — cheaper than a corpus-sized
-    join-back on doc_id afterwards.
+    join-back on doc_id afterwards. A starved single-file local scan
+    is spread first so the Python DOM walk parallelizes (no-op on a
+    multi-split corpus scan — the stage stays shuffle-free at scale).
     """
-    pruned = df.select("doc_id", *carry, html_col)
+    from pero_ocr_spark.operators import spread_scan
+
+    pruned = spread_scan(df.select("doc_id", *carry, html_col))
     schema = BLOCK_SCHEMA + "".join(f", {c} string" for c in carry)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
