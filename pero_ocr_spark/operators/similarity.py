@@ -322,7 +322,12 @@ def kmeans_assign(
     if iters < 1:
         raise ValueError("kmeans_assign needs iters >= 1")
     spark = emb.sparkSession
-    base = emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
+    # the per-iteration distance fold re-runs over the scan
+    # partitioning — spread a starved single-file local scan once so
+    # every Lloyd iteration parallelizes (no-op on a multi-split scan)
+    base = _spread(
+        emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
+    )
     # round init centroids ENGINE-side: SQL round is half-away-from-zero
     # in both Spark and DuckDB, while Python's round is half-even — a
     # float32 multiple of 1/128 lands exactly on a 5e-7 boundary and
