@@ -137,7 +137,7 @@ _CHECK_FIRST = (
     # round-4 finale
     "vocab_bpe_train", "training_bpe_subword_counts", "text_char_entropy",
     "sample_dsir_importance", "sample_epoch_mixing",
-    "events_asof_join", "events_range_join",
+    "events_asof_join", "events_range_join", "sketch_hll_shingles",
 )
 
 
@@ -4996,3 +4996,79 @@ def q_media_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.media_duplicate_groups(
         media.media_features(_decoded_media(spark, sf_dir))
     )
+
+
+@register(
+    "sketch_hll_shingles",
+    """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT source, unnest(list_transform(
+      generate_series(1, len(ws) - 4),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+           || ws[i+3] || ' ' || ws[i+4])) AS shingle
+  FROM toks WHERE len(ws) >= 5),
+hx AS (SELECT source, sha256(shingle) AS h FROM sh),
+nib AS (
+  SELECT source,
+    ((CASE WHEN ascii(substr(h,1,1)) >= 97
+           THEN ascii(substr(h,1,1)) - 87 ELSE ascii(substr(h,1,1)) - 48 END) * 256
+   + (CASE WHEN ascii(substr(h,2,1)) >= 97
+           THEN ascii(substr(h,2,1)) - 87 ELSE ascii(substr(h,2,1)) - 48 END) * 16
+   + (CASE WHEN ascii(substr(h,3,1)) >= 97
+           THEN ascii(substr(h,3,1)) - 87 ELSE ascii(substr(h,3,1)) - 48 END)
+    ) % 1024 AS idx,
+    regexp_replace(substr(h, 4, 12), '^0*', '') AS tail
+  FROM hx),
+rk AS (
+  SELECT source, idx,
+    CASE WHEN tail = '' THEN 49
+         ELSE 4 * (12 - length(tail))
+              + CASE WHEN substr(tail,1,1) = '1' THEN 3
+                     WHEN substr(tail,1,1) IN ('2','3') THEN 2
+                     WHEN substr(tail,1,1) IN ('4','5','6','7') THEN 1
+                     ELSE 0 END
+              + 1 END AS rnk
+  FROM nib),
+regs AS (SELECT source AS scope, idx, max(rnk) AS m FROM rk GROUP BY source, idx),
+allregs AS (SELECT 'ALL' AS scope, idx, max(m) AS m FROM regs GROUP BY idx),
+est AS (
+  SELECT scope, count(*) AS used, sum(power(2.0, -m)) AS s
+  FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs) u GROUP BY scope),
+fin AS (
+  SELECT scope,
+         (0.7213 / (1 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+           / (s + (1024.0 - used)) AS raw,
+         1024.0 - used AS zeros
+  FROM est),
+hll AS (
+  SELECT scope,
+         round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 6)
+           AS hll_shingles
+  FROM fin),
+exact AS (
+  SELECT source AS scope, count(DISTINCT shingle) AS exact_shingles
+  FROM sh GROUP BY source
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT shingle) FROM sh)
+SELECT h.scope, CAST(e.exact_shingles AS BIGINT) AS exact_shingles,
+       h.hll_shingles,
+       round((h.hll_shingles - e.exact_shingles) / e.exact_shingles, 6)
+         AS rel_err
+FROM hll h JOIN exact e USING (scope)
+""",
+)
+def q_sketch_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog cardinality planning: distinct 5-gram count per
+    # source + merged-ALL WITHOUT a corpus-wide distinct — the only
+    # corpus shuffle carries (scope, register, rank) triples with
+    # map-side combine; the ALL row merges the per-source registers
+    # (element-wise max), proving sketch mergeability. The exact
+    # column is the demonstration baseline a 100 TB run would drop.
+    # Per-source counts (~1.4k) exercise the linear-counting branch,
+    # the ALL row (~24k) the raw estimator.
+    from pero_ocr_spark.operators import sketch
+
+    return sketch.hll_shingle_cardinality(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,98 @@
+"""HyperLogLog sketch semantics: rank arithmetic, accuracy, mergeability."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.operators import sketch
+
+
+def _py_register(entity: str) -> tuple[int, int]:
+    """Reference implementation of (idx, rank) for one entity."""
+    h = hashlib.sha256(entity.encode()).hexdigest()
+    idx = int(h[:3], 16) % sketch.M_REGISTERS
+    tail = h[3 : 3 + sketch._RANK_NIBBLES]
+    bits = bin(int(tail, 16))[2:].zfill(4 * sketch._RANK_NIBBLES)
+    rank = len(bits) - len(bits.lstrip("0")) + 1
+    return idx, rank
+
+
+def test_register_arithmetic_matches_reference(spark):
+    ents = [f"entity-{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [(e, "g") for e in ents], ["entity", "grp"]
+    )
+    got = {
+        (r["idx"],): r["m"]
+        for r in sketch.hll_registers(df, "entity", "grp").collect()
+    }
+    want: dict[tuple[int], int] = {}
+    for e in ents:
+        idx, rank = _py_register(e)
+        want[(idx,)] = max(want.get((idx,), 0), rank)
+    assert got == want
+
+
+def test_estimate_accuracy_both_branches(spark):
+    # 200 distinct -> linear-counting branch; 20000 -> raw estimator.
+    for n, tol in ((200, 0.10), (20_000, 0.10)):
+        df = spark.createDataFrame(
+            [(f"e{i}", "g") for i in range(n)], ["entity", "grp"]
+        )
+        regs = sketch.hll_registers(df, "entity", "grp")
+        est = sketch.hll_estimate(regs).collect()[0]["hll_distinct"]
+        assert abs(est - n) / n < tol, (n, est)
+
+
+def test_duplicates_do_not_inflate(spark):
+    base = [(f"e{i}", "g") for i in range(500)]
+    once = spark.createDataFrame(base, ["entity", "grp"])
+    thrice = spark.createDataFrame(base * 3, ["entity", "grp"])
+    e1 = sketch.hll_estimate(
+        sketch.hll_registers(once, "entity", "grp")
+    ).collect()[0]["hll_distinct"]
+    e3 = sketch.hll_estimate(
+        sketch.hll_registers(thrice, "entity", "grp")
+    ).collect()[0]["hll_distinct"]
+    assert e1 == e3
+
+
+def test_merge_equals_union_sketch(spark):
+    # sketch(A) merged with sketch(B) == sketch(A ∪ B), register-exact
+    rows = [(f"e{i}", "a" if i % 2 else "b") for i in range(2_000)]
+    df = spark.createDataFrame(rows, ["entity", "grp"])
+    regs = sketch.hll_registers(df, "entity", "grp")
+    merged = {
+        r["idx"]: r["m"]
+        for r in sketch.merge_registers(regs).collect()
+    }
+    union = {
+        r["idx"]: r["m"]
+        for r in sketch.hll_registers(
+            df.withColumn("grp", F.lit("u")), "entity", "grp"
+        ).collect()
+    }
+    assert merged == union
+
+
+def test_shingle_cardinality_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sketch.hll_shingle_cardinality(docs).collect()
+    scopes = {r["scope"] for r in out}
+    assert "ALL" in scopes and len(scopes) == len(out)
+    per_source_exact = sum(
+        r["exact_shingles"] for r in out if r["scope"] != "ALL"
+    )
+    all_row = next(r for r in out if r["scope"] == "ALL")
+    # union cardinality can't exceed the sum of the parts
+    assert all_row["exact_shingles"] <= per_source_exact
+    for r in out:
+        assert abs(r["rel_err"]) < 0.15, r
+        assert math.isclose(
+            r["rel_err"],
+            (r["hll_shingles"] - r["exact_shingles"]) / r["exact_shingles"],
+            abs_tol=1e-6,
+        )
