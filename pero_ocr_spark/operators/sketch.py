@@ -175,3 +175,118 @@ def hll_shingle_cardinality(docs: DataFrame, n: int = 5) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode-Muthukrishnan 2005) — frequency estimation
+# for heavy hitters. d=4 hash rows share ONE sha-256: row r indexes by
+# hex nibbles 3r+1..3r+3 (12 bits = 4096 counters, no mod needed), so
+# index bits never overlap across rows. All-integer arithmetic — the
+# oracle matches bit-exactly, no float parity concerns.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 4096
+
+
+def _cms_idx(h: Column, r: int) -> Column:
+    base = 3 * r + 1
+    return (
+        _nibble(h, base) * 256
+        + _nibble(h, base + 1) * 16
+        + _nibble(h, base + 2)
+    )
+
+
+def cms_counters(df: DataFrame, entity_col: str) -> DataFrame:
+    """(row, idx, n) counter table — the whole sketch is d*w rows.
+
+    The probe explode multiplies the instance stream by d BEFORE the
+    shuffle, but map-side combine collapses it to ≤ d*w rows per task,
+    so the exchange carries a fixed-size sketch no matter the corpus —
+    the property that makes CMS viable at 10^12 documents where an
+    exact frequency table would shuffle every distinct string.
+    """
+    h = F.sha2(F.col(entity_col), 256)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_idx(h, r).alias("idx")
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.idx").alias("idx"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame, counters: DataFrame, entity_col: str
+) -> DataFrame:
+    """Candidates + ``cms_n`` = min over the d probed counters.
+
+    CMS never underestimates: every counter a candidate probes holds
+    its true count plus nonnegative collision mass. The candidate
+    frame is expected to be small (heavy-hitter shortlist); the join
+    is candidates×d probe rows against the d*w counter table.
+    """
+    h = F.sha2(F.col(entity_col), 256)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_idx(h, r).alias("idx")
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    other = [c for c in candidates.columns]
+    exploded = candidates.select(*other, F.explode(probes).alias("p"))
+    return (
+        exploded.join(
+            F.broadcast(counters),
+            (F.col("p.row") == F.col("row")) & (F.col("p.idx") == F.col("idx")),
+        )
+        .groupBy(*other)
+        .agg(F.min("n").alias("cms_n"))
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, n: int = 3, k: int = 10) -> DataFrame:
+    """Top-k exact n-gram frequencies with their CMS estimates.
+
+    Output: (shingle, exact_n, cms_n) — exact is the demonstration
+    baseline (at 100 TB the exact frequency table is the thing you
+    can't afford; the scale path keeps only the d*w counter table and
+    probes a candidate shortlist from a sampled pass). Deterministic
+    top-k: ties broken lexically.
+    """
+    from pero_ocr_spark.operators import spread_scan
+
+    d = (
+        spread_scan(docs)
+        .select(F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+    )
+    ws = F.col("ws")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+        ),
+    )
+    sh = d.select(F.explode(grams).alias("shingle")).localCheckpoint()
+    counters = cms_counters(sh, "shingle")
+    top = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("shingle"))
+        .limit(k)
+    )
+    return cms_estimate(top, counters, "shingle").select(
+        "shingle",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+    )

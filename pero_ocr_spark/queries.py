@@ -138,6 +138,7 @@ _CHECK_FIRST = (
     "vocab_bpe_train", "training_bpe_subword_counts", "text_char_entropy",
     "sample_dsir_importance", "sample_epoch_mixing",
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
+    "sketch_cms_heavy_hitters",
 )
 
 
@@ -5072,3 +5073,59 @@ def q_sketch_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import sketch
 
     return sketch.hll_shingle_cardinality(_t(spark, sf_dir, "documents"))
+
+
+_CMS_NIB = (
+    "(CASE WHEN ascii(substr(h, {p}, 1)) >= 97 "
+    "THEN ascii(substr(h, {p}, 1)) - 87 "
+    "ELSE ascii(substr(h, {p}, 1)) - 48 END)"
+)
+
+
+def _cms_idx_sql(r_expr: str) -> str:
+    return (
+        _CMS_NIB.format(p=f"3*{r_expr}+1") + " * 256 + "
+        + _CMS_NIB.format(p=f"3*{r_expr}+2") + " * 16 + "
+        + _CMS_NIB.format(p=f"3*{r_expr}+3")
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT unnest(list_transform(
+      generate_series(1, len(ws) - 2),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM toks WHERE len(ws) >= 3),
+probes AS (
+  SELECT shingle, r, {_cms_idx_sql('r')} AS idx
+  FROM (SELECT shingle, sha256(shingle) AS h FROM sh) hx,
+       (VALUES (0), (1), (2), (3)) rs(r)),
+counters AS (
+  SELECT r, idx, count(*) AS n FROM probes GROUP BY r, idx),
+top AS (
+  SELECT shingle, count(*) AS exact_n FROM sh GROUP BY shingle
+  ORDER BY exact_n DESC, shingle LIMIT 10),
+topprobes AS (
+  SELECT shingle, exact_n, r, {_cms_idx_sql('r')} AS idx
+  FROM (SELECT shingle, exact_n, sha256(shingle) AS h FROM top) tx,
+       (VALUES (0), (1), (2), (3)) rs(r))
+SELECT t.shingle, CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(min(c.n) AS BIGINT) AS cms_n
+FROM topprobes t JOIN counters c ON t.r = c.r AND t.idx = c.idx
+GROUP BY t.shingle, t.exact_n
+""",
+)
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min heavy hitters: 3-gram frequency estimation from a
+    # FIXED d*w counter table (the only corpus shuffle, map-side
+    # combinable) probed for the exact top-10 — the exact frequency
+    # table is the demonstration baseline a 100 TB run would replace
+    # with a sampled candidate shortlist. All-integer arithmetic:
+    # the oracle matches bit-exactly, and cms_n >= exact_n always.
+    from pero_ocr_spark.operators import sketch
+
+    return sketch.cms_heavy_hitters(_t(spark, sf_dir, "documents"))

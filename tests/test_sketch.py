@@ -96,3 +96,26 @@ def test_shingle_cardinality_shape(spark, sf_dir):
             (r["hll_shingles"] - r["exact_shingles"]) / r["exact_shingles"],
             abs_tol=1e-6,
         )
+
+
+def test_cms_never_underestimates_and_recovers_heavy_hitter(spark):
+    # planted heavy hitter: "hot" appears 400x, the rest 1-2x
+    rows = [("hot hot hot hot",)] * 100 + [
+        (f"cold{i} cold{i+1} cold{i+2} filler",) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["text"])
+    out = sketch.cms_heavy_hitters(docs, n=3, k=5).collect()
+    assert all(r["cms_n"] >= r["exact_n"] for r in out)
+    top = max(out, key=lambda r: r["exact_n"])
+    assert top["shingle"] == "hot hot hot"
+    assert top["exact_n"] == 200  # 2 grams per planted doc x 100
+
+
+def test_cms_estimate_exact_when_sparse(spark):
+    # far fewer entities than counters -> collisions are unlikely and
+    # the min over 4 independent rows is almost surely collision-free
+    docs = spark.createDataFrame(
+        [(f"a{i} b{i} c{i} d{i}",) for i in range(50)], ["text"]
+    )
+    out = sketch.cms_heavy_hitters(docs, n=3, k=10).collect()
+    assert all(r["cms_n"] == r["exact_n"] for r in out)
