@@ -290,3 +290,117 @@ def cms_heavy_hitters(docs: DataFrame, n: int = 3, k: int = 10) -> DataFrame:
         F.col("exact_n").cast("long").alias("exact_n"),
         F.col("cms_n").cast("long").alias("cms_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al. 2007) —
+# the sketch family that supports SET OPERATIONS: the bottom-k of a
+# union is computable from the two bottom-k sketches alone, so jaccard
+# between two corpora (e.g. crawl snapshots) needs only 2k hash values,
+# never a corpus join. Values are the first 48 bits of sha-256 as an
+# integer (exact in binary64 after /2^48), so the DuckDB oracle matches
+# on identical arithmetic.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_HASH48_DENOM = float(1 << 48)
+
+
+def _hash48(h: Column) -> Column:
+    # the fold must run in LONG: 48 bits overflow a 32-bit int under
+    # ANSI mode (ARITHMETIC_OVERFLOW) long before the last nibble
+    v: Column = F.lit(0).cast("long")
+    for i in range(1, 13):
+        v = v * 16 + _nibble(h, i)
+    return v
+
+
+def kmv_sketch(df: DataFrame, entity_col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct 48-bit hash values — column ``v``.
+
+    orderBy().limit() plans as a distributed TakeOrdered: each task
+    keeps its local bottom-k and only k-row heaps travel, so the
+    sketch costs one pass and a k-row exchange at any corpus size.
+    """
+    return (
+        df.select(_hash48(F.sha2(F.col(entity_col), 256)).alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sk: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One row (n_sketch, est_distinct): (k-1)/v_k normalized, or the
+    exact count when the set fit inside the sketch (n < k)."""
+    agg = sk.agg(
+        F.count("*").alias("n_sketch"), F.max("v").alias("vk")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * _HASH48_DENOM) / F.col("vk")
+    )
+    return agg.select(
+        "n_sketch", F.round(est, 6).alias("est_distinct")
+    )
+
+
+def kmv_union_jaccard(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """One row (est_union, est_jaccard) from two kmv_sketch frames.
+
+    The union sketch is the bottom-k of the two sketches' value union;
+    jaccard = fraction of union-sketch values present in BOTH input
+    sketches (each membership test is a k-row join).
+    """
+    u = (
+        a.unionByName(b).distinct().orderBy("v").limit(k)
+    ).localCheckpoint()
+    est_union = kmv_estimate(u, k).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    both = (
+        u.join(a, "v").join(b, "v").agg(F.count("*").alias("n_both"))
+    )
+    n_u = u.agg(F.count("*").alias("n_u"))
+    jac = both.crossJoin(n_u).select(
+        F.round(F.col("n_both") / F.col("n_u"), 6).alias("est_jaccard")
+    )
+    return est_union.crossJoin(jac)
+
+
+def kmv_snapshot_overlap(
+    old_urls: DataFrame, new_urls: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Estimated vs exact URL overlap between two crawl snapshots.
+
+    Output (one row): est_union, exact_union, est_jaccard,
+    exact_jaccard — the exact columns are the demonstration baseline
+    (they ARE the corpus-sized distinct + join the sketch avoids; at
+    10^12 URLs only the two k-row sketches would ever meet).
+    """
+    a = kmv_sketch(old_urls, "url", k).localCheckpoint()
+    b = kmv_sketch(new_urls, "url", k).localCheckpoint()
+    est = kmv_union_jaccard(a, b, k)
+    ou = old_urls.select("url").distinct()
+    nu = new_urls.select("url").distinct()
+    exact_union = (
+        ou.unionByName(nu).distinct().agg(
+            F.count("*").alias("exact_union")
+        )
+    )
+    exact_inter = ou.join(nu, "url").agg(F.count("*").alias("ni"))
+    return (
+        est.crossJoin(exact_union)
+        .crossJoin(exact_inter)
+        .select(
+            "est_union",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            "est_jaccard",
+            F.round(
+                F.col("ni") / F.col("exact_union"), 6
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -138,7 +138,7 @@ _CHECK_FIRST = (
     "vocab_bpe_train", "training_bpe_subword_counts", "text_char_entropy",
     "sample_dsir_importance", "sample_epoch_mixing",
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
-    "sketch_cms_heavy_hitters",
+    "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
 )
 
 
@@ -5129,3 +5129,87 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import sketch
 
     return sketch.cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+def _h48_sql() -> str:
+    expr = "CAST(0 AS BIGINT)"  # 48-bit fold overflows INT32
+    for i in range(1, 13):
+        expr = f"({expr}) * 16 + " + _CMS_NIB.format(p=str(i))
+    return expr
+
+
+@register(
+    "sketch_kmv_snapshot_overlap",
+    f"""
+WITH olds AS (
+  SELECT DISTINCT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+news AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE (doc_id*69069 + 12345) % 2147483647 % 20 <> 1
+  UNION
+  SELECT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id + 7000000 AS VARCHAR)
+  FROM documents WHERE (doc_id*69069 + 12345) % 2147483647 % 20 = 2),
+ska AS (
+  SELECT DISTINCT {_h48_sql()} AS v
+  FROM (SELECT sha256(url) AS h FROM olds) x
+  ORDER BY v LIMIT 256),
+skb AS (
+  SELECT DISTINCT {_h48_sql()} AS v
+  FROM (SELECT sha256(url) AS h FROM news) x
+  ORDER BY v LIMIT 256),
+sku AS (
+  SELECT DISTINCT v
+  FROM (SELECT v FROM ska UNION ALL SELECT v FROM skb) x
+  ORDER BY v LIMIT 256),
+uest AS (
+  SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+              ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                   / max(v) END AS eu
+  FROM sku),
+jest AS (
+  SELECT round(
+      (SELECT count(*) FROM sku
+       WHERE v IN (SELECT v FROM ska) AND v IN (SELECT v FROM skb))
+      * 1.0 / (SELECT count(*) FROM sku), 6) AS ej),
+ex AS (
+  SELECT (SELECT count(*) FROM (SELECT url FROM olds
+                                UNION SELECT url FROM news) u) AS xu,
+         (SELECT count(*)
+          FROM olds o JOIN (SELECT DISTINCT url FROM news) n
+            ON o.url = n.url) AS xi)
+SELECT round(uest.eu, 6) AS est_union,
+       CAST(ex.xu AS BIGINT) AS exact_union,
+       jest.ej AS est_jaccard,
+       round(ex.xi * 1.0 / ex.xu, 6) AS exact_jaccard
+FROM uest, jest, ex
+""",
+)
+def q_sketch_kmv_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bottom-k (KMV) sketch: snapshot-overlap jaccard + union
+    # cardinality from two 256-value sketches — the set-operation
+    # sketch HLL can't provide; at 10^12 URLs only the k-row sketches
+    # ever meet, the exact columns are the demo baseline. Same
+    # snapshot synthesis as crawl_snapshot_diff (1/20 drop, 1/20 add).
+    from pero_ocr_spark.operators import sampling, sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    r20 = sampling._residue(20)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(url.alias("url"))
+    new = docs.filter(r20 != 1).select(url.alias("url")).unionByName(
+        docs.filter(r20 == 2).select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc/"),
+                (F.col("doc_id") + 7_000_000).cast("string"),
+            ).alias("url")
+        )
+    )
+    return sketch.kmv_snapshot_overlap(old, new)

@@ -119,3 +119,37 @@ def test_cms_estimate_exact_when_sparse(spark):
     )
     out = sketch.cms_heavy_hitters(docs, n=3, k=10).collect()
     assert all(r["cms_n"] == r["exact_n"] for r in out)
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(100)], ["url"])
+    row = sketch.kmv_estimate(sketch.kmv_sketch(df, "url")).collect()[0]
+    assert row["n_sketch"] == 100 and row["est_distinct"] == 100.0
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(5_000)], ["url"])
+    row = sketch.kmv_estimate(sketch.kmv_sketch(df, "url")).collect()[0]
+    assert row["n_sketch"] == sketch.KMV_K
+    assert abs(row["est_distinct"] - 5_000) / 5_000 < 0.2
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(f"u{i}",) for i in range(1_000)], ["url"])
+    same = sketch.kmv_snapshot_overlap(a, a).collect()[0]
+    assert same["est_jaccard"] == 1.0 and same["exact_jaccard"] == 1.0
+    b = spark.createDataFrame([(f"w{i}",) for i in range(1_000)], ["url"])
+    disj = sketch.kmv_snapshot_overlap(a, b).collect()[0]
+    assert disj["est_jaccard"] == 0.0 and disj["exact_jaccard"] == 0.0
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    a = spark.createDataFrame([(f"u{i}",) for i in range(2_000)], ["url"])
+    b = spark.createDataFrame(
+        [(f"u{i}",) for i in range(1_000, 3_000)], ["url"]
+    )
+    row = sketch.kmv_snapshot_overlap(a, b).collect()[0]
+    # true jaccard = 1000/3000
+    assert abs(row["exact_jaccard"] - 1 / 3) < 1e-6
+    assert abs(row["est_jaccard"] - 1 / 3) < 0.12
+    assert abs(row["est_union"] - 3_000) / 3_000 < 0.2
