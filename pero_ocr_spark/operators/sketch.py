@@ -404,3 +404,79 @@ def kmv_snapshot_overlap(
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantiles — the numeric-quantile sketch. An
+# exact percentile needs a per-group sort (rank r must see every
+# value); the histogram needs ONE map-side-combinable count shuffle
+# whose size is bounded by value_range/width per group regardless of
+# corpus size, then interpolates inside the target bucket. Error is
+# bounded by the bucket width. All selection arithmetic is double with
+# EXPLICIT casts mirrored in the oracle (a DECIMAL-vs-DOUBLE q*n can
+# flip a ceil() at exact-integer boundaries: 0.9*10 is 9.000000000000002
+# in binary64 but 9.00 in decimal).
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    scope_col: str,
+    width: int = 16,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(scope, q, approx_v, exact_v, abs_err) per group and quantile.
+
+    approx_v interpolates within the first bucket whose cumulative
+    count reaches q*n; exact_v is the rank-ceil(q*n) value (type-1
+    quantile) from a per-group sort — the demonstration baseline the
+    histogram replaces at scale.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(scope_col).alias("scope"), v.alias("v")
+    ).localCheckpoint()
+    hist = (
+        base.select("scope", F.floor(F.col("v") / width).alias("b"))
+        .groupBy("scope", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wb = Window.partitionBy("scope").orderBy("b")
+    hist = hist.select(
+        "scope", "b", "cnt", F.sum("cnt").over(wb).alias("cum")
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    totals = hist.groupBy("scope").agg(F.max("cum").alias("n"))
+    tq = totals.select(
+        "scope",
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("t", F.col("q") * F.col("n"))
+    sel = tq.join(hist, "scope").filter(
+        (F.col("cum_before") < F.col("t")) & (F.col("cum") >= F.col("t"))
+    )
+    approx = F.col("b").cast("double") * width + width * (
+        F.col("t") - F.col("cum_before")
+    ) / F.col("cnt")
+    appx = sel.select(
+        "scope",
+        "q",
+        F.round(approx, 6).alias("approx_v"),
+        F.ceil(F.col("t")).alias("r"),
+    )
+    ranked = base.select(
+        "scope",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("scope").orderBy("v"))
+        .alias("r"),
+    )
+    return appx.join(ranked, ["scope", "r"]).select(
+        "scope",
+        "q",
+        "approx_v",
+        F.col("v").alias("exact_v"),
+        F.round(F.abs(F.col("approx_v") - F.col("v")), 6).alias("abs_err"),
+    )

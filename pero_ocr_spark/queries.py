@@ -139,6 +139,7 @@ _CHECK_FIRST = (
     "sample_dsir_importance", "sample_epoch_mixing",
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
+    "sketch_histogram_quantiles",
 )
 
 
@@ -5213,3 +5214,51 @@ def q_sketch_kmv_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return sketch.kmv_snapshot_overlap(old, new)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    """
+WITH base AS (
+  SELECT source AS scope, CAST(n_chars AS DOUBLE) AS v FROM documents),
+hist AS (
+  SELECT scope, CAST(floor(v / 16) AS BIGINT) AS b, count(*) AS cnt
+  FROM base GROUP BY scope, b),
+ch AS (
+  SELECT scope, b, cnt,
+         sum(cnt) OVER (PARTITION BY scope ORDER BY b) AS cum
+  FROM hist),
+ch2 AS (SELECT scope, b, cnt, cum, cum - cnt AS cum_before FROM ch),
+totals AS (SELECT scope, max(cum) AS n FROM ch GROUP BY scope),
+tq AS (
+  SELECT scope, n, q, q * n AS t
+  FROM totals, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                       (CAST(0.99 AS DOUBLE))) qs(q)),
+sel AS (
+  SELECT tq.scope, tq.q, tq.t,
+         CAST(ch2.b AS DOUBLE) * 16
+           + 16 * (tq.t - ch2.cum_before) / ch2.cnt AS approx,
+         CAST(ceil(tq.t) AS BIGINT) AS r
+  FROM tq JOIN ch2 ON tq.scope = ch2.scope
+  WHERE ch2.cum_before < tq.t AND ch2.cum >= tq.t),
+ranked AS (
+  SELECT scope, v,
+         row_number() OVER (PARTITION BY scope ORDER BY v) AS r
+  FROM base)
+SELECT s.scope, s.q, round(s.approx, 6) AS approx_v,
+       r.v AS exact_v,
+       round(abs(round(s.approx, 6) - r.v), 6) AS abs_err
+FROM sel s JOIN ranked r ON s.scope = r.scope AND s.r = r.r
+""",
+)
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numeric-quantile sketch: per-source p50/p90/p99 of doc length
+    # from a fixed-width histogram (ONE map-side-combinable count
+    # shuffle, size bounded by value_range/width per group) vs the
+    # exact rank-select baseline (a per-group sort the sketch replaces
+    # at 100 TB). abs_err is bounded by the bucket width (16 chars).
+    from pero_ocr_spark.operators import sketch
+
+    return sketch.histogram_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", "source"
+    )

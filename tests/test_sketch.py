@@ -153,3 +153,29 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     assert abs(row["exact_jaccard"] - 1 / 3) < 1e-6
     assert abs(row["est_jaccard"] - 1 / 3) < 0.12
     assert abs(row["est_union"] - 3_000) / 3_000 < 0.2
+
+
+def test_histogram_quantiles_error_bounded_by_width(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 1000), "g") for _ in range(2_000)]
+    df = spark.createDataFrame(rows, ["val", "grp"])
+    out = sketch.histogram_quantiles(df, "val", "grp", width=16).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["abs_err"] <= 16.0, r
+
+
+def test_histogram_quantiles_exact_rank_semantics(spark):
+    # 1..100 in one group: type-1 quantile at q is value ceil(q*100)
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(1, 101)], ["val", "grp"]
+    )
+    out = {
+        round(r["q"], 2): r
+        for r in sketch.histogram_quantiles(df, "val", "grp").collect()
+    }
+    assert out[0.5]["exact_v"] == 50.0
+    assert out[0.9]["exact_v"] == 90.0
+    assert out[0.99]["exact_v"] == 99.0
