@@ -300,3 +300,50 @@ def sample_epoch_mixing(docs: DataFrame, mod: int = 1000) -> DataFrame:
             "n_copies",
         )
     )
+
+
+def weighted_sample_aes(
+    docs: DataFrame,
+    weight: F.Column,
+    k: int = 10,
+    group_col: str = "source",
+) -> DataFrame:
+    """One-pass weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, 2006): inclusion probability proportional to
+    ``weight``, no RNG state — the reservoir-sampling analog that
+    actually distributes.
+
+    Each doc gets key = ln(u)/w with u a deterministic uniform from
+    the first 48 bits of sha-256(doc_id) (shifted by +1 so u is never
+    0); the k largest keys per group are the sample — provably the
+    same distribution as sequential weighted sampling w/o replacement.
+    Deterministic: same corpus → same sample, any partitioning, any
+    cluster size (the property a seeded RNG per task does NOT have).
+
+    Scale shape: key computation is in-row; selection is a rank<=k
+    window per group (one exchange on group). The DuckDB oracle runs
+    the identical arithmetic (ln of an exact 48-bit/2^48 dyadic
+    rational, double division, same tiebreak).
+    """
+    from pyspark.sql import Window
+
+    from pero_ocr_spark.operators.sketch import _hash48
+
+    u = (_hash48(F.sha2(F.col("doc_id").cast("string"), 256)) + 1) / F.lit(
+        float(1 << 48)
+    )
+    key = F.log(u) / weight
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("aes_key").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(group_col, "doc_id", weight.alias("w"), key.alias("aes_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            group_col,
+            "doc_id",
+            F.col("w").cast("double").alias("weight"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -139,7 +139,7 @@ _CHECK_FIRST = (
     "sample_dsir_importance", "sample_epoch_mixing",
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
-    "sketch_histogram_quantiles",
+    "sketch_histogram_quantiles", "sample_weighted_aes",
 )
 
 
@@ -5261,4 +5261,38 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sketch.histogram_quantiles(
         _t(spark, sf_dir, "documents"), "n_chars", "source"
+    )
+
+
+@register(
+    "sample_weighted_aes",
+    f"""
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+         ln((({_h48_sql()}) + 1) / CAST(281474976710656 AS DOUBLE))
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM (SELECT source, doc_id, n_chars,
+               sha256(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents) x),
+r AS (
+  SELECT source, doc_id, w,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY k DESC, doc_id) AS rk
+  FROM keyed)
+SELECT source, doc_id, w AS weight, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 10
+""",
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis one-pass weighted sampling w/o replacement:
+    # inclusion probability proportional to doc length, NO RNG state —
+    # the same corpus yields the same sample at any partitioning or
+    # cluster size (a per-task seeded RNG cannot promise that). Key
+    # arithmetic is in-row; the only exchange is the per-source rank
+    # window.
+    from pero_ocr_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_aes(
+        docs, F.col("n_chars").cast("double"), k=10
     )
