@@ -52,17 +52,14 @@ def _nibble(h: Column, i: int) -> Column:
     return F.when(a >= 97, a - 87).otherwise(a - 48)
 
 
-def hll_registers(
-    df: DataFrame, entity_col: str, scope_col: str
-) -> DataFrame:
-    """(scope, idx, m) register table — one map-side-combinable shuffle.
+def hll_idx_rank(h: Column) -> tuple[Column, Column]:
+    """(register index, rank) expressions over a lowercase-hex sha-256.
 
     ``idx`` uses hex nibbles 1-3 (12 bits) mod m (exact for m a power
     of two ≤ 4096); the rank tail uses nibbles 4-15, so index and rank
     bits never overlap (an overlap correlates registers with ranks and
     biases the estimator).
     """
-    h = F.sha2(F.col(entity_col), 256)
     idx = (
         _nibble(h, 1) * 256 + _nibble(h, 2) * 16 + _nibble(h, 3)
     ) % M_REGISTERS
@@ -77,6 +74,14 @@ def hll_registers(
     rank = F.when(tail == "", F.lit(4 * _RANK_NIBBLES + 1)).otherwise(
         4 * (_RANK_NIBBLES - F.length(tail)) + extra + 1
     )
+    return idx, rank
+
+
+def hll_registers(
+    df: DataFrame, entity_col: str, scope_col: str
+) -> DataFrame:
+    """(scope, idx, m) register table — one map-side-combinable shuffle."""
+    idx, rank = hll_idx_rank(F.sha2(F.col(entity_col), 256))
     return (
         df.select(
             F.col(scope_col).alias("scope"),

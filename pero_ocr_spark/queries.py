@@ -140,6 +140,7 @@ _CHECK_FIRST = (
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
     "sketch_histogram_quantiles", "sample_weighted_aes",
+    "events_stream_hll_users",
 )
 
 
@@ -5296,3 +5297,70 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample_aes(
         docs, F.col("n_chars").cast("double"), k=10
     )
+
+
+@register(
+    "events_stream_hll_users",
+    """
+WITH ev AS (
+  SELECT time_bucket(INTERVAL '60 minutes', ts) AS scope,
+         sha256(CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+nib AS (
+  SELECT scope,
+    ((CASE WHEN ascii(substr(h,1,1)) >= 97
+           THEN ascii(substr(h,1,1)) - 87 ELSE ascii(substr(h,1,1)) - 48 END) * 256
+   + (CASE WHEN ascii(substr(h,2,1)) >= 97
+           THEN ascii(substr(h,2,1)) - 87 ELSE ascii(substr(h,2,1)) - 48 END) * 16
+   + (CASE WHEN ascii(substr(h,3,1)) >= 97
+           THEN ascii(substr(h,3,1)) - 87 ELSE ascii(substr(h,3,1)) - 48 END)
+    ) % 1024 AS idx,
+    regexp_replace(substr(h, 4, 12), '^0*', '') AS tail
+  FROM ev),
+rk AS (
+  SELECT scope, idx,
+    CASE WHEN tail = '' THEN 49
+         ELSE 4 * (12 - length(tail))
+              + CASE WHEN substr(tail,1,1) = '1' THEN 3
+                     WHEN substr(tail,1,1) IN ('2','3') THEN 2
+                     WHEN substr(tail,1,1) IN ('4','5','6','7') THEN 1
+                     ELSE 0 END
+              + 1 END AS rnk
+  FROM nib),
+regs AS (SELECT scope, idx, max(rnk) AS m FROM rk GROUP BY scope, idx),
+est AS (
+  SELECT scope, count(*) AS used, sum(power(2.0, -m)) AS s
+  FROM regs GROUP BY scope),
+fin AS (
+  SELECT scope,
+         (0.7213 / (1 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+           / (s + (1024.0 - used)) AS raw,
+         1024.0 - used AS zeros
+  FROM est),
+hll AS (
+  SELECT scope,
+         round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0
+                    THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 6)
+           AS hll_users
+  FROM fin),
+ex AS (
+  SELECT time_bucket(INTERVAL '60 minutes', ts) AS scope,
+         count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1)
+SELECT h.scope AS window_start,
+       CAST(ex.exact_users AS BIGINT) AS exact_users,
+       h.hll_users,
+       round((h.hll_users - ex.exact_users) / ex.exact_users, 6) AS rel_err
+FROM hll h JOIN ex ON h.scope = ex.scope
+""",
+)
+def q_events_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming sketch: HLL register max is ASSOCIATIVE, so the
+    # cardinality sketch composes natively with Structured Streaming's
+    # incremental aggregation — per-window state is bounded by m
+    # registers where an exact streaming count-distinct would hold
+    # every user id in state. Run as a REAL streaming query (memory
+    # sink); estimate derived batch-side from the register table.
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.window_distinct_users_hll_streaming(spark, sf_dir)

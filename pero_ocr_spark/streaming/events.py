@@ -248,3 +248,75 @@ def dedup_events_streaming(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def window_distinct_users_hll_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed distinct-user cardinality via HyperLogLog registers as
+    a REAL streaming aggregation.
+
+    Register max is ASSOCIATIVE, so the sketch composes natively with
+    Structured Streaming's incremental aggregation: each micro-batch
+    folds into per-(window, register) state of bounded size (≤ m rows
+    per window, ever), where an exact streaming count-distinct would
+    hold every user id seen per window in state. The estimate and the
+    exact baseline are computed batch-side from the materialized
+    register table / the events parquet.
+
+    Output: (window_start, exact_users, hll_users, rel_err).
+    """
+    from pero_ocr_spark.operators import sketch
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    idx, rnk = sketch.hll_idx_rank(
+        F.sha2(F.col("user_id").cast("string"), 256)
+    )
+    agg = stream.groupBy(
+        F.window("ts", f"{minutes} minutes").alias("w"), idx.alias("idx")
+    ).agg(F.max(rnk).alias("m"))
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    regs = spark.table(name).select(
+        # LTZ→NTZ under the pinned-UTC session is value-preserving and
+        # matches the batch NTZ read for the exact-baseline join
+        F.col("w.start").cast("timestamp_ntz").alias("scope"),
+        "idx",
+        "m",
+    )
+    est = sketch.hll_estimate(regs)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w")
+        )
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(F.col("w.start").alias("scope"), "exact_users")
+    )
+    return est.join(exact, "scope").select(
+        F.col("scope").alias("window_start"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("hll_distinct").alias("hll_users"),
+        F.round(
+            (F.col("hll_distinct") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ).alias("rel_err"),
+    )

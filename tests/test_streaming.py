@@ -78,3 +78,14 @@ def test_stream_dedup_matches_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_window_distinct_users_hll_streaming(spark, sf_dir):
+    from pero_ocr_spark.streaming import events as ev
+
+    out = ev.window_distinct_users_hll_streaming(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # sub-register cardinalities: linear counting is near-exact
+        assert abs(r["rel_err"]) < 0.05, r
+        assert r["exact_users"] > 0
