@@ -611,3 +611,77 @@ def char_entropy(docs: DataFrame, threshold: float = 3.0) -> DataFrame:
         ),
     )
     return scored.withColumn("keep", F.col("char_entropy") >= threshold)
+
+
+def zipf_fit(docs: DataFrame, n: int = 3, top: int = 500) -> DataFrame:
+    """Zipf-law fit of the corpus n-gram frequency distribution —
+    least-squares slope/intercept of ln(freq) on ln(rank) over the top
+    ranked grams. The healthy-corpus slope is ≈ -1; template/boilerplate
+    corpora flatten it, spam inflates the tail — a standard one-row
+    corpus diagnostic.
+
+    Float-parity technique (the reason this regression can have a
+    DuckDB oracle at all): each regression term (x, y, xy, xx) is
+    rounded to 10 dp and cast to DECIMAL(38,12), so the distributed
+    SUM is EXACT and order-independent — a plain double sum over 500
+    log terms differs in final ulps between Spark's partial-aggregate
+    tree and a sequential oracle. The closed form then runs on the
+    decimal sums cast back to double (same few IEEE ops both sides).
+
+    Scale shape: gram counting is the one corpus shuffle (map-side
+    combine); ranking sorts the VOCABULARY only (the unpartitioned
+    row_number window is over ≤ |vocab| rows, never the corpus); the
+    regression is a single tiny aggregate.
+    """
+    from pero_ocr_spark.operators import spread_scan
+    from pyspark.sql import Window
+
+    d = (
+        spread_scan(docs)
+        .select(F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+    )
+    ws = F.col("ws")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+        ),
+    )
+    counts = (
+        d.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("g"))
+        ),
+    ).filter(F.col("r") <= top)
+    xr = F.round(F.log(F.col("r").cast("double")), 10)
+    yr = F.round(F.log(F.col("c").cast("double")), 10)
+    pts = ranked.select(
+        xr.cast("decimal(38,12)").alias("x"),
+        yr.cast("decimal(38,12)").alias("y"),
+        F.round(xr * yr, 10).cast("decimal(38,12)").alias("xy"),
+        F.round(xr * xr, 10).cast("decimal(38,12)").alias("xx"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    nn = F.col("n")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        nn.cast("long").alias("n_grams"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nn, 6).alias(
+            "intercept"
+        ),
+    )

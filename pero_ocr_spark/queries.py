@@ -140,7 +140,7 @@ _CHECK_FIRST = (
     "events_asof_join", "events_range_join", "sketch_hll_shingles",
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
     "sketch_histogram_quantiles", "sample_weighted_aes",
-    "events_stream_hll_users",
+    "events_stream_hll_users", "corpus_zipf_fit",
 )
 
 
@@ -5364,3 +5364,49 @@ def q_events_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.streaming import events as ev
 
     return ev.window_distinct_users_hll_streaming(spark, sf_dir)
+
+
+@register(
+    "corpus_zipf_fit",
+    """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT unnest(list_transform(
+      generate_series(1, len(ws) - 2),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM toks WHERE len(ws) >= 3),
+counts AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, g) AS r FROM counts),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(38,12)) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(38,12)) AS y,
+         CAST(round(round(ln(CAST(r AS DOUBLE)), 10)
+                    * round(ln(CAST(c AS DOUBLE)), 10), 10)
+              AS DECIMAL(38,12)) AS xy,
+         CAST(round(round(ln(CAST(r AS DOUBLE)), 10)
+                    * round(ln(CAST(r AS DOUBLE)), 10), 10)
+              AS DECIMAL(38,12)) AS xx
+  FROM ranked WHERE r <= 500),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_grams,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf diagnostic: least-squares ln(freq)~ln(rank) over the top
+    # 500 3-grams. Regression terms are 10dp-rounded and summed as
+    # DECIMAL(38,12) so the distributed sum is exact and
+    # order-independent — the float-parity technique that lets a
+    # distributed regression match a sequential oracle bit-for-bit.
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.zipf_fit(_t(spark, sf_dir, "documents"))

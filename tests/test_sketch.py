@@ -179,3 +179,18 @@ def test_histogram_quantiles_exact_rank_semantics(spark):
     assert out[0.5]["exact_v"] == 50.0
     assert out[0.9]["exact_v"] == 90.0
     assert out[0.99]["exact_v"] == 99.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from pero_ocr_spark.operators import textstats
+
+    # plant a corpus whose 3-gram frequencies follow freq ~ rank^-1:
+    # gram i repeated round(600/i) times, as isolated 3-token docs
+    rows = []
+    for i in range(1, 40):
+        doc = f"w{i}a w{i}b w{i}c"
+        rows += [(doc,)] * max(1, round(600 / i))
+    docs = spark.createDataFrame(rows, ["text"])
+    out = textstats.zipf_fit(docs, n=3, top=40).collect()[0]
+    assert out["n_grams"] == 39
+    assert abs(out["slope"] - (-1.0)) < 0.05, out
