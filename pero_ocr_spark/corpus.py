@@ -104,6 +104,25 @@ def spans_table(
     )
 
 
+def spans_table_hinted(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
+    """The EXACT input-contract shape: (doc_id: string,
+    spans: array<struct<kind:string, text:string, media_ref:string,
+    offset:int>>).
+
+    The engine's internal queries keep the numeric doc_id the
+    deterministic synthesis (and every DuckDB oracle) shares; a real
+    deployment's string document ids enter through this zero-cost cast
+    at the front door. Every downstream operator keys on doc_id by
+    equality/hash only, so the column type never changes a plan shape
+    — pytest pins the schema against the contract string.
+    """
+    return spans_table(spark, sf_dir, partitions).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+
+
 # Session-scoped cache of the extraction pipeline's output. Three
 # dozen registered queries consume the extracted spans (or tables
 # derived from them) as their INPUT; at 100 TB that input is a

@@ -56,3 +56,16 @@ def test_no_boilerplate_no_empty_text(spark, sf_dir):
     assert not txt["text"].isin(extract.BOILERPLATE_WORDS).any()
     med = got[got["kind"] == "media"]
     assert med["media_ref"].str.startswith("img://").all()
+
+
+def test_spans_table_hinted_matches_input_contract(spark, sf_dir):
+    from pero_ocr_spark import corpus
+
+    df = corpus.spans_table_hinted(spark, sf_dir)
+    assert df.schema["doc_id"].dataType.simpleString() == "string"
+    spans_t = df.schema["spans"].dataType.simpleString()
+    assert spans_t == (
+        "array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    ), spans_t
+    assert df.count() > 0
