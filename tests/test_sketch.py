@@ -194,3 +194,24 @@ def test_zipf_fit_recovers_planted_slope(spark):
     out = textstats.zipf_fit(docs, n=3, top=40).collect()[0]
     assert out["n_grams"] == 39
     assert abs(out["slope"] - (-1.0)) < 0.05, out
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sketch_plans_keep_map_side_combine(spark):
+    # the 100 TB story rests on partial aggregation BEFORE the
+    # exchange: the register/counter tables must reach the shuffle
+    # already combined (<= m rows per task), never as raw entity rows
+    df = spark.createDataFrame([("a", "g")], ["entity", "grp"])
+    regs_plan = _plan(sketch.hll_registers(df, "entity", "grp"))
+    assert "partial_max" in regs_plan, regs_plan
+    docs = spark.createDataFrame([("x y z w",)], ["text"])
+    from pyspark.sql import functions as F
+
+    sh = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("shingle")
+    )
+    cms_plan = _plan(sketch.cms_counters(sh, "shingle"))
+    assert "partial_count" in cms_plan, cms_plan
