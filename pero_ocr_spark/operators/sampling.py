@@ -347,3 +347,59 @@ def weighted_sample_aes(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def pack_sequences_interleaved(
+    spans: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 32,
+    media_tokens: int = 64,
+) -> DataFrame:
+    """Token-budget packing over INTERLEAVED text+media documents.
+
+    Same greedy bucket packing as :func:`pack_sequences`, but the
+    per-document cost is modality-aware: text spans cost their word
+    count, media spans a fixed ``media_tokens`` budget (the vision
+    encoder's patch-token count — the constant a multimodal trainer
+    actually reserves per image). Input is the extracted spans table
+    (doc_id, kind, text, media_ref, ord); the per-doc cost agg reuses
+    its existing doc_id partitioning, so packing adds only the
+    bucket-window exchange.
+
+    Output: (doc_id, bucket, seq_id, n_tokens, n_media, seq_pos).
+    """
+    cost = spans.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("kind") == "media", F.lit(media_tokens)).otherwise(
+                F.size(F.split(F.col("text"), " "))
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+        .cast("long")
+        .alias("n_media"),
+    )
+    d = cost.withColumn(
+        "bucket", (F.col("doc_id") % n_buckets).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn(
+        "pack",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).cast("long"),
+    )
+    wp = Window.partitionBy("bucket", "pack").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "bucket",
+        (F.col("pack") * n_buckets + F.col("bucket")).cast("long").alias(
+            "seq_id"
+        ),
+        "n_tokens",
+        "n_media",
+        (F.row_number().over(wp) - 1).cast("long").alias("seq_pos"),
+    )

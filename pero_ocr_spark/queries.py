@@ -141,6 +141,7 @@ _CHECK_FIRST = (
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
     "sketch_histogram_quantiles", "sample_weighted_aes",
     "events_stream_hll_users", "corpus_zipf_fit",
+    "training_pack_interleaved",
 )
 
 
@@ -5410,3 +5411,46 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_pack_interleaved",
+    _EXTRACTED_CTE
+    + """,
+cost AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN kind = 'media' THEN 64
+                       ELSE len(string_split(text, ' ')) END) AS BIGINT)
+           AS n_tokens,
+         CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_media
+  FROM extracted GROUP BY doc_id),
+b AS (
+  SELECT doc_id, n_tokens, n_media,
+         CAST(doc_id % 32 AS BIGINT) AS bucket
+  FROM cost),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+            AS cum
+  FROM b),
+p AS (
+  SELECT *, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack
+  FROM c)
+SELECT doc_id, bucket,
+       CAST(pack * 32 + bucket AS BIGINT) AS seq_id,
+       n_tokens, n_media,
+       CAST(row_number() OVER (PARTITION BY bucket, pack
+                               ORDER BY doc_id) - 1 AS BIGINT) AS seq_pos
+FROM p
+""",
+)
+def q_training_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal sequence packing: media spans cost the vision
+    # encoder's fixed 64-token patch budget, text spans their word
+    # count — the cost model a multimodal trainer actually packs
+    # against. Reuses the extraction exchange for the per-doc cost
+    # agg; packing adds only the bucket-window exchange.
+    from pero_ocr_spark.operators import sampling
+
+    spans = corpus.extracted_spans(spark, sf_dir)
+    return sampling.pack_sequences_interleaved(spans)

@@ -22,3 +22,31 @@ def test_weighted_aes_favors_heavy_weights(spark):
     assert sorted(r["doc_id"] for r in out) == sorted(
         r["doc_id"] for r in again
     )
+
+
+def test_pack_interleaved_budget_and_media_cost(spark):
+    from pyspark.sql import functions as F
+
+    from pero_ocr_spark.operators import sampling
+
+    # one bucket (doc_id % 32 == id for ids < 32... use ids in one
+    # residue class): docs 0,32,64,... all land in bucket 0
+    rows = []
+    for i in range(8):
+        doc = i * 32
+        rows.append((doc, "text", "a b c d e f g h", "", 0))  # 8 tokens
+        rows.append((doc, "media", "", f"img://{doc}/1", 1))  # 64 tokens
+    spans = spark.createDataFrame(
+        rows, ["doc_id", "kind", "text", "media_ref", "ord"]
+    )
+    out = sampling.pack_sequences_interleaved(
+        spans, budget=144, n_buckets=32
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert all(r["n_tokens"] == 72 and r["n_media"] == 1 for r in out)
+    # 72 tokens/doc, budget 144: docs pack in pairs (start offsets
+    # 0,72 -> pack 0; 144,216 -> pack 1; ...)
+    assert by_doc[0]["seq_id"] == by_doc[32]["seq_id"]
+    assert by_doc[64]["seq_id"] == by_doc[96]["seq_id"]
+    assert by_doc[0]["seq_id"] != by_doc[64]["seq_id"]
+    assert by_doc[32]["seq_pos"] == 1
