@@ -1,0 +1,92 @@
+"""Plan-shape audit for the flagship queries — timing-insensitive
+scale evidence.
+
+For each audited query the script builds the DataFrame at
+$SPARK_GRAFT_SF_DIR (default sf0.01 — plan shape is scale-invariant)
+and counts the physical-plan features the 100 TB story rests on:
+shuffle exchanges, broadcast exchanges/joins, sort-merge joins, and
+Python (Arrow) stages. (Whole-stage-codegen span ids are not exposed
+in Spark 4.1's finalized-AQE explain output, so they are not counted
+— the row_udfs column is the anti-pattern detector that matters.) Output: one JSON line per query plus a
+markdown table on stdout; writes BENCH/plan_audit.json.
+
+Run: python BENCH/plan_audit.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIT = [
+    "extract_spans",
+    "ocr_pipeline_e2e",
+    "curation_pipeline_e2e",
+    "dedup_minhash_lsh",
+    "semantic_dedup",
+    "warc_html_spans",
+    "corpus_filter_pipeline",
+    "sketch_hll_shingles",
+    "web_pagerank",
+    "host_quality_priors",
+    "training_pack_interleaved",
+    "events_asof_join",
+]
+
+
+def audit_plan(plan: str) -> dict[str, int]:
+    return {
+        # "Exchange hashpartitioning/rangepartitioning" = a real shuffle;
+        # BroadcastExchange is counted separately (it ships the SMALL side)
+        "shuffle_exchanges": len(
+            re.findall(r"\bExchange (hash|range|Single)", plan)
+        ),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "python_stages": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "row_udfs": plan.count("BatchEvalPython"),
+    }
+
+
+def main() -> None:
+    from pero_ocr_spark import queries as Q
+    from pero_ocr_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("plan_audit", shuffle_partitions=32)
+    qs = Q.queries()
+    rows = {}
+    for name in AUDIT:
+        df = qs[name](spark, sf_dir)
+        # run the query first so AQE finalizes: the pre-execution
+        # adaptive plan shows neither the chosen join strategies nor
+        # the WholeStageCodegen spans
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows[name] = audit_plan(plan)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_audit.json")
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "plans": rows}, f, indent=1)
+    cols = [
+        "shuffle_exchanges",
+        "broadcast_exchanges",
+        "broadcast_hash_joins",
+        "sort_merge_joins",
+        "python_stages",
+        "row_udfs",
+    ]
+    print("| query | " + " | ".join(c.replace("_", " ") for c in cols) + " |")
+    print("|---|" + "---|" * len(cols))
+    for name, r in rows.items():
+        print(f"| {name} | " + " | ".join(str(r[c]) for c in cols) + " |")
+
+
+if __name__ == "__main__":
+    main()
