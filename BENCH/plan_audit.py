@@ -39,6 +39,9 @@ AUDIT = [
 
 
 def audit_plan(plan: str) -> dict[str, int]:
+    # a finalized AdaptiveSparkPlan prints BOTH the final and the
+    # initial plan; count only the final section
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         # "Exchange hashpartitioning/rangepartitioning" = a real shuffle;
         # BroadcastExchange is counted separately (it ships the SMALL side)
@@ -65,11 +68,14 @@ def main() -> None:
     rows = {}
     for name in AUDIT:
         df = qs[name](spark, sf_dir)
-        # run the query first so AQE finalizes: the pre-execution
-        # adaptive plan shows neither the chosen join strategies nor
-        # the WholeStageCodegen spans
-        df.write.format("noop").mode("overwrite").save()
+        # finalize THIS Dataset's own QueryExecution: an action on the
+        # same df (collect) drives its AdaptiveSparkPlanExec to the
+        # final plan. A side write would execute a DIFFERENT
+        # QueryExecution and leave this one at isFinalPlan=false,
+        # silently auditing the pre-AQE plan.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=false" not in plan, name
         rows[name] = audit_plan(plan)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_audit.json")
     with open(out, "w") as f:
