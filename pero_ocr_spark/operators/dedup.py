@@ -49,26 +49,17 @@ def _perm_params(i: int) -> tuple[int, int]:
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document.
 
-    The split is hoisted into its own projection so ``element_at`` in
-    the transform lambda indexes a materialized array — inlined, the
-    split re-evaluates per element and the stage goes O(n²) per row
-    (the hoist measured 4× on the sf0.1 shingle stream). The gram
+    The split is hoisted into its own projection (the O(n²) inline-
+    split hazard is documented once on ``word_gram_array``). The gram
     fold runs in the scan stage, so a starved single-file local scan
     is spread first (no-op on a multi-split corpus scan)."""
-    from pero_ocr_spark.operators import spread_scan
+    from pero_ocr_spark.operators import spread_scan, word_gram_array
 
     docs = spread_scan(docs)
     d = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
         F.size("ws") >= n
     )
-    ws = F.col("ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-        ),
-    )
+    grams = word_gram_array(F.col("ws"), n)
     return d.select(
         "doc_id", F.explode_outer(F.array_distinct(grams)).alias("shingle")
     )

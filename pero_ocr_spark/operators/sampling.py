@@ -63,22 +63,21 @@ def sample_stratified(docs: DataFrame, mod: int = 100) -> DataFrame:
     )
 
 
-def pack_sequences(
-    docs: DataFrame, budget: int = 512, n_buckets: int = 32
+def _pack_by_cost(
+    cost: DataFrame, budget: int, n_buckets: int, extra: list[str]
 ) -> DataFrame:
-    """Greedy token-budget packing: within each doc bucket, documents
-    (in deterministic doc_id order) are assigned to the training
-    sequence their cumulative-token START offset falls into — every
-    sequence holds ≤ budget + one document of tokens. seq_id encodes
-    (pack, bucket) as ``pack * n_buckets + bucket`` — collision-free
-    for unbounded pack counts (a fixed per-bucket stride would alias
-    adjacent buckets once a bucket exceeds stride·budget tokens).
-    seq_pos is the document's position inside its sequence."""
-    nt = F.size(F.split(F.col("text"), " ")).cast("long")
-    d = docs.select(
-        "doc_id",
-        nt.alias("n_tokens"),
-        (F.col("doc_id") % n_buckets).cast("long").alias("bucket"),
+    """Shared greedy-packing machinery over a per-document cost frame
+    (doc_id, n_tokens, *extra): within each doc bucket, documents (in
+    deterministic doc_id order) go to the training sequence their
+    cumulative-token START offset falls into — every sequence holds
+    ≤ budget + one document of tokens. seq_id encodes (pack, bucket)
+    as ``pack * n_buckets + bucket`` — collision-free for unbounded
+    pack counts (a fixed per-bucket stride would alias adjacent
+    buckets once a bucket exceeds stride·budget tokens). seq_pos is
+    the document's position inside its sequence. The packing
+    invariants live HERE once; both public packers delegate."""
+    d = cost.withColumn(
+        "bucket", (F.col("doc_id") % n_buckets).cast("long")
     )
     w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -97,7 +96,19 @@ def pack_sequences(
             "seq_id"
         ),
         "n_tokens",
+        *extra,
         (F.row_number().over(wp) - 1).cast("long").alias("seq_pos"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, n_buckets: int = 32
+) -> DataFrame:
+    """Greedy token-budget packing of whole documents (cost = word
+    count); see :func:`_pack_by_cost` for the packing invariants."""
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    return _pack_by_cost(
+        docs.select("doc_id", nt.alias("n_tokens")), budget, n_buckets, []
     )
 
 
@@ -324,6 +335,12 @@ def weighted_sample_aes(
     window per group (one exchange on group). The DuckDB oracle runs
     the identical arithmetic (ln of an exact 48-bit/2^48 dyadic
     rational, double division, same tiebreak).
+
+    Non-positive weights are excluded BEFORE keying: A-ES assigns a
+    doc with w <= 0 inclusion probability 0, but ln(u)/w would rank it
+    FIRST (negative w flips the sign of a negative log) or null the
+    key (w = 0 under non-ANSI division) — both silently corrupt the
+    sample, so the guard is part of the operator's semantics.
     """
     from pyspark.sql import Window
 
@@ -337,7 +354,8 @@ def weighted_sample_aes(
         F.col("aes_key").desc(), F.col("doc_id")
     )
     return (
-        docs.select(group_col, "doc_id", weight.alias("w"), key.alias("aes_key"))
+        docs.filter(weight > 0)
+        .select(group_col, "doc_id", weight.alias("w"), key.alias("aes_key"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
@@ -357,14 +375,14 @@ def pack_sequences_interleaved(
 ) -> DataFrame:
     """Token-budget packing over INTERLEAVED text+media documents.
 
-    Same greedy bucket packing as :func:`pack_sequences`, but the
-    per-document cost is modality-aware: text spans cost their word
-    count, media spans a fixed ``media_tokens`` budget (the vision
-    encoder's patch-token count — the constant a multimodal trainer
-    actually reserves per image). Input is the extracted spans table
-    (doc_id, kind, text, media_ref, ord); the per-doc cost agg reuses
-    its existing doc_id partitioning, so packing adds only the
-    bucket-window exchange.
+    Same greedy bucket packing as :func:`pack_sequences` (shared
+    :func:`_pack_by_cost` machinery), but the per-document cost is
+    modality-aware: text spans cost their word count, media spans a
+    fixed ``media_tokens`` budget (the vision encoder's patch-token
+    count — the constant a multimodal trainer actually reserves per
+    image). Input is the extracted spans table (doc_id, kind, text,
+    media_ref, ord); the per-doc cost agg reuses its existing doc_id
+    partitioning, so packing adds only the bucket-window exchange.
 
     Output: (doc_id, bucket, seq_id, n_tokens, n_media, seq_pos).
     """
@@ -380,26 +398,4 @@ def pack_sequences_interleaved(
         .cast("long")
         .alias("n_media"),
     )
-    d = cost.withColumn(
-        "bucket", (F.col("doc_id") % n_buckets).cast("long")
-    )
-    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    d = d.withColumn(
-        "pack",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
-        ).cast("long"),
-    )
-    wp = Window.partitionBy("bucket", "pack").orderBy("doc_id")
-    return d.select(
-        "doc_id",
-        "bucket",
-        (F.col("pack") * n_buckets + F.col("bucket")).cast("long").alias(
-            "seq_id"
-        ),
-        "n_tokens",
-        "n_media",
-        (F.row_number().over(wp) - 1).cast("long").alias("seq_pos"),
-    )
+    return _pack_by_cost(cost, budget, n_buckets, ["n_media"])

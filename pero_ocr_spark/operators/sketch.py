@@ -134,21 +134,16 @@ def hll_shingle_cardinality(docs: DataFrame, n: int = 5) -> DataFrame:
     consumers. The ALL row's estimate comes from merging the per-source
     registers, never from re-reading the corpus.
     """
-    from pero_ocr_spark.operators import spread_scan
+    from pero_ocr_spark.operators import spread_scan, word_gram_array
 
     d = (
         spread_scan(docs)
         .select("source", F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size("ws") >= n)
     )
-    ws = F.col("ws")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-        ),
+    sh = d.select(
+        "source", F.explode(word_gram_array(F.col("ws"), n)).alias("shingle")
     )
-    sh = d.select("source", F.explode(grams).alias("shingle"))
     # one pass over the corpus: the distinct (source, shingle) frame
     # feeds registers AND both exact baselines — localCheckpoint stops
     # the scan + gram fold + explode re-running per consumer (the
@@ -203,6 +198,20 @@ def _cms_idx(h: Column, r: int) -> Column:
     )
 
 
+def _cms_probes(h: Column) -> Column:
+    """The d (row, idx) probe structs for one hashed entity — defined
+    ONCE so accumulation and estimation can never address different
+    counters."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_idx(h, r).alias("idx")
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
 def cms_counters(df: DataFrame, entity_col: str) -> DataFrame:
     """(row, idx, n) counter table — the whole sketch is d*w rows.
 
@@ -212,15 +221,7 @@ def cms_counters(df: DataFrame, entity_col: str) -> DataFrame:
     the property that makes CMS viable at 10^12 documents where an
     exact frequency table would shuffle every distinct string.
     """
-    h = F.sha2(F.col(entity_col), 256)
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _cms_idx(h, r).alias("idx")
-            )
-            for r in range(CMS_D)
-        ]
-    )
+    probes = _cms_probes(F.sha2(F.col(entity_col), 256))
     return (
         df.select(F.explode(probes).alias("p"))
         .groupBy(F.col("p.row").alias("row"), F.col("p.idx").alias("idx"))
@@ -236,26 +237,25 @@ def cms_estimate(
     CMS never underestimates: every counter a candidate probes holds
     its true count plus nonnegative collision mass. The candidate
     frame is expected to be small (heavy-hitter shortlist); the join
-    is candidates×d probe rows against the d*w counter table.
+    is candidates×d probe rows against the d*w counter table. A LEFT
+    join keeps candidates that never appeared in the counted stream
+    (a shortlist from another snapshot): an unhit counter means count
+    0, and one zero probe zeroes the min — dropping the row instead
+    would make "absent" indistinguishable from "lost".
     """
-    h = F.sha2(F.col(entity_col), 256)
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _cms_idx(h, r).alias("idx")
-            )
-            for r in range(CMS_D)
-        ]
-    )
+    probes = _cms_probes(F.sha2(F.col(entity_col), 256))
     other = [c for c in candidates.columns]
     exploded = candidates.select(*other, F.explode(probes).alias("p"))
     return (
         exploded.join(
             F.broadcast(counters),
             (F.col("p.row") == F.col("row")) & (F.col("p.idx") == F.col("idx")),
+            "left",
         )
         .groupBy(*other)
-        .agg(F.min("n").alias("cms_n"))
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n")
+        )
     )
 
 
@@ -268,21 +268,16 @@ def cms_heavy_hitters(docs: DataFrame, n: int = 3, k: int = 10) -> DataFrame:
     probes a candidate shortlist from a sampled pass). Deterministic
     top-k: ties broken lexically.
     """
-    from pero_ocr_spark.operators import spread_scan
+    from pero_ocr_spark.operators import spread_scan, word_gram_array
 
     d = (
         spread_scan(docs)
         .select(F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size("ws") >= n)
     )
-    ws = F.col("ws")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-        ),
-    )
-    sh = d.select(F.explode(grams).alias("shingle")).localCheckpoint()
+    sh = d.select(
+        F.explode(word_gram_array(F.col("ws"), n)).alias("shingle")
+    ).localCheckpoint()
     counters = cms_counters(sh, "shingle")
     top = (
         sh.groupBy("shingle")

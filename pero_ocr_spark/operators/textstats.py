@@ -101,16 +101,12 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     word-n-gram hash (a 1-perm minhash — robust to local edits).
     Split hoisted into a projection (see :func:`char_bigrams` — an
     inlined split re-evaluates per transform element, O(n²)/row)."""
+    from pero_ocr_spark.operators import word_gram_array
+
     d = docs.select(
         "doc_id", "text", _words().alias("ws")
     ).filter(F.size("ws") >= n)
-    ws = F.col("ws")
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]),
-    )
-    gram_hashes = F.transform(grams, _poly_hash)
+    gram_hashes = F.transform(word_gram_array(F.col("ws"), n), _poly_hash)
     return d.select(
         "doc_id",
         _poly_hash(F.col("text")).alias("fp_text"),
@@ -633,7 +629,7 @@ def zipf_fit(docs: DataFrame, n: int = 3, top: int = 500) -> DataFrame:
     row_number window is over ≤ |vocab| rows, never the corpus); the
     regression is a single tiny aggregate.
     """
-    from pero_ocr_spark.operators import spread_scan
+    from pero_ocr_spark.operators import spread_scan, word_gram_array
     from pyspark.sql import Window
 
     d = (
@@ -641,13 +637,7 @@ def zipf_fit(docs: DataFrame, n: int = 3, top: int = 500) -> DataFrame:
         .select(F.split(F.col("text"), " ").alias("ws"))
         .filter(F.size("ws") >= n)
     )
-    ws = F.col("ws")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-        ),
-    )
+    grams = word_gram_array(F.col("ws"), n)
     counts = (
         d.select(F.explode(grams).alias("g"))
         .groupBy("g")

@@ -5275,7 +5275,7 @@ WITH keyed AS (
            / CAST(n_chars AS DOUBLE) AS k
   FROM (SELECT source, doc_id, n_chars,
                sha256(CAST(doc_id AS VARCHAR)) AS h
-        FROM documents) x),
+        FROM documents WHERE n_chars > 0) x),
 r AS (
   SELECT source, doc_id, w,
          row_number() OVER (PARTITION BY source
