@@ -675,3 +675,59 @@ def zipf_fit(docs: DataFrame, n: int = 3, top: int = 500) -> DataFrame:
             "intercept"
         ),
     )
+
+
+def corpus_drift(
+    docs: DataFrame, snapshot: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Distribution-drift diagnostics between the current corpus and a
+    previous snapshot: KL(current‖snapshot), Jensen-Shannon
+    divergence, and total-variation distance over the ``group_col``
+    composition — the standing monitor a continuous-crawl pipeline
+    alarms on (a source suddenly flooding or vanishing moves all
+    three; JS and TV stay bounded when a group disappears entirely).
+
+    Distributions use add-one smoothing over the UNION of groups
+    (p_i = (n_i + 1) / (N + G)), so KL is finite even for groups
+    present on only one side. Each per-group term is 10dp-rounded and
+    summed as DECIMAL(38,12) — the same float-parity technique as
+    :func:`zipf_fit` — so the distributed sums are exact and
+    order-independent.
+
+    Scale shape: each side contributes ONE map-side-combinable count
+    aggregate; everything downstream runs on ≤ |groups| rows (the
+    full-outer join, the term arithmetic, the one-row final agg). The
+    corpus is never shuffled.
+    """
+    cn = docs.groupBy(group_col).agg(F.count("*").alias("n_cur"))
+    sn = snapshot.groupBy(group_col).agg(F.count("*").alias("n_snap"))
+    j = (
+        cn.join(sn, group_col, "full_outer")
+        .select(
+            group_col,
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_snap", F.lit(0)).alias("n_snap"),
+        )
+        .localCheckpoint()  # tiny; stops both count aggs re-running per consumer
+    )
+    tot = j.agg(
+        F.sum("n_cur").alias("nc"),
+        F.sum("n_snap").alias("ns"),
+        F.count("*").alias("g"),
+    )
+    t = j.crossJoin(F.broadcast(tot))
+    p = (F.col("n_cur") + 1) / (F.col("nc") + F.col("g"))
+    q = (F.col("n_snap") + 1) / (F.col("ns") + F.col("g"))
+    m = (p + q) / 2
+    dec = lambda c: F.round(c, 10).cast("decimal(38,12)")  # noqa: E731
+    terms = t.select(
+        dec(p * F.log(p / q)).alias("kl_t"),
+        dec(p * F.log(p / m) / 2 + q * F.log(q / m) / 2).alias("js_t"),
+        dec(F.abs(p - q) / 2).alias("tv_t"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.round(F.sum("kl_t").cast("double"), 6).alias("kl_div"),
+        F.round(F.sum("js_t").cast("double"), 6).alias("js_div"),
+        F.round(F.sum("tv_t").cast("double"), 6).alias("tv_dist"),
+    )

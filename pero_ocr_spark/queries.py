@@ -141,7 +141,7 @@ _CHECK_FIRST = (
     "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
     "sketch_histogram_quantiles", "sample_weighted_aes",
     "events_stream_hll_users", "corpus_zipf_fit",
-    "training_pack_interleaved",
+    "training_pack_interleaved", "corpus_drift_kl",
 )
 
 
@@ -5454,3 +5454,52 @@ def q_training_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = corpus.extracted_spans(spark, sf_dir)
     return sampling.pack_sequences_interleaved(spans)
+
+
+@register(
+    "corpus_drift_kl",
+    """
+WITH cur AS (
+  SELECT source, count(*) AS n_cur FROM documents GROUP BY source),
+snap AS (
+  SELECT source, count(*) AS n_snap FROM documents
+  WHERE (doc_id*69069 + 12345) % 2147483647 % 100 < 33
+  GROUP BY source),
+j AS (
+  SELECT COALESCE(cur.source, snap.source) AS source,
+         COALESCE(n_cur, 0) AS n_cur, COALESCE(n_snap, 0) AS n_snap
+  FROM cur FULL OUTER JOIN snap ON cur.source = snap.source),
+tot AS (
+  SELECT sum(n_cur) AS nc, sum(n_snap) AS ns, count(*) AS g FROM j),
+t AS (
+  SELECT CAST(n_cur + 1 AS DOUBLE) / (nc + g) AS p,
+         CAST(n_snap + 1 AS DOUBLE) / (ns + g) AS q
+  FROM j CROSS JOIN tot),
+terms AS (
+  SELECT CAST(round(p * ln(p / q), 10) AS DECIMAL(38,12)) AS kl_t,
+         CAST(round(p * ln(p / ((p + q) / 2)) / 2
+                    + q * ln(q / ((p + q) / 2)) / 2, 10)
+              AS DECIMAL(38,12)) AS js_t,
+         CAST(round(abs(p - q) / 2, 10) AS DECIMAL(38,12)) AS tv_t
+  FROM t)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       round(CAST(sum(kl_t) AS DOUBLE), 6) AS kl_div,
+       round(CAST(sum(js_t) AS DOUBLE), 6) AS js_div,
+       round(CAST(sum(tv_t) AS DOUBLE), 6) AS tv_dist
+FROM terms
+""",
+)
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution-drift monitor: KL / Jensen-Shannon / total-variation
+    # between the current corpus's source composition and a previous
+    # snapshot's (deterministic LCG-residue 33% subset — the engine's
+    # portable snapshot stand-in). Add-one smoothing over the union of
+    # groups keeps KL finite when a source exists on one side only;
+    # per-group terms are 10dp-rounded and decimal-summed (zipf_fit's
+    # float-parity technique). The corpus contributes two count aggs;
+    # everything else runs on |sources| rows.
+    from pero_ocr_spark.operators import sampling, textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    snapshot = docs.filter(sampling._residue(100) < 33)
+    return textstats.corpus_drift(docs, snapshot)

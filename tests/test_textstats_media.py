@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -115,3 +117,37 @@ class TestRanking:
         assert out[2] == (s(2, 6), 1)
         # doc 2 has higher tf -> higher score despite longer doc
         assert out[2][0] > out[1][0]
+
+
+class TestCorpusDrift:
+    def test_identical_corpora_have_zero_drift(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "a" if i % 2 else "b") for i in range(10)],
+            "doc_id long, text string, source string",
+        )
+        r = textstats.corpus_drift(docs, docs).collect()[0]
+        assert r.n_groups == 2
+        assert (r.kl_div, r.js_div, r.tv_dist) == (0.0, 0.0, 0.0)
+
+    def test_flooded_source_raises_all_three(self, spark):
+        base = [(i, "t", "a" if i % 2 else "b") for i in range(10)]
+        snapshot = spark.createDataFrame(
+            base, "doc_id long, text string, source string"
+        )
+        flooded = spark.createDataFrame(
+            base + [(100 + i, "t", "spam") for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        r = textstats.corpus_drift(flooded, snapshot).collect()[0]
+        # 'spam' absent from the snapshot: smoothing keeps KL finite,
+        # and a 40/50 flood dominates every divergence
+        assert r.n_groups == 3
+        assert r.kl_div > 1.0
+        assert 0 < r.js_div <= math.log(2) + 1e-9  # JS upper bound (nats)
+        assert 0 < r.tv_dist <= 1.0
+        # mild drift scores strictly below the flood
+        mild = spark.createDataFrame(
+            base + [(100, "t", "a")], "doc_id long, text string, source string"
+        )
+        m = textstats.corpus_drift(mild, snapshot).collect()[0]
+        assert m.kl_div < r.kl_div and m.tv_dist < r.tv_dist
