@@ -142,6 +142,7 @@ _CHECK_FIRST = (
     "sketch_histogram_quantiles", "sample_weighted_aes",
     "events_stream_hll_users", "corpus_zipf_fit",
     "training_pack_interleaved", "corpus_drift_kl",
+    "events_stream_enrich", "events_stream_join",
 )
 
 
@@ -5503,3 +5504,59 @@ def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     snapshot = docs.filter(sampling._residue(100) < 33)
     return textstats.corpus_drift(docs, snapshot)
+
+
+@register(
+    "events_stream_enrich",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (user_id*69069 + 12345) % 2147483647 % 100 < 20 THEN 'vip'
+              WHEN (user_id*69069 + 12345) % 2147483647 % 100 < 60 THEN 'core'
+              ELSE 'casual' END AS tier
+  FROM events)
+SELECT time_bucket(INTERVAL '1440 minutes', e.ts) AS window_start,
+       d.tier, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1, 2, 3
+""",
+)
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static enrichment join (the dimension-lookup pattern): a
+    # broadcast user-tier dim hash-joined onto each micro-batch
+    # STATELESSLY; only the daily windowed agg carries state. Run as a
+    # real Structured Streaming query into a memory sink; the oracle is
+    # the equivalent batch join + window.
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.enriched_tier_totals_streaming(spark, sf_dir)
+
+
+@register(
+    "events_stream_join",
+    """
+SELECT v.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(floor(epoch(c.cts)) AS BIGINT)
+                      - CAST(floor(epoch(v.vts)) AS BIGINT)) AS DOUBLE)
+             / (60.0 * count(*)), 6) AS avg_lag_min
+FROM (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 6 HOUR
+GROUP BY 1
+""",
+)
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join with watermarks (the attribution
+    # pattern): clicks matched to the same user's views from the
+    # preceding 6 hours, both sides independent watermarked streams —
+    # the time-range predicate is what lets Spark EVICT join state
+    # (views older than watermark + lag can never match). Lag summed in
+    # whole seconds (exact integers) so the per-user mean is
+    # order-independent; oracle = the equivalent batch interval join.
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.view_click_attribution_streaming(spark, sf_dir)

@@ -320,3 +320,147 @@ def window_distinct_users_hll_streaming(
             6,
         ).alias("rel_err"),
     )
+
+
+def enriched_tier_totals_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 1440,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join — THE dimension-lookup pattern: a
+    static user-tier table joined onto the event stream per
+    micro-batch, then windowed totals per (tier, event_type).
+
+    The stream-static join is STATELESS (no watermark bookkeeping, no
+    join state — each micro-batch hash-joins against the broadcast
+    dim); only the downstream windowed agg carries state, bounded by
+    the watermark. At scale the dim is the broadcast side by
+    construction (users ≪ events); the stream side never shuffles for
+    the join, only for the window agg.
+
+    The tier itself is the engine's portable LCG residue over user_id
+    (deterministic, reproducible in the DuckDB oracle); a real
+    deployment reads the dim from its user table instead — the plan
+    shape is identical.
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    residue = F.pmod(F.col("user_id") * 69_069 + 12_345, F.lit(2_147_483_647)) % 100
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(residue < 20, "vip")
+            .when(residue < 60, "core")
+            .otherwise("casual")
+            .alias("tier"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "tier", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "tier",
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"tier_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def view_click_attribution_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    max_lag_hours: int = 6,
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-stream interval join with watermarks — the attribution
+    pattern: every click joined to the same user's views from the
+    preceding ``max_lag_hours``.
+
+    Both sides are independent streams with their own watermark; the
+    time-range predicate (click in [view, view + lag]) lets Spark
+    BOUND the join state — a view older than watermark + lag can never
+    match a future click and is evicted, so state is O(events per lag
+    window), not O(stream). The joined pairs land in an append-mode
+    sink; the per-user rollup (pairs + mean lag) runs batch on the
+    sink, keeping the streaming stage single-stateful.
+
+    Output: (user_id, n_pairs, avg_lag_min).
+    """
+    def side(event_type: str, alias_ts: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(_stream_dir(sf_dir))
+            .where(F.col("event_type") == event_type)
+            .select(
+                "user_id", F.col("ts").cast("timestamp").alias(alias_ts)
+            )
+            .withWatermark(alias_ts, watermark)
+        )
+
+    views = side("view", "view_ts")
+    clicks = side("click", "click_ts").withColumnRenamed("user_id", "c_user")
+    pairs = views.join(
+        clicks,
+        F.expr(
+            f"""user_id = c_user
+                AND click_ts >= view_ts
+                AND click_ts <= view_ts + INTERVAL {max_lag_hours} HOURS"""
+        ),
+        "inner",
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # lag in whole seconds is an exact integer — summing it keeps the
+    # mean order-independent (a double avg differs in final ulps
+    # between Spark's partial-agg tree and a sequential oracle)
+    lag_sec = F.col("click_ts").cast("long") - F.col("view_ts").cast("long")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(lag_sec).alias("lag_s"),
+        )
+        .select(
+            "user_id",
+            "n_pairs",
+            F.round(F.col("lag_s") / (60.0 * F.col("n_pairs")), 6).alias(
+                "avg_lag_min"
+            ),
+        )
+    )

@@ -89,3 +89,83 @@ def test_window_distinct_users_hll_streaming(spark, sf_dir):
         # sub-register cardinalities: linear counting is near-exact
         assert abs(r["rel_err"]) < 0.05, r
         assert r["exact_users"] > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    stream = ev.enriched_tier_totals_streaming(spark, sf_dir).toPandas()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    residue = (
+        F.pmod(F.col("user_id") * 69_069 + 12_345, F.lit(2_147_483_647)) % 100
+    )
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(residue < 20, "vip")
+            .when(residue < 60, "core")
+            .otherwise("casual")
+            .alias("tier"),
+        )
+    )
+    batch = (
+        events.join(dim, "user_id")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1440 minutes").alias("w"),
+            "tier",
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "tier",
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(batch), _norm(stream))
+    assert set(stream["tier"]) <= {"vip", "core", "casual"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    stream = ev.view_click_attribution_streaming(spark, sf_dir).toPandas()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("timestamp").alias("view_ts")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+    )
+    lag_sec = F.col("click_ts").cast("long") - F.col("view_ts").cast("long")
+    batch = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(lag_sec).alias("lag_s"),
+        )
+        .select(
+            "user_id",
+            "n_pairs",
+            F.round(F.col("lag_s") / (60.0 * F.col("n_pairs")), 6).alias(
+                "avg_lag_min"
+            ),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_norm(batch), _norm(stream))
+    assert len(stream) > 0
