@@ -504,6 +504,99 @@ def decontaminate(
     )
 
 
+def mask_contaminated_spans(
+    train: DataFrame, bench: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Span-level decontamination: the maximal word spans of each
+    training doc covered by some ``n``-gram that also occurs in the
+    benchmark set — the surgical alternative to :func:`decontaminate`'s
+    doc-level drop (production pipelines null the matched spans and
+    keep the rest of the document; dropping whole docs over one quoted
+    benchmark sentence costs real data).
+
+    Same relational skeleton as :func:`duplicated_passage_spans`, with
+    the cross-doc min/max window replaced by a broadcast semi-join:
+
+      1. every n-gram start of every training doc becomes
+         (doc_id, pos, h) with h = xxhash64 of the window text, over a
+         HOISTED split (in-row, no shuffle);
+      2. the benchmark's distinct gram hashes — tiny vs the corpus by
+         construction — BROADCAST; hit positions survive a left-semi
+         hash join, so the corpus side never shuffles for the match;
+      3. per doc, hit positions merge to maximal masked spans
+         (gaps-and-islands; a new island when the gap exceeds ``n``)
+         — the only shuffle, on doc_id, parallel per doc.
+
+    A doc absent from the output is clean. Output: (doc_id,
+    span_start, span_end, n_tokens, n_grams) with span_end exclusive —
+    masking [span_start, span_end) removes every benchmark-colliding
+    window while keeping the rest of the doc.
+
+    Collisions at the 64-bit birthday bound can mask a clean span
+    (false positive — safe direction for decontamination); they can
+    never UNmask a contaminated one.
+    """
+    ws = F.col("ws")
+    grams = train.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size(ws) >= n).select(
+        "doc_id",
+        # explode_outer for the same Catalyst reason as
+        # duplicated_passage_spans: plain explode's implicit size>0
+        # filter re-evaluates the whole transform a second time
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.xxhash64(
+                        F.array_join(F.slice(ws, p + 1, n), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+
+    bench_h = (
+        bench.select(F.split(F.col(text_col), " ").alias("ws"))
+        .filter(F.size(ws) >= n)
+        .select(
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(ws) - n),
+                    lambda p: F.xxhash64(
+                        F.array_join(F.slice(ws, p + 1, n), " ")
+                    ),
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench_h), "h", "left_semi")
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(by_doc).isNull()
+        | (F.col("pos") - F.lag("pos").over(by_doc) > n),
+        1,
+    ).otherwise(0)
+    islands = hits.withColumn("_brk", brk).withColumn(
+        "island",
+        F.sum("_brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        "n_grams",
+    )
+
+
 # ----------------------------------------------------- incremental dedup
 
 def incremental_dedup(new_docs: DataFrame, snapshot: DataFrame) -> DataFrame:

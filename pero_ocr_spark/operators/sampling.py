@@ -399,3 +399,76 @@ def pack_sequences_interleaved(
         .alias("n_media"),
     )
     return _pack_by_cost(cost, budget, n_buckets, ["n_media"])
+
+
+def balanced_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    cost_col: str = "n_chars",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Size-balanced shard assignment: documents (in doc_id order) are
+    cut into ``n_shards`` contiguous shards of ~equal total cost, so
+    output files come out uniform regardless of the document-size
+    distribution — the sharding a corpus writer actually wants (hash
+    sharding balances COUNTS; a 64x-skewed size distribution then
+    yields 64x-skewed file sizes).
+
+    shard(doc) = exclusive_prefix_sum(cost) DIV ceil(total/n_shards) —
+    a pure function of the corpus, reproducible in ANSI SQL. The naive
+    expression is a global cumulative-sum window (ORDER BY with no
+    PARTITION BY — a single-partition sort, the classic scale killer).
+    Here it is the textbook two-level distributed prefix sum instead:
+
+      1. bucket = doc_id DIV bucket_width; per-bucket cost totals are
+         one map-side-combined hash agg (rows/4096 output rows);
+      2. EXCLUSIVE bucket offsets via a cum-sum window over that tiny
+         bucket frame only (10^12 docs -> ~2.4e8 bucket rows; still a
+         thousand-fold reduction, and the level can be repeated if the
+         bucket frame itself ever needs it);
+      3. offsets broadcast-join back; within each bucket the local
+         exclusive cum-sum window runs PARALLEL per bucket.
+
+    All arithmetic is integer (BIGINT sums, DIV) so Spark and the SQL
+    oracle agree bit-for-bit at any scale. A document larger than the
+    target shard size simply spans the budget of several shard ids
+    (later docs land in higher shards); every shard's realized total
+    stays < target + max_doc_cost.
+
+    Output: (doc_id, cost, shard).
+    """
+    cost = F.col(cost_col).cast("long")
+    base = docs.select(
+        "doc_id",
+        cost.alias("cost"),
+        F.expr(f"doc_id DIV {bucket_width}").alias("bucket"),
+    )
+    target = base.agg(
+        F.expr(f"CAST((sum(cost) + {n_shards} - 1) DIV {n_shards} AS BIGINT)")
+        .alias("target")
+    )
+    bucket_tot = base.groupBy("bucket").agg(F.sum("cost").alias("btot"))
+    over_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offsets = bucket_tot.select(
+        "bucket",
+        (F.sum("btot").over(over_buckets) - F.col("btot")).alias("boff"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        base.withColumn(
+            "cum_before", F.sum("cost").over(in_bucket) - F.col("cost")
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "doc_id",
+            "cost",
+            F.expr("CAST((cum_before + boff) DIV target AS INT)").alias(
+                "shard"
+            ),
+        )
+    )

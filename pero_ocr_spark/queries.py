@@ -143,6 +143,7 @@ _CHECK_FIRST = (
     "events_stream_hll_users", "corpus_zipf_fit",
     "training_pack_interleaved", "corpus_drift_kl",
     "events_stream_enrich", "events_stream_join",
+    "decontam_span_mask", "corpus_balanced_shards",
 )
 
 
@@ -2772,7 +2773,7 @@ g AS (
              generate_series(1, len(ws) - 4),
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
                   || ws[i+3] || ' ' || ws[i+4]))) AS shingle
-  FROM r WHERE len(ws) >= 5),
+  FROM r WHERE len(ws) >= 4),
 b AS (SELECT DISTINCT shingle FROM g WHERE is_bench),
 t AS (SELECT doc_id, shingle FROM g WHERE NOT is_bench)
 SELECT t.doc_id,
@@ -2793,7 +2794,7 @@ def q_decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_bench = sampling._residue(41) == 3
     return dedup.decontaminate(
-        docs.filter(~is_bench), docs.filter(is_bench), n=5, threshold=0.2
+        docs.filter(~is_bench), docs.filter(is_bench), n=4, threshold=0.2
     )
 
 
@@ -5013,7 +5014,7 @@ sh AS (
       generate_series(1, len(ws) - 4),
       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
            || ws[i+3] || ' ' || ws[i+4])) AS shingle
-  FROM toks WHERE len(ws) >= 5),
+  FROM toks WHERE len(ws) >= 4),
 hx AS (SELECT source, sha256(shingle) AS h FROM sh),
 nib AS (
   SELECT source,
@@ -5560,3 +5561,84 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.streaming import events as ev
 
     return ev.view_click_attribution_streaming(spark, sf_dir)
+
+
+@register(
+    "decontam_span_mask",
+    """
+WITH r AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         (doc_id*69069 + 12345) % 2147483647 % 41 = 3 AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+         CAST(unnest(generate_series(0, len(ws) - 4)) AS INT) AS pos, ws
+  FROM r WHERE len(ws) >= 4),
+g2 AS (
+  SELECT doc_id, is_bench, pos,
+         array_to_string(list_slice(ws, pos + 1, pos + 4), ' ') AS gram
+  FROM g),
+b AS (SELECT DISTINCT gram FROM g2 WHERE is_bench),
+d AS (
+  SELECT doc_id, pos FROM g2
+  WHERE NOT is_bench AND gram IN (SELECT gram FROM b)),
+bk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+              THEN 1 ELSE 0 END AS brk
+  FROM d),
+i AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM bk)
+SELECT doc_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 4 AS INT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) AS INT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM i GROUP BY doc_id, island
+""",
+)
+def q_decontam_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-level decontamination: the maximal word spans of each
+    # training doc covered by a benchmark-colliding 4-gram — mask the
+    # spans, keep the doc (vs decontam_benchmark_overlap's doc-level
+    # flag). Benchmark split = the same LCG residue rule; bench gram
+    # hashes broadcast, corpus shuffles once (doc_id islands).
+    from pero_ocr_spark.operators import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = sampling._residue(41) == 3
+    return dedup.mask_contaminated_spans(
+        docs.filter(~is_bench), docs.filter(is_bench), n=4
+    )
+
+
+@register(
+    "corpus_balanced_shards",
+    """
+WITH t AS (
+  SELECT CAST((sum(n_chars) + 63) // 64 AS BIGINT) AS target
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS cost,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_chars AS cb
+  FROM documents)
+SELECT doc_id, cost, CAST(cb // target AS INT) AS shard
+FROM c, t
+""",
+)
+def q_corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # size-balanced contiguous sharding via the two-level distributed
+    # prefix sum (bucket totals -> tiny offsets window -> parallel
+    # within-bucket cumsum) — the oracle states the same function as
+    # ONE global cumsum window, which is exactly the single-partition
+    # plan the operator exists to avoid.
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.balanced_shards(
+        _t(spark, sf_dir, "documents"), n_shards=64
+    )

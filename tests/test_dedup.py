@@ -230,3 +230,41 @@ class TestDuplicatedPassageSpans:
         # doc 2's bridging grams (i j t / j t u) are NOT cross-doc, but
         # the gap between pos 0 and pos 3 is exactly k -> one island
         assert spans == {(1, 0, 3): 1, (1, 12, 15): 1, (2, 0, 6): 2}
+
+
+def test_mask_contaminated_spans_islands_and_direction(spark):
+    from pero_ocr_spark.operators import dedup
+
+    # bench doc holds the passage "e f g h i"; train doc 1 quotes it
+    # twice with a >n gap, train doc 2 is clean
+    bench = spark.createDataFrame(
+        [(100, "e f g h i")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a b c e f g h i x y z q w e f g h i u"),
+            (2, "totally clean words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.mask_contaminated_spans(train, bench, n=3).toPandas()
+    out = out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    # doc 2 absent (clean); doc 1 has exactly the two quoted islands
+    assert set(out["doc_id"]) == {1}
+    words = "a b c e f g h i x y z q w e f g h i u".split(" ")
+    spans = [
+        " ".join(words[r["span_start"]:r["span_end"]])
+        for _, r in out.iterrows()
+    ]
+    assert spans == ["e f g h i", "e f g h i"], spans
+    # every contaminated 3-gram is inside a masked span (safe direction)
+    bench_grams = {"e f g", "f g h", "g h i"}
+    for pos in range(len(words) - 2):
+        g = " ".join(words[pos:pos + 3])
+        if g in bench_grams:
+            assert any(
+                r["span_start"] <= pos and pos + 3 <= r["span_end"]
+                for _, r in out.iterrows()
+            ), (pos, g)
+    assert (out["n_tokens"]
+            == out["span_end"] - out["span_start"]).all()

@@ -50,3 +50,37 @@ def test_pack_interleaved_budget_and_media_cost(spark):
     assert by_doc[64]["seq_id"] == by_doc[96]["seq_id"]
     assert by_doc[0]["seq_id"] != by_doc[64]["seq_id"]
     assert by_doc[32]["seq_pos"] == 1
+
+
+def test_balanced_shards_matches_global_cumsum(spark):
+    from pero_ocr_spark.operators import sampling
+
+    # skewed sizes: doc 7 is 100x the rest — hash sharding would give
+    # one shard 100x the bytes; balanced sharding keeps totals bounded
+    rows = [(i, 10_000 if i == 7 else 100 + (i * 37) % 250)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = sampling.balanced_shards(
+        docs, n_shards=8, bucket_width=16
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force single-threaded reference: exclusive cumsum DIV target
+    sizes = [r[1] for r in rows]
+    total = sum(sizes)
+    target = -(-total // 8)
+    cum = 0
+    for i, (doc_id, sz) in enumerate(rows):
+        assert out.loc[i, "doc_id"] == doc_id
+        assert out.loc[i, "shard"] == cum // target, (doc_id, cum, target)
+        cum += sz
+
+    # contiguity: shard ids are non-decreasing in doc_id order
+    assert (out["shard"].diff().dropna() >= 0).all()
+    # balance: every realized shard total < target + max doc cost
+    per = out.groupby("shard")["cost"].sum()
+    assert (per < target + max(sizes)).all(), per.to_dict()
+    # partition-layout independence
+    again = sampling.balanced_shards(
+        docs.repartition(13), n_shards=8, bucket_width=16
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out == again).all().all()
