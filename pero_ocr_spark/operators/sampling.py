@@ -207,6 +207,45 @@ def train_val_test_split(
     return docs.select("doc_id", "source", split.alias("split"))
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicate clusters can never
+    straddle: the split residue is computed on the doc's duplicate-
+    CLUSTER id (its cluster's min doc_id), not the doc itself, so two
+    near-identical documents always land in the same split.
+
+    This is the guard :func:`train_val_test_split` lacks — with plain
+    per-doc hashing, a training doc's near-twin lands in the eval set
+    ~(val+test)% of the time, and the eval score silently measures
+    memorization. Standard practice after fuzzy dedup clustering.
+
+    ``clusters`` is the (doc_id, cluster_id) frame from
+    :func:`pero_ocr_spark.operators.dedup.duplicate_clusters`; docs in
+    no cluster are their own singleton group. The join is on doc_id
+    (the cluster frame is duplicate-pairs-only, tiny vs the corpus —
+    broadcast); the residue arithmetic is the same portable LCG as
+    every other split rule here, applied to group_id.
+
+    Output: (doc_id, group_id, split).
+    """
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    r = F.pmod(group * 69_069 + 12_345, F.lit(HASH_P)) % 100
+    split = (
+        F.when(r < test_pct, F.lit("test"))
+        .when(r < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select("doc_id", group.alias("group_id"), split.alias("split"))
+    )
+
+
 def sample_dsir(
     docs: DataFrame,
     target_source: str = "src0",

@@ -132,3 +132,116 @@ def range_join(
         (F.col("_t") >= F.col("_s")) & (F.col("_t") < F.col("_e"))
     )
     return joined.select(*point_cols, *interval_cols)
+
+
+def gap_fill(
+    events: DataFrame,
+    key: str = "user_id",
+    time: str = "ts",
+    value: str = "value",
+    freq: str = "1 hour",
+) -> DataFrame:
+    """Resample an irregular event stream onto a fixed per-key time
+    grid with forward fill — the gap-filling / LOCF (last observation
+    carried forward) operator time-series databases ship natively
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``) and Spark lacks.
+
+    Three Catalyst stages, one key shuffle total:
+
+      1. bucket observations: per (key, hour) keep the LAST value by
+         event time (``max_by`` — no sort) plus the observation count;
+      2. per-key grid: min/max bucket -> ``sequence(...,interval)``
+         exploded in-row (grid rows never exceed key-span/freq; the
+         explode is narrow, no shuffle);
+      3. left-join observations onto the grid (same key partitioning,
+         AQE reuses the exchange) and forward-fill with ONE
+         ``last(ignorenulls)`` running window per key — carry state is
+         a single value, so a key with years of gaps costs O(1) memory.
+
+    Rows before a key's first observation never exist (the grid starts
+    at the first bucket), so ``filled_value`` is never null.
+
+    Output: (key, bucket_ts, filled_value, n_obs, is_gap).
+    """
+    bucket = F.date_trunc("hour", F.col(time))
+    obs = events.groupBy(F.col(key), bucket.alias("bucket_ts")).agg(
+        F.max_by(F.col(value), F.col(time)).alias("_v"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    grid = (
+        obs.groupBy(key)
+        .agg(F.min("bucket_ts").alias("_h0"), F.max("bucket_ts").alias("_h1"))
+        .select(
+            key,
+            F.explode(
+                F.expr(f"sequence(_h0, _h1, interval {freq})")
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key, "bucket_ts"], "left")
+        .select(
+            key,
+            "bucket_ts",
+            F.round(F.last("_v", ignorenulls=True).over(w), 6).alias(
+                "filled_value"
+            ),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            (F.coalesce("n_obs", F.lit(0)) == 0).alias("is_gap"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    key: str = "user_id",
+    type_col: str = "event_type",
+    time: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time of
+    step 0, then the earliest step-1 event STRICTLY AFTER it, then the
+    earliest step-2 event strictly after that, and so on — the
+    sequential-conversion query (signup -> view -> click -> purchase)
+    behind every product-analytics funnel.
+
+    One conditional-min aggregate per step, each joined on the key:
+    every stage is a groupBy(key) over a FILTERED slice of the stream
+    (the step's own event type), so each aggregation is map-side
+    combinable and every exchange hashes the same key — AQE reuses the
+    partitioning across stages rather than re-shuffling the events.
+    The per-key stage frame stays one row wide; no event arrays are
+    ever collected (the collect_list formulation buffers a key's whole
+    history — the thing that dies on a 10^9-event power user).
+
+    Output: (key, t_<step0>, ..., t_<stepN>, funnel_stage) with
+    funnel_stage = number of stages reached; keys that never fired
+    step 0 are absent.
+    """
+    ev = events.select(key, type_col, time)
+    cur = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(time).alias(f"t_{steps[0]}"))
+    )
+    prev = f"t_{steps[0]}"
+    for s in steps[1:]:
+        nxt = (
+            ev.filter(F.col(type_col) == s)
+            .join(cur.select(key, prev), key)
+            .filter(F.col(time) > F.col(prev))
+            .groupBy(key)
+            .agg(F.min(time).alias(f"t_{s}"))
+        )
+        cur = cur.join(nxt, key, "left")
+        prev = f"t_{s}"
+    stage = None
+    for s in steps:
+        bit = F.col(f"t_{s}").isNotNull().cast("int")
+        stage = bit if stage is None else stage + bit
+    return cur.withColumn("funnel_stage", stage)

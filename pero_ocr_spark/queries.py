@@ -144,6 +144,7 @@ _CHECK_FIRST = (
     "training_pack_interleaved", "corpus_drift_kl",
     "events_stream_enrich", "events_stream_join",
     "decontam_span_mask", "corpus_balanced_shards",
+    "corpus_leakage_safe_split", "events_gap_fill", "events_funnel",
 )
 
 
@@ -5641,4 +5642,125 @@ def q_corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sampling.balanced_shards(
         _t(spark, sf_dir, "documents"), n_shards=64
+    )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM common JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+  WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+r AS (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+  SELECT * FROM reach),
+cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+g AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN cl USING (doc_id))
+SELECT doc_id, group_id,
+       CASE WHEN (group_id*69069 + 12345) % 2147483647 % 100 < 10
+              THEN 'test'
+            WHEN (group_id*69069 + 12345) % 2147483647 % 100 < 20
+              THEN 'val'
+            ELSE 'train' END AS split
+FROM g
+""",
+)
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval-leakage guard: the split residue is computed on the
+    # duplicate-CLUSTER id (min doc_id of the connected component from
+    # MinHash-LSH pairs at 0.8 jaccard), so near-duplicate docs can
+    # never straddle train/val/test — plain per-doc hashing puts a
+    # training doc's near-twin in the eval set ~20% of the time
+    from pero_ocr_spark.operators import dedup, sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    return sampling.leakage_safe_split(docs, clusters)
+
+
+@register(
+    "events_gap_fill",
+    """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         arg_max(value, ts) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT user_id, min(bucket_ts) h0, max(bucket_ts) h1
+      FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b),
+j AS (
+  SELECT g.user_id, g.bucket_ts, o.v, coalesce(o.n, 0) AS n
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket_ts))
+SELECT user_id, bucket_ts,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS UNBOUNDED PRECEDING), 6) AS filled_value,
+       CAST(n AS BIGINT) AS n_obs,
+       n = 0 AS is_gap
+FROM j
+""",
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOCF gap-filling onto a fixed hourly grid (the TimescaleDB
+    # time_bucket_gapfill + locf analog): per-user grid generated
+    # in-row via sequence(), last-observation carry via ONE
+    # ignorenulls running window — O(1) carry state per key
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.gap_fill(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_funnel",
+    """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t_view FROM events e
+  JOIN s0 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s0.t_signup GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+  JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+  JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+SELECT s0.user_id, t_signup, t_view, t_click, t_purchase,
+       CAST(1 + (t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+              + (t_purchase IS NOT NULL)::INT AS INT) AS funnel_stage
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered conversion funnel (signup -> view -> click -> purchase):
+    # one conditional-min per stage, every exchange on the same key —
+    # no per-user event arrays are ever buffered
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.funnel(
+        _t(spark, sf_dir, "events"),
+        ("signup", "view", "click", "purchase"),
     )

@@ -84,3 +84,31 @@ def test_balanced_shards_matches_global_cumsum(spark):
         docs.repartition(13), n_shards=8, bucket_width=16
     ).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert (out == again).all().all()
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from pero_ocr_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], ["doc_id"]
+    )
+    # three synthetic near-dup clusters, min-doc_id labels
+    clusters = spark.createDataFrame(
+        [(1, 1), (57, 1), (199, 1), (8, 8), (12, 8), (20, 20), (21, 20)],
+        ["doc_id", "cluster_id"],
+    )
+    out = sampling.leakage_safe_split(docs, clusters).toPandas()
+    assert len(out) == 300
+    by_group = out.groupby("group_id")["split"].nunique()
+    assert (by_group == 1).all()  # a cluster is entirely one split
+    # cluster members share the label's split, singletons their own
+    g = out.set_index("doc_id")
+    assert g.loc[57, "split"] == g.loc[1, "split"]
+    assert g.loc[199, "split"] == g.loc[1, "split"]
+    assert g.loc[12, "split"] == g.loc[8, "split"]
+    # singleton split matches the plain residue rule
+    r = (123 * 69069 + 12345) % 2147483647 % 100
+    want = "test" if r < 10 else ("val" if r < 20 else "train")
+    assert g.loc[123, "split"] == want
+    # all three splits occur
+    assert set(out["split"]) == {"train", "val", "test"}

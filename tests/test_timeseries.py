@@ -86,3 +86,58 @@ def test_range_join_overlapping_intervals_yield_all_pairs(spark):
         ).collect()
     )
     assert got == ["a", "b"]
+
+
+def test_gap_fill_locf_and_grid(spark):
+    from pero_ocr_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # user 1: obs at hours 0 and 3 -> hours 1,2 are LOCF gaps
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=10), 11.0),  # later in same hour wins
+        (1, t0 + dt.timedelta(hours=3), 40.0),
+        # user 2: single obs -> single-row grid, no gaps
+        (2, t0 + dt.timedelta(hours=5), 7.5),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = gap_fill(ev).toPandas().sort_values(
+        ["user_id", "bucket_ts"]
+    ).reset_index(drop=True)
+
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 4  # hours 0..3 inclusive
+    assert list(u1["filled_value"]) == [11.0, 11.0, 11.0, 40.0]
+    assert list(u1["is_gap"]) == [False, True, True, False]
+    assert list(u1["n_obs"]) == [2, 0, 0, 1]
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and not u2["is_gap"].iloc[0]
+
+
+def test_funnel_stage_semantics(spark):
+    from pero_ocr_spark.operators.timeseries import funnel
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", t(1)), (1, "view", t(2)),
+        (1, "click", t(3)), (1, "purchase", t(4)),
+        # user 2: purchase BEFORE click -> stage stops at click
+        (2, "signup", t(1)), (2, "view", t(2)),
+        (2, "purchase", t(3)), (2, "click", t(4)),
+        # user 3: signup only
+        (3, "signup", t(1)),
+        # user 4: no signup -> absent even with later steps
+        (4, "view", t(1)), (4, "click", t(2)),
+        # user 5: view at EXACTLY signup time does not count (strict >)
+        (5, "signup", t(1)), (5, "view", t(1)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = funnel(ev, ("signup", "view", "click", "purchase"))
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["funnel_stage"] == 4
+    assert got[2]["funnel_stage"] == 3
+    assert got[2]["t_purchase"] is None
+    assert got[3]["funnel_stage"] == 1
+    assert got[5]["funnel_stage"] == 1 and got[5]["t_view"] is None
