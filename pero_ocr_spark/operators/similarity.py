@@ -434,3 +434,68 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dup_gate: float = 0.98,
+    n_planes: int = N_PLANES,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k MOST-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the informative ones live just outside
+    the class boundary). Candidates above ``dup_gate`` cosine are
+    excluded as probable false negatives (near-duplicate twins whose
+    label disagrees by annotation noise — mining them as negatives is
+    the classic way to poison the loss).
+
+    Same LSH candidate generation as :func:`ann_bucketed_topk`
+    (anchor probes every bucket within hamming ≤ ``multi_probe``;
+    candidates arrive through an equi-join on bucket — no cross join
+    in the plan), with the label inequality and the dup gate applied
+    to the candidate stream before ranking. Deterministic
+    (cosine desc, id asc) tiebreak.
+
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    base = with_bucket(with_norm(emb), n_planes=n_planes)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col(label_col).alias("q_label"),
+        "bucket",
+    ).withColumn("bucket", F.explode(_probe_buckets(n_planes, multi_probe)))
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col(label_col).alias("c_label"),
+        "bucket",
+    )
+    sim = F.round(
+        _dot(_to_double(F.col("q_emb")), _to_double(F.col("c_emb")))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(queries), "bucket")
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("c_label") != F.col("q_label"))
+        )
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") < dup_gate)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -145,6 +145,7 @@ _CHECK_FIRST = (
     "events_stream_enrich", "events_stream_join",
     "decontam_span_mask", "corpus_balanced_shards",
     "corpus_leakage_safe_split", "events_gap_fill", "events_funnel",
+    "similarity_hard_negatives",
 )
 
 
@@ -5763,4 +5764,37 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.funnel(
         _t(spark, sf_dir, "events"),
         ("signup", "view", "click", "purchase"),
+    )
+
+
+def _hard_neg_oracle() -> str:
+    return f"""
+{_COS_E_CTE}
+, eb AS (SELECT vec_id, emb, nrm, label, {_duck_bucket_expr()} AS bucket
+         FROM e JOIN embeddings USING (vec_id))
+, sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cosine
+  FROM eb q JOIN eb c
+    ON bit_count(xor(c.bucket, q.bucket)) <= 2
+   AND c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)}))
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM sims WHERE cosine < 0.98)
+WHERE rn <= 5
+"""
+
+
+@register("similarity_hard_negatives", _hard_neg_oracle())
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive hard-negative mining: per anchor, the top-5 most-
+    # similar DIFFERENT-label vectors through the LSH candidate join
+    # (hamming <= 2 probes), with a 0.98-cosine dup gate dropping
+    # probable false negatives before ranking
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.hard_negative_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
     )

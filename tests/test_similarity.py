@@ -150,3 +150,27 @@ class TestSQ8Quantization:
             "max(array_max(transform(q_emb, x -> abs(x)))) AS m"
         ).collect()[0]["m"]
         assert codes <= 127
+
+
+def test_hard_negative_topk_label_and_dup_gate(spark):
+    from pero_ocr_spark.operators import similarity
+
+    # anchor 0 (label 0); a same-label near-twin, a diff-label
+    # near-twin above the dup gate, and diff-label hard negatives
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),    # same label: excluded
+        (2, [0.9999, 0.001, 0.0, 0.0], 1),  # diff label, cos>0.98: gated
+        (3, [0.9, 0.3, 0.0, 0.0], 1),       # hard negative
+        (4, [0.7, 0.7, 0.0, 0.0], 2),       # softer negative
+        (5, [-1.0, 0.0, 0.0, 0.0], 1),      # easy negative (far bucket)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negative_topk(
+        emb, [0], k=5, dup_gate=0.98
+    ).toPandas().sort_values("rank")
+    got = list(out["neighbor_id"])
+    assert 1 not in got, got   # same label never mined
+    assert 2 not in got, got   # dup gate holds
+    assert got[0] == 3, got    # hardest valid negative first
+    assert (out["cosine"] < 0.98).all()
