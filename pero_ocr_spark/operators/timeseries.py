@@ -245,3 +245,84 @@ def funnel(
         bit = F.col(f"t_{s}").isNotNull().cast("int")
         stage = bit if stage is None else stage + bit
     return cur.withColumn("funnel_stage", stage)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    key: str = "user_id",
+    time: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by the week of their FIRST
+    event; for every later week each user is active, the cohort's
+    retained-user count at that week offset — the triangle behind
+    every retention dashboard.
+
+    Two aggregates and one join, all keyed on the user: first-week per
+    user (min over a filtered scan, map-side combinable), distinct
+    active (user, week) pairs, an equi-join on the user carrying the
+    cohort week, then a count-distinct per (cohort_week, week_offset)
+    — whose key domain is weeks², tiny at any corpus scale, so the
+    final exchange is never the bottleneck; the user-keyed stages
+    reuse one hash partitioning under AQE.
+
+    Output: (cohort_week, week_offset, n_users) — offset 0 row is the
+    cohort's size.
+    """
+    week = F.date_trunc("week", F.col(time))
+    first = events.groupBy(key).agg(F.min(week).alias("cohort_week"))
+    active = events.select(key, week.alias("week")).distinct()
+    offset = (
+        (
+            F.unix_timestamp(F.col("week").cast("timestamp"))
+            - F.unix_timestamp(F.col("cohort_week").cast("timestamp"))
+        )
+        / (7 * 86400)
+    ).cast("int")
+    return (
+        active.join(first, key)
+        .select("cohort_week", offset.alias("week_offset"), key)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(key).cast("long").alias("n_users"))
+    )
+
+
+def rolling_window_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    time: str = "ts",
+    value: str = "value",
+    window_seconds: int = 86_400,
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the
+    count / exact sum / max of the same key's events within the
+    preceding ``window_seconds`` (inclusive of the event itself) — a
+    time-RANGE frame, not a row frame, so irregular event spacing is
+    handled exactly (the velocity/abuse-rate feature shape).
+
+    One key shuffle; the frame is a RANGE window over epoch seconds,
+    which Spark evaluates with a sliding two-pointer buffer bounded by
+    the window span — no per-key history materializes. The sum runs
+    over value scaled to exact 1e-4 integer ticks so the result is
+    identical regardless of intra-frame addition order (a double sum
+    differs in final ulps between engines).
+
+    Output: (event_id, key, ts_s, rolling_n, rolling_sum, rolling_max).
+    """
+    ts_s = F.unix_timestamp(F.col(time).cast("timestamp"))
+    ticks = F.round(F.col(value) * 10_000).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("ts_s")
+        .rangeBetween(-window_seconds, 0)
+    )
+    return (
+        events.select("event_id", key, ts_s.alias("ts_s"), ticks.alias("_t"))
+        .select(
+            "event_id",
+            key,
+            "ts_s",
+            F.count(F.lit(1)).over(w).cast("long").alias("rolling_n"),
+            F.round(F.sum("_t").over(w) / 10_000.0, 4).alias("rolling_sum"),
+            F.round(F.max("_t").over(w) / 10_000.0, 4).alias("rolling_max"),
+        )
+    )

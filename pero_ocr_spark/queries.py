@@ -146,6 +146,7 @@ _CHECK_FIRST = (
     "decontam_span_mask", "corpus_balanced_shards",
     "corpus_leakage_safe_split", "events_gap_fill", "events_funnel",
     "similarity_hard_negatives",
+    "events_retention_cohorts", "events_rolling_window",
 )
 
 
@@ -5798,3 +5799,55 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(
         _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT f.cohort_week,
+       CAST((CAST(floor(epoch(a.week)) AS BIGINT)
+             - CAST(floor(epoch(f.cohort_week)) AS BIGINT))
+            / (7 * 86400) AS INT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention triangle: users bucketed by first-event week,
+    # distinct-active counts at each later week offset; the final agg
+    # key domain is weeks^2, so only the user-keyed stages carry data
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rolling_window",
+    """
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 10000) AS BIGINT) AS tk
+  FROM events)
+SELECT event_id, user_id, ts_s,
+       CAST(count(*) OVER w AS BIGINT) AS rolling_n,
+       round(sum(tk) OVER w / 10000.0, 4) AS rolling_sum,
+       round(max(tk) OVER w / 10000.0, 4) AS rolling_max
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing 24h per-user velocity features over a time-RANGE frame
+    # (irregular spacing handled exactly); the sum runs on 1e-4 integer
+    # ticks so intra-frame addition order can't flip a final ulp
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.rolling_window_stats(_t(spark, sf_dir, "events"))

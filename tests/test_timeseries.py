@@ -141,3 +141,41 @@ def test_funnel_stage_semantics(spark):
     assert got[2]["t_purchase"] is None
     assert got[3]["funnel_stage"] == 1
     assert got[5]["funnel_stage"] == 1 and got[5]["t_view"] is None
+
+
+def test_retention_cohorts_triangle(spark):
+    from pero_ocr_spark.operators.timeseries import retention_cohorts
+
+    d = lambda day: dt.datetime(2024, 1, day)  # Jan 1 2024 is a Monday
+    rows = [
+        (1, d(1)), (1, d(8)), (1, d(16)),   # cohort w0, active w0,w1,w2
+        (2, d(2)), (2, d(3)),               # cohort w0, active w0 only
+        (3, d(9)),                          # cohort w1
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_week"].day, r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {(1, 0): 2, (1, 1): 1, (1, 2): 1, (8, 0): 1}
+
+
+def test_rolling_window_range_frame(spark):
+    from pero_ocr_spark.operators.timeseries import rolling_window_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (10, 1, t0, 1.0),
+        (11, 1, t0 + dt.timedelta(hours=12), 2.5),
+        # exactly 24h after event 11: still inside ITS window, but
+        # event 10 (36h earlier) has fallen out
+        (12, 1, t0 + dt.timedelta(hours=36), 4.0),
+        (13, 2, t0, 100.0),  # other key never leaks in
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {r["event_id"]: r for r in rolling_window_stats(ev).collect()}
+    assert got[10]["rolling_n"] == 1 and got[10]["rolling_sum"] == 1.0
+    assert got[11]["rolling_n"] == 2 and got[11]["rolling_sum"] == 3.5
+    assert got[12]["rolling_n"] == 2 and got[12]["rolling_sum"] == 6.5
+    assert got[12]["rolling_max"] == 4.0
+    assert got[13]["rolling_n"] == 1 and got[13]["rolling_sum"] == 100.0
