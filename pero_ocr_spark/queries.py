@@ -129,6 +129,13 @@ _CHECK_FIRST = (
     "iceberg_snapshot_reads", "icetable_upsert_delete",
     "icetable_schema_evolution", "icetable_stream_ingest",
     "icetable_incremental_agg",
+    # round-4 session-5 additions: distinct operator families, each
+    # worth an external row more than a second cousin of a checked one
+    "corpus_balanced_shards", "decontam_span_mask",
+    "corpus_leakage_safe_split", "events_gap_fill",
+    "similarity_hard_negatives", "events_funnel",
+    "events_retention_cohorts", "events_rolling_window",
+    "events_stream_enrich", "events_stream_join",
     "web_pagerank", "web_anchor_text", "host_quality_priors",
     "html_template_strip", "html_ensemble_extract",
     "html_densitometric_classify", "html_outlinks",
@@ -142,11 +149,6 @@ _CHECK_FIRST = (
     "sketch_histogram_quantiles", "sample_weighted_aes",
     "events_stream_hll_users", "corpus_zipf_fit",
     "training_pack_interleaved", "corpus_drift_kl",
-    "events_stream_enrich", "events_stream_join",
-    "decontam_span_mask", "corpus_balanced_shards",
-    "corpus_leakage_safe_split", "events_gap_fill", "events_funnel",
-    "similarity_hard_negatives",
-    "events_retention_cohorts", "events_rolling_window",
 )
 
 
