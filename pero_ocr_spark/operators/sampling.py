@@ -511,3 +511,50 @@ def balanced_shards(
             ),
         )
     )
+
+
+def skew_profile(
+    docs: DataFrame,
+    key: str = "source",
+    cost_col: str = "n_chars",
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Pre-flight shuffle-skew profiler: per join/groupBy key, its row
+    and byte share of the corpus, the skew factor vs a uniform key
+    (share x n_keys), and the salt factor a skew-aware job would apply
+    (how many sub-keys to split this key into so no reducer holds more
+    than ~1/target_partitions of the data).
+
+    This is the measurement HALF of explicit skew handling: run it on
+    the candidate key BEFORE launching the 100 TB job, feed
+    ``salt_factor`` to the salted repartition (the apply half —
+    ``lineage.repartition_weighted`` for size skew, AQE skew-join for
+    the rest). One map-side-combinable agg over the corpus; everything
+    downstream (shares, window max) runs on |keys| rows.
+
+    Output: (key, n_docs, total_cost, cost_share, skew_factor,
+    salt_factor).
+    """
+    per = docs.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(cost_col).cast("long")).alias("total_cost"),
+    )
+    tot = per.agg(
+        F.sum("total_cost").alias("_tot"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    share = F.col("total_cost") / F.col("_tot")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n_docs",
+            "total_cost",
+            F.round(share, 6).alias("cost_share"),
+            F.round(share * F.col("_nkeys"), 6).alias("skew_factor"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(share * target_partitions).cast("int"),
+            ).alias("salt_factor"),
+        )
+    )

@@ -133,7 +133,7 @@ _CHECK_FIRST = (
     # worth an external row more than a second cousin of a checked one
     "corpus_balanced_shards", "decontam_span_mask",
     "corpus_leakage_safe_split", "events_gap_fill",
-    "similarity_hard_negatives", "events_funnel",
+    "similarity_hard_negatives", "events_funnel", "corpus_skew_profile",
     "events_retention_cohorts", "events_rolling_window",
     "events_stream_enrich", "events_stream_join",
     "web_pagerank", "web_anchor_text", "host_quality_priors",
@@ -2799,7 +2799,7 @@ def q_decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     is_bench = sampling._residue(41) == 3
     return dedup.decontaminate(
-        docs.filter(~is_bench), docs.filter(is_bench), n=4, threshold=0.2
+        docs.filter(~is_bench), docs.filter(is_bench), n=5, threshold=0.2
     )
 
 
@@ -5853,3 +5853,28 @@ def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import timeseries
 
     return timeseries.rolling_window_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "corpus_skew_profile",
+    """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_cost
+  FROM documents GROUP BY 1),
+t AS (SELECT sum(total_cost) AS tot, count(*) AS nkeys FROM per)
+SELECT source, n_docs, total_cost,
+       round(total_cost / tot, 6) AS cost_share,
+       round(total_cost * nkeys / tot, 6) AS skew_factor,
+       CAST(greatest(1, ceil(total_cost * 32 / tot)) AS INT) AS salt_factor
+FROM per, t
+""",
+)
+def q_corpus_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-flight shuffle-skew profiler for a candidate key: byte share,
+    # skew factor vs uniform, and the salt factor a skew-aware job
+    # feeds to its salted repartition — the measurement half of
+    # "partitioning / shuffle / skew handled explicitly"
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.skew_profile(_t(spark, sf_dir, "documents"))

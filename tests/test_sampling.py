@@ -112,3 +112,32 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert g.loc[123, "split"] == want
     # all three splits occur
     assert set(out["split"]) == {"train", "val", "test"}
+
+
+def test_skew_profile_salt_factors(spark):
+    from pero_ocr_spark.operators import sampling
+
+    # one whale key holding half the bytes among 5 keys
+    rows = [(i, "whale" if i < 50 else f"s{i % 4}",
+             1000 if i < 50 else 125) for i in range(150)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r["source"]: r for r in
+           sampling.skew_profile(docs, target_partitions=32).collect()}
+    assert len(out) == 5
+    whale = out["whale"]
+    assert whale["cost_share"] == 0.8  # 50k of 62.5k
+    assert whale["skew_factor"] == 4.0
+    assert whale["salt_factor"] == 26  # ceil(0.8 * 32)
+    for k, r in out.items():
+        if k != "whale":
+            # share 0.05 still exceeds 1/32 -> split in 2
+            assert r["salt_factor"] == 2, (k, r)
+            assert r["cost_share"] == 0.05
+    assert abs(sum(r["cost_share"] for r in out.values()) - 1.0) < 1e-6
+    # a uniform key needs no salting at all
+    uni = spark.createDataFrame(
+        [(i, f"s{i % 64}", 100) for i in range(640)],
+        ["doc_id", "source", "n_chars"],
+    )
+    out2 = sampling.skew_profile(uni, target_partitions=32).collect()
+    assert all(r["salt_factor"] == 1 for r in out2)
