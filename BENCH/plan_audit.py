@@ -35,6 +35,12 @@ AUDIT = [
     "host_quality_priors",
     "training_pack_interleaved",
     "events_asof_join",
+    "corpus_balanced_shards",
+    "decontam_span_mask",
+    "corpus_leakage_safe_split",
+    "events_gap_fill",
+    "similarity_hard_negatives",
+    "events_rolling_window",
 ]
 
 
