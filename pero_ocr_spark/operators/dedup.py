@@ -1001,3 +1001,67 @@ def cdc_chunk_dedup(
             6,
         ).alias("dup_char_frac"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, min_containment: float = 0.5
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle CONTAINMENT
+    C(A→B) = |A∩B| / |A|: high containment with modest Jaccard means
+    one document is (nearly) a subset of the other — quote expansions,
+    boilerplate-wrapped copies, truncated mirrors — pairs the
+    symmetric Jaccard threshold deliberately ignores. Emits every pair
+    whose LARGER directional containment clears ``min_containment``,
+    with the direction that achieved it.
+
+    Plan shape: identical to the exact-Jaccard engine — inverted-index
+    self-join on the shingle key (only co-shingled pairs enter the
+    shuffle), one per-doc size agg joined twice on the pair's doc keys.
+    Nothing broadcasts (sizes are corpus-sized at 10^12 docs); at scale
+    the candidate set comes from the MinHash/LSH band join instead and
+    this verification runs per-candidate, exactly like
+    ``minhash_lsh_pairs`` — containment is just a different final
+    expression over the same (common, na, nb) triple.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    paired = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    c_ab = F.col("common") / F.col("na")  # A contained in B
+    c_ba = F.col("common") / F.col("nb")  # B contained in A
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("size_a"),
+            F.col("nb").cast("long").alias("size_b"),
+            F.round(F.greatest(c_ab, c_ba), 6).alias("containment"),
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            # ties (equal sizes) resolve to the a→b direction
+            F.when(c_ab >= c_ba, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -245,3 +245,61 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def hits(docs: DataFrame, n_docs: int, iterations: int = 3) -> DataFrame:
+    """HITS hubs & authorities over the deterministic link graph:
+    ``iterations`` mutual-reinforcement steps from the uniform vector
+    (auth ← Σ hub over in-edges, hub ← Σ auth over out-edges), each
+    vector max-normalized per step. PageRank scores WHERE links land;
+    HITS separates pages that POINT WELL (hubs — link directories,
+    index pages) from pages POINTED AT well (authorities) — crawl
+    schedulers seed from hubs, quality priors weight authorities.
+
+    Scale shape: same iterated shuffle as ``pagerank`` — score vector
+    joins the edge list on one endpoint key, re-aggregates on the
+    other; neither side broadcasts (both are corpus-sized at 10^12
+    docs), the edge list is persisted once and reused by all 2×k
+    joins. Normalization uses MAX, not an L2 sum: max is
+    order-independent under floating point, so the oracle's
+    serial reduction and Spark's partial-agg tree agree exactly; the
+    one-row max result is the only broadcast (a scalar).
+    """
+    nodes = docs.select("doc_id")
+    edges = synth_edges(docs, n_docs).persist()
+    hub = nodes.select("doc_id", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(
+                hub.select(F.col("doc_id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        auth = nodes.join(a_raw, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        amax = auth.agg(F.max("a").alias("amax"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "doc_id", (F.col("a") / F.col("amax")).alias("auth")
+        )
+        h_raw = (
+            edges.join(
+                auth.select(F.col("doc_id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        hub = nodes.join(h_raw, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        hmax = hub.agg(F.max("h").alias("hmax"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "doc_id", (F.col("h") / F.col("hmax")).alias("hub")
+        )
+    return auth.join(hub, "doc_id").select(
+        "doc_id",
+        F.round("auth", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )

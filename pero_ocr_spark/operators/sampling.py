@@ -558,3 +558,96 @@ def skew_profile(
             ).alias("salt_factor"),
         )
     )
+
+
+def span_corruption(docs: DataFrame, mask_pct: int = 15) -> DataFrame:
+    """T5-style span-corruption pair generation: ~``mask_pct``% of each
+    document's tokens are masked by a deterministic position hash,
+    CONSECUTIVE masked tokens collapse into one sentinel, and the doc
+    becomes an (input, target) pair —
+
+        input  = unmasked tokens with ``<extra_id_k>`` at each span
+        target = ``<extra_id_k> span tokens ...`` + final sentinel
+
+    exactly the denoising objective's data layout, generated in the
+    engine instead of the training loader. The mask is a pure LCG over
+    (doc_id, position) — no RNG state, identical in ANSI SQL — so every
+    epoch regenerates the same pairs and resume is trivial.
+
+    Plan shape: posexplode → three windows on the SAME (doc_id, pos)
+    ordering (one sort, no extra exchange: lag, span-start running sum)
+    → one groupBy(doc_id) reassembly via sorted-struct array_join. One
+    shuffle on doc_id total; per-doc state is bounded by document
+    length, the same bound every reassembly stage in the engine
+    already carries.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    masked = (
+        F.pmod(
+            F.col("doc_id") * 1_103_515_245 + F.col("pos") * 69_069 + 12_345,
+            F.lit(HASH_P),
+        )
+        % 100
+        < mask_pct
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        tok.withColumn("masked", masked)
+        .withColumn(
+            "span_start",
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "span_idx",
+            F.sum(F.col("span_start").cast("long")).over(wrun),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_idx") - 1).cast("string"), F.lit(">")
+    )
+    t = t.select(
+        "doc_id",
+        "pos",
+        "span_idx",
+        F.when(~F.col("masked"), F.col("token"))
+        .when(F.col("span_start"), sentinel)
+        .alias("ip"),
+        F.when(
+            F.col("masked") & F.col("span_start"),
+            F.concat(sentinel, F.lit(" "), F.col("token")),
+        )
+        .when(F.col("masked"), F.col("token"))
+        .alias("tp"),
+    )
+    g = t.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "ip", "tp"))
+        ).alias("arr"),
+        F.max("span_idx").cast("long").alias("n_spans"),
+    )
+    final_sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return g.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("arr"), lambda s: s["ip"]), " "
+        ).alias("input_text"),
+        F.when(F.col("n_spans") == 0, F.lit("<extra_id_0>"))
+        .otherwise(
+            F.concat(
+                F.array_join(
+                    F.transform(F.col("arr"), lambda s: s["tp"]), " "
+                ),
+                F.lit(" "),
+                final_sentinel,
+            )
+        )
+        .alias("target_text"),
+        "n_spans",
+    )

@@ -499,3 +499,86 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def margin_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 4,
+    k_out: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based pair mining (the Artetxe & Schwenk bitext-mining
+    criterion): candidate score is the RATIO of the pair's cosine to
+    the mean cosine of each side's k-NN neighborhood,
+
+        margin(q, c) = cos(q, c) / ((avgk(q) + avgk(c)) / 2)
+
+    which suppresses hub vectors — points globally close to everything
+    score no margin even at high raw cosine. Emits the top ``k_out``
+    candidates per query by margin (deterministic tiebreak on id).
+
+    Neighborhoods are defined over the query↔corpus candidate pairs
+    themselves: avgk(q) over the corpus, avgk(c) over the query set —
+    both computable from the ONE broadcast cross product, so the plan
+    is: corpus ⋈ broadcast(queries) → two windows (query_id;
+    neighbor_id) → final top-k window. The corpus never self-joins. At
+    10^12 docs mining runs per query-chunk with exactly this plan; the
+    neighbor-keyed window shuffles |corpus|×|Q| rows, bounded by the
+    chunk size |Q|.
+    """
+    base = with_norm(emb)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            cosine_col(
+                F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    wc = Window.partitionBy("neighbor_id").orderBy(
+        F.col("cosine").desc(), F.col("query_id")
+    )
+    ranked = pairs.withColumn("rq", F.row_number().over(wq)).withColumn(
+        "rc", F.row_number().over(wc)
+    )
+    avg_q = ranked.filter(F.col("rq") <= k_nn).groupBy("query_id").agg(
+        F.avg("cosine").alias("avgk_q")
+    )
+    avg_c = ranked.filter(F.col("rc") <= k_nn).groupBy("neighbor_id").agg(
+        F.avg("cosine").alias("avgk_c")
+    )
+    scored = (
+        pairs.join(F.broadcast(avg_q), "query_id")
+        .join(avg_c, "neighbor_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") * 2 / (F.col("avgk_q") + F.col("avgk_c")), 6
+            ),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wm).cast("long"))
+        .filter(F.col("rank") <= k_out)
+        .select("query_id", "neighbor_id", "cosine", "margin", "rank")
+    )

@@ -731,3 +731,70 @@ def corpus_drift(
         F.round(F.sum("js_t").cast("double"), 6).alias("js_div"),
         F.round(F.sum("tv_t").cast("double"), 6).alias("tv_dist"),
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document n-gram novelty against crawl order: the fraction of
+    a document's distinct word n-grams whose FIRST corpus occurrence is
+    this document (first = min doc_id; doc_id is the crawl sequence).
+    Low-novelty documents are near-copies, quote farms, or template
+    spam — the complement of the dedup family's pairwise view, usable
+    as a per-doc score without materializing pairs.
+
+    Plan shape: one shuffle on the gram key (window ``min(doc_id)``
+    over the gram partition — no gram↔doc join is ever built) and one
+    map-side-combinable agg back on doc_id. At 10^12 docs the gram
+    table is the big exchange; it is the same exchange every
+    shingle-keyed dedup stage already pays, and nothing broadcasts.
+    """
+    from pero_ocr_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n)
+    first = F.min("doc_id").over(Window.partitionBy("shingle"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        sh.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets: per LANGUAGE,
+    documents are ranked by perplexity under the self-trained character
+    bigram LM (``lm_perplexity_scores``) and split into exact terciles
+    — head = most fluent third. CCNet publishes exactly this artifact
+    (per-language perplexity buckets from a KenLM reference model);
+    the bucket label then drives sampling weights downstream.
+
+    Exactness over approximation: ``ntile(3)`` with a fully
+    deterministic ordering (score, doc_id) — not ``percentile_approx``
+    thresholds — so the oracle reproduces the split bit-for-bit. Plan
+    shape: the LM scoring's one corpus shuffle, then ONE sort-shuffle
+    partitioned by language (bounded partitions: languages are few;
+    per-language skew is absorbed by the range sort within ntile). At
+    10^12 docs a production variant would ntile within (lang, shard)
+    and merge rank boundaries; the per-language exact sort is the
+    correctness baseline.
+    """
+    scored = lm_perplexity_scores(docs).select("doc_id", "avg_logprob")
+    langs = docs.select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        scored.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+            ).alias("bucket"),
+        )
+    )

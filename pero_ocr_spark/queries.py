@@ -149,6 +149,11 @@ _CHECK_FIRST = (
     "sketch_histogram_quantiles", "sample_weighted_aes",
     "events_stream_hll_users", "corpus_zipf_fit",
     "training_pack_interleaved", "corpus_drift_kl",
+    # session-6 wave: novelty scoring, subsumption dedup, CCNet
+    # buckets, margin mining, T5 denoising pairs, HITS
+    "text_ngram_novelty", "dedup_containment_pairs",
+    "corpus_ccnet_buckets", "similarity_margin_pairs",
+    "training_span_corruption", "web_hits",
 )
 
 
@@ -5878,3 +5883,285 @@ def q_corpus_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import sampling
 
     return sampling.skew_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Session-6 wave: n-gram novelty, containment dedup, CCNet buckets,
+# margin pair mining, T5 span corruption, HITS.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_ngram_novelty",
+    """
+WITH r AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 4),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]))) AS shingle
+  FROM r WHERE len(ws) >= 5),
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty
+FROM g JOIN f USING (shingle)
+GROUP BY g.doc_id
+""",
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc novelty vs crawl order: fraction of a doc's distinct word
+    # 5-grams first introduced by that doc (first = min doc_id); one
+    # window min on the gram key, one agg back on doc_id — no join
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.ngram_novelty(_t(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+WITH r AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM r WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT c.doc_a, c.doc_b, c.common, sa.n AS na, sb.n AS nb
+  FROM c JOIN sz sa ON sa.doc_id = c.doc_a
+         JOIN sz sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b,
+       CAST(common AS BIGINT) AS n_common,
+       CAST(na AS BIGINT) AS size_a,
+       CAST(nb AS BIGINT) AS size_b,
+       round(greatest(common * 1.0 / na, common * 1.0 / nb), 6)
+         AS containment,
+       round(common * 1.0 / (na + nb - common), 6) AS jaccard,
+       CASE WHEN common * 1.0 / na >= common * 1.0 / nb
+            THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM p
+WHERE round(greatest(common * 1.0 / na, common * 1.0 / nb), 6) >= 0.5
+""",
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric subsumption dedup: directional shingle containment
+    # |A∩B|/|A| over the same inverted-index join as exact Jaccard —
+    # catches truncated mirrors and boilerplate-wrapped copies that a
+    # symmetric Jaccard threshold ignores
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_containment=0.5
+    )
+
+
+_CCNET_BUCKETS_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, string_split(text, '') AS cs FROM documents
+  WHERE len(text) >= 2),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(cs) - 1),
+                i -> cs[i] || cs[i+1])) AS bigram
+  FROM ch),
+c2 AS (SELECT bigram, count(*) AS n2 FROM g GROUP BY 1),
+c1 AS (SELECT substr(bigram, 1, 1) AS ctx, sum(n2) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT c) AS vsize
+      FROM (SELECT unnest(string_split(text, '')) AS c FROM documents)),
+s AS (
+  SELECT g.doc_id,
+         round(avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vsize))), 6) AS avg_logprob
+  FROM g
+  JOIN c2 USING (bigram)
+  JOIN c1 ON substr(g.bigram, 1, 1) = c1.ctx
+  CROSS JOIN v
+  GROUP BY g.doc_id)
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id)] AS bucket
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
+@register("corpus_ccnet_buckets", _CCNET_BUCKETS_ORACLE)
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail terciles per language under the
+    # self-trained char-bigram LM; EXACT ntile with a deterministic
+    # (score, doc_id) ordering, not approx-percentile thresholds
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+_MARGIN_ORACLE = f"""
+{_COS_E_CTE}
+, pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rq,
+         row_number() OVER (PARTITION BY neighbor_id
+                            ORDER BY cosine DESC, query_id) AS rc
+  FROM pairs),
+aq AS (SELECT query_id, avg(cosine) AS avgk_q FROM rk WHERE rq <= 4 GROUP BY 1),
+ac AS (SELECT neighbor_id, avg(cosine) AS avgk_c FROM rk WHERE rc <= 4 GROUP BY 1),
+m AS (
+  SELECT p.query_id, p.neighbor_id, p.cosine,
+         round(p.cosine * 2 / (aq.avgk_q + ac.avgk_c), 6) AS margin
+  FROM pairs p JOIN aq USING (query_id) JOIN ac USING (neighbor_id))
+SELECT query_id, neighbor_id, cosine, margin, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY margin DESC, neighbor_id) AS rn
+      FROM m)
+WHERE rn <= 3
+"""
+
+
+@register("similarity_margin_pairs", _MARGIN_ORACLE)
+def q_similarity_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Artetxe–Schwenk margin criterion: pair score = cosine over the
+    # mean of both sides' k-NN neighborhoods — hub vectors score no
+    # margin; top-3 candidates per query from one broadcast cross
+    # product and three windows
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.margin_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k_nn=4, k_out=3
+    )
+
+
+@register(
+    "training_span_corruption",
+    """
+WITH r AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+t AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ws))) AS pos,
+         unnest(ws) AS token
+  FROM r),
+m AS (
+  SELECT doc_id, pos, token,
+         ((doc_id*1103515245 + pos*69069 + 12345) % 2147483647) % 100 < 15
+           AS masked
+  FROM t),
+s AS (
+  SELECT *,
+         masked AND NOT coalesce(
+           lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           AS span_start
+  FROM m),
+x AS (
+  SELECT *,
+         sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS span_idx
+  FROM s),
+p AS (
+  SELECT doc_id, pos, span_idx,
+         CASE WHEN NOT masked THEN token
+              WHEN span_start
+              THEN '<extra_id_' || (span_idx - 1) || '>' END AS ip,
+         CASE WHEN masked AND span_start
+              THEN '<extra_id_' || (span_idx - 1) || '>' || ' ' || token
+              WHEN masked THEN token END AS tp
+  FROM x)
+SELECT doc_id,
+       string_agg(ip, ' ' ORDER BY pos) AS input_text,
+       CASE WHEN max(span_idx) = 0 THEN '<extra_id_0>'
+            ELSE string_agg(tp, ' ' ORDER BY pos)
+                 || ' <extra_id_' || max(span_idx) || '>' END AS target_text,
+       CAST(max(span_idx) AS BIGINT) AS n_spans
+FROM p
+GROUP BY doc_id
+""",
+)
+def q_training_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5 denoising pairs generated in-engine: LCG position mask,
+    # consecutive masked tokens collapse to one sentinel; one doc_id
+    # shuffle total (three windows share one sort)
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.span_corruption(
+        _t(spark, sf_dir, "documents"), mask_pct=15
+    )
+
+
+_HITS_ORACLE = """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+h0 AS (SELECT doc_id, 1.0 AS hub FROM documents),
+a1r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(h0.hub) FROM e JOIN h0 ON h0.doc_id = e.src
+                   WHERE e.dst = d.doc_id), 0.0) AS a
+  FROM documents d),
+a1 AS (SELECT doc_id, a / (SELECT max(a) FROM a1r) AS auth FROM a1r),
+h1r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(a1.auth) FROM e JOIN a1 ON a1.doc_id = e.dst
+                   WHERE e.src = d.doc_id), 0.0) AS h
+  FROM documents d),
+h1 AS (SELECT doc_id, h / (SELECT max(h) FROM h1r) AS hub FROM h1r),
+a2r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(h1.hub) FROM e JOIN h1 ON h1.doc_id = e.src
+                   WHERE e.dst = d.doc_id), 0.0) AS a
+  FROM documents d),
+a2 AS (SELECT doc_id, a / (SELECT max(a) FROM a2r) AS auth FROM a2r),
+h2r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(a2.auth) FROM e JOIN a2 ON a2.doc_id = e.dst
+                   WHERE e.src = d.doc_id), 0.0) AS h
+  FROM documents d),
+h2 AS (SELECT doc_id, h / (SELECT max(h) FROM h2r) AS hub FROM h2r),
+a3r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(h2.hub) FROM e JOIN h2 ON h2.doc_id = e.src
+                   WHERE e.dst = d.doc_id), 0.0) AS a
+  FROM documents d),
+a3 AS (SELECT doc_id, a / (SELECT max(a) FROM a3r) AS auth FROM a3r),
+h3r AS (
+  SELECT d.doc_id,
+         coalesce((SELECT sum(a3.auth) FROM e JOIN a3 ON a3.doc_id = e.dst
+                   WHERE e.src = d.doc_id), 0.0) AS h
+  FROM documents d),
+h3 AS (SELECT doc_id, h / (SELECT max(h) FROM h3r) AS hub FROM h3r)
+SELECT a3.doc_id, round(a3.auth, 6) AS authority, round(h3.hub, 6) AS hub
+FROM a3 JOIN h3 USING (doc_id)
+"""
+
+
+@register("web_hits", _HITS_ORACLE)
+def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities over the deterministic link graph: 3
+    # mutual-reinforcement steps, max-normalized (max is FP-order-
+    # independent, so the oracle's serial reduction agrees exactly);
+    # same iterated corpus-sized shuffle shape as pagerank
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.hits(docs, n_docs=docs.count(), iterations=3)

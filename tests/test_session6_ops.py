@@ -1,0 +1,223 @@
+"""Semantic probes for the session-6 operator wave: n-gram novelty,
+containment dedup, CCNet buckets, margin mining, T5 span corruption,
+and HITS — properties the oracle-parity hash can't articulate
+(reconstruction invariants, direction semantics, normalization)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pero_ocr_spark.operators import dedup, linkgraph, sampling, similarity, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_ngram_novelty_first_occurrence_wins(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),  # introduces both 5-grams
+            (2, "a b c d e f"),  # exact copy: zero novelty
+            (3, "x y z w v u"),  # disjoint: full novelty
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in textstats.ngram_novelty(d, n=5).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+
+
+def test_ngram_novelty_skips_short_docs(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "a b c d e")])
+    rows = textstats.ngram_novelty(d, n=5).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+# ------------------------------------------------------------ containment
+
+
+def test_containment_subset_scores_one(spark):
+    # doc 1's shingle set is a strict subset of doc 2's
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b c d e f"),
+            (3, "q r s t u v"),  # shares nothing
+        ],
+    )
+    rows = dedup.containment_pairs(d, n=3, min_containment=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["direction"] == "a_in_b"  # the SMALLER set is contained
+    assert r["jaccard"] < 1.0  # asymmetric pair invisible at jaccard=1
+
+
+def test_containment_direction_flips_with_sizes(spark):
+    d = _docs(spark, [(1, "a b c d e f"), (2, "a b c d")])
+    r = dedup.containment_pairs(d, n=3, min_containment=0.5).collect()[0]
+    assert r["direction"] == "b_in_a"
+    assert r["size_a"] > r["size_b"]
+
+
+# ---------------------------------------------------------- ccnet buckets
+
+
+def test_ccnet_buckets_terciles_per_language(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.ccnet_buckets(docs)
+    per = (
+        out.groupBy("lang", "bucket")
+        .count()
+        .groupBy("lang")
+        .agg(
+            F.max("count").alias("mx"),
+            F.min("count").alias("mn"),
+            F.sum("count").alias("n"),
+            F.count("*").alias("n_buckets"),
+        )
+        .collect()
+    )
+    for r in per:
+        # exact ntile: bucket sizes differ by at most 1 within a language
+        if r["n"] >= 3:
+            assert r["n_buckets"] == 3
+            assert r["mx"] - r["mn"] <= 1, r
+
+
+def test_ccnet_buckets_head_is_most_fluent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.ccnet_buckets(docs)
+    agg = (
+        out.groupBy("lang", "bucket")
+        .agg(F.min("avg_logprob").alias("lo"), F.max("avg_logprob").alias("hi"))
+        .collect()
+    )
+    by = {(r["lang"], r["bucket"]): r for r in agg}
+    for (lang, bucket), r in by.items():
+        if bucket == "head" and (lang, "tail") in by:
+            # every head doc is at least as fluent as every tail doc
+            assert r["lo"] >= by[(lang, "tail")]["hi"]
+
+
+# ---------------------------------------------------------- margin mining
+
+
+def test_margin_suppresses_hub(spark):
+    # vec 100 is a hub: moderately close to EVERYTHING. vec 101 is the
+    # query's genuine match: closest to the query, far from others.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),        # query
+        (100, [0.8, 0.6, 0.0], 1),      # hub-ish: close to query AND others
+        (101, [0.98, 0.199, 0.0], 1),   # true match
+        (102, [0.6, 0.8, 0.0], 1),
+        (103, [0.55, 0.835, 0.0], 1),
+        (104, [0.5, 0.866, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.margin_topk(emb, [0], k_nn=3, k_out=5)
+    got = {r["neighbor_id"]: r for r in out.collect()}
+    # raw cosine already ranks 101 first here; the margin must KEEP it
+    # first and rank every candidate deterministically
+    assert got[101]["rank"] == 1
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_margin_matches_manual_ratio(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.margin_topk(emb, [0, 1], k_nn=4, k_out=1).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
+    for r in out:
+        assert r["margin"] > 0
+
+
+# --------------------------------------------------------- span corruption
+
+
+def _reconstruct(input_text: str, target_text: str) -> str:
+    """Invert the corruption: substitute each input sentinel with its
+    target span."""
+    spans: dict[int, list[str]] = {}
+    cur = None
+    for tok in target_text.split(" "):
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            cur = int(m.group(1))
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    out: list[str] = []
+    for tok in input_text.split(" "):
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        out.extend(spans[int(m.group(1))] if m else [tok])
+    return " ".join(out)
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = sampling.span_corruption(docs, mask_pct=15)
+    joined = pairs.join(docs.select("doc_id", "text"), "doc_id").collect()
+    assert len(joined) == docs.count()
+    n_masked = 0
+    for r in joined:
+        assert _reconstruct(r["input_text"], r["target_text"]) == r["text"]
+        n_masked += r["n_spans"]
+    assert n_masked > 0  # the mask actually fires at 15%
+
+
+def test_span_corruption_collapses_runs(spark):
+    d = _docs(spark, [(7, " ".join(f"w{i}" for i in range(200)))])
+    r = sampling.span_corruption(d, mask_pct=60).collect()[0]
+    # at 60% mask rate runs MUST occur: fewer spans than masked tokens
+    masked_tokens = sum(
+        len(s.split(" ")) - 1
+        for s in re.split(r"<extra_id_\d+>", r["target_text"])
+        if s.strip()
+    )
+    assert 0 < r["n_spans"] <= masked_tokens
+    # sentinels in the input are exactly 0..n_spans-1 in order
+    ids = [int(m) for m in re.findall(r"<extra_id_(\d+)>", r["input_text"])]
+    assert ids == list(range(r["n_spans"]))
+
+
+def test_span_corruption_deterministic(spark):
+    d = _docs(spark, [(11, "alpha beta gamma delta epsilon zeta eta")])
+    a = sampling.span_corruption(d).collect()[0]
+    b = sampling.span_corruption(d).collect()[0]
+    assert (a["input_text"], a["target_text"]) == (
+        b["input_text"],
+        b["target_text"],
+    )
+
+
+# ------------------------------------------------------------------- HITS
+
+
+def test_hits_normalized_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = linkgraph.hits(docs, n_docs=docs.count(), iterations=3)
+    agg = out.agg(
+        F.max("authority").alias("ma"),
+        F.max("hub").alias("mh"),
+        F.min("authority").alias("na"),
+        F.min("hub").alias("nh"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["n"] == docs.count()
+    assert agg["ma"] == 1.0 and agg["mh"] == 1.0
+    assert agg["na"] >= 0.0 and agg["nh"] >= 0.0
