@@ -264,6 +264,16 @@ def hits(docs: DataFrame, n_docs: int, iterations: int = 3) -> DataFrame:
     order-independent under floating point, so the oracle's
     serial reduction and Spark's partial-agg tree agree exactly; the
     one-row max result is the only broadcast (a scalar).
+
+    Lineage control: unlike PageRank's linear chain, each HITS vector
+    is consumed TWICE per step (its own max + the opposite update), so
+    an unchecked plan doubles the recomputed subtree per reuse —
+    2^(2k) blowup (measured 19.7 s vs ~3 s at sf0.01). Each raw vector
+    is therefore ``localCheckpoint``-ed (lazily) and the SAME job that
+    materializes it reduces the max, which rides back out as a literal
+    — the k-means loop's bounded-lineage/driver-scalar discipline; at
+    cluster scale these are corpus-sized checkpoints, the standard
+    cost of iterated graph algorithms.
     """
     nodes = docs.select("doc_id")
     edges = synth_edges(docs, n_docs).persist()
@@ -277,13 +287,16 @@ def hits(docs: DataFrame, n_docs: int, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum("hub").alias("a"))
         )
-        auth = nodes.join(a_raw, "doc_id", "left").select(
-            "doc_id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        a = (
+            nodes.join(a_raw, "doc_id", "left")
+            .select("doc_id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
+            .localCheckpoint(eager=False)
         )
-        amax = auth.agg(F.max("a").alias("amax"))
-        auth = auth.crossJoin(F.broadcast(amax)).select(
-            "doc_id", (F.col("a") / F.col("amax")).alias("auth")
-        )
+        # ONE job materializes the lazy checkpoint AND reduces the max;
+        # the scalar rides to the executors as a literal (the k-means
+        # loop's centroid pattern — driver state is one double)
+        amax = a.agg(F.max("a")).collect()[0][0]
+        auth = a.select("doc_id", (F.col("a") / F.lit(amax)).alias("auth"))
         h_raw = (
             edges.join(
                 auth.select(F.col("doc_id").alias("dst"), "auth"), "dst"
@@ -291,13 +304,13 @@ def hits(docs: DataFrame, n_docs: int, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.sum("auth").alias("h"))
         )
-        hub = nodes.join(h_raw, "doc_id", "left").select(
-            "doc_id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        h = (
+            nodes.join(h_raw, "doc_id", "left")
+            .select("doc_id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
+            .localCheckpoint(eager=False)
         )
-        hmax = hub.agg(F.max("h").alias("hmax"))
-        hub = hub.crossJoin(F.broadcast(hmax)).select(
-            "doc_id", (F.col("h") / F.col("hmax")).alias("hub")
-        )
+        hmax = h.agg(F.max("h")).collect()[0][0]
+        hub = h.select("doc_id", (F.col("h") / F.lit(hmax)).alias("hub"))
     return auth.join(hub, "doc_id").select(
         "doc_id",
         F.round("auth", 6).alias("authority"),
