@@ -582,3 +582,134 @@ def margin_topk(
         .filter(F.col("rank") <= k_out)
         .select("query_id", "neighbor_id", "cosine", "margin", "rank")
     )
+
+
+def _round_half_away(x: float, nd: int = 6) -> float:
+    """Round-half-away-from-zero — matches Spark's F.round / DuckDB
+    round, NOT Python's banker's round (driver-side normalization must
+    agree with the plan-side rounding everywhere else)."""
+    import math
+
+    p = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def top_component(
+    emb: DataFrame, iterations: int = 3, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by DISTRIBUTED
+    power iteration, and each vector's projection onto it — the
+    1-component PCA every embedding-curation stack wants first
+    (outlier scoring along the dominant axis, de-biasing the dominant
+    direction before cosine dedup à la all-but-the-top).
+
+    v ← Σ_rows x·(xᵀv), normalized by max|v_i| per step (direction-
+    preserving, FP-order-independent). The Gram matrix is never
+    materialized: each step is ONE map-side-combinable aggregation of
+    dim partial sums; the driver holds dim scalars (the k-means
+    codebook pattern). Float parity: the per-row terms are rounded and
+    summed as DECIMAL(38,12) — exact, order-independent — so Spark's
+    partial-agg tree and the oracle's serial sum agree bit-for-bit
+    (zipf_fit's technique); the normalized vector re-rounds to 6.
+
+    Scale: 1 pass over the corpus per iteration, shuffle-free (the agg
+    reduces to one row); dims² never appears, so it holds at any
+    corpus size and any dim where dim doubles fit one driver row.
+    """
+    base = _spread(emb).select(id_col, _to_double(F.col("embedding")).alias("d"))
+    n_dims = len(base.select("d").first()["d"])
+    v = [1.0] * n_dims
+    for _ in range(iterations):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.round(_dot(F.col("d"), lit_v), 9)
+        sums = base.agg(
+            *[
+                F.sum(
+                    F.round(F.element_at("d", i + 1) * dot, 9).cast(
+                        "decimal(38,12)"
+                    )
+                ).alias(f"s{i}")
+                for i in range(n_dims)
+            ]
+        ).collect()[0]
+        raw = [float(sums[f"s{i}"]) for i in range(n_dims)]
+        m = max(abs(x) for x in raw)
+        v = [_round_half_away(x / m, 6) for x in raw]
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    return base.select(
+        id_col, F.round(_dot(F.col("d"), lit_v), 6).alias("projection")
+    )
+
+
+def rank_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_rrf: int = 60,
+    top_k: int = 20,
+    list_k: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a LEXICAL retriever (Okapi BM25 over
+    the documents table) and a SEMANTIC retriever (cosine against a
+    query embedding): rrf = Σ 1/(k + rank) over the lists that
+    retrieved the doc — the standard hybrid-search combiner, rank-only
+    so the two incomparable score scales never mix.
+
+    Plan shape: both retrievers produce a top-``list_k`` list (BM25's
+    explode collapses to query-term hits at the scan; the cosine side
+    is one broadcast of the single query vector over the embedding
+    scan), fused with ONE full-outer join on tiny lists. The corpus is
+    scanned twice — once per modality — and nothing corpus-sized
+    shuffles. The rrf terms are exact rationals in double (1/(60+r)),
+    so cross-engine determinism is free.
+    """
+    from pero_ocr_spark.operators.textstats import bm25_search
+
+    lex = bm25_search(docs, query_terms, top_k=list_k).select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    base = with_norm(emb)
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sem = (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            cosine_col(
+                F.col("q_emb"), F.col("q_nrm"), F.col("embedding"), F.col("nrm")
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        # distributed top-k (TakeOrdered — per-partition heads, no
+        # global sort); the rank window then runs on list_k rows only
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(list_k)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)),
+            9,
+        ),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_score", "fused_rank")
+    )

@@ -154,6 +154,7 @@ _CHECK_FIRST = (
     "text_ngram_novelty", "dedup_containment_pairs",
     "corpus_ccnet_buckets", "similarity_margin_pairs",
     "training_span_corruption", "web_hits",
+    "embedding_top_component", "search_rank_fusion",
 )
 
 
@@ -6165,3 +6166,113 @@ def q_web_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return linkgraph.hits(docs, n_docs=docs.count(), iterations=3)
+
+
+def _power_iter_cte(iters: int = 3, dims: int = 64) -> str:
+    """Unrolled distributed power iteration in DuckDB: per-dim sums of
+    round(x_i * round(x·v, 9), 9) as DECIMAL(38,12) (exact,
+    order-independent — zipf_fit's float-parity technique), then
+    max-|v|-normalize and re-round to 6 — identical arithmetic to
+    similarity.top_component."""
+    sql = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+           FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {dims})) AS i),
+v0 AS (SELECT list_transform(generate_series(1, {dims}), i -> 1.0) AS v)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+s{t} AS (
+  SELECT dims.i,
+         sum(CAST(round(e.d[dims.i]
+                        * round(list_dot_product(e.d, v{t-1}.v), 9), 9)
+             AS DECIMAL(38,12))) AS s
+  FROM e CROSS JOIN v{t-1} CROSS JOIN dims GROUP BY dims.i),
+m{t} AS (SELECT max(abs(s)) AS m FROM s{t}),
+v{t} AS (SELECT list(round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                     ORDER BY i) AS v
+         FROM s{t} CROSS JOIN m{t})"""
+    sql += f"""
+SELECT vec_id, round(list_dot_product(d, v{iters}.v), 6) AS projection
+FROM e CROSS JOIN v{iters}
+"""
+    return sql
+
+
+@register("embedding_top_component", _power_iter_cte())
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-component PCA by distributed power iteration: each step is ONE
+    # shuffle-free map-side-combinable agg of dim decimal partial sums
+    # (exact, order-independent); driver holds dim scalars; projection
+    # onto the dominant axis = the curation outlier score
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.top_component(
+        _t(spark, sf_dir, "embeddings"), iterations=3
+    )
+
+
+_RRF_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, len(ws) * 1.0 AS dl, unnest(ws) AS term FROM w),
+hits AS (
+  SELECT doc_id, term, count(*) * 1.0 AS tf, any_value(dl) AS dl
+  FROM tok WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, term),
+stats AS (SELECT count(*) * 1.0 AS n, avg(len(ws)) AS avgdl FROM w),
+dft AS (SELECT term, count(*) * 1.0 AS df FROM hits GROUP BY term),
+sc AS (
+  SELECT h.doc_id,
+         ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * h.tf * (1.2 + 1)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / st.avgdl)) AS c
+  FROM hits h JOIN dft d USING (term) CROSS JOIN stats st),
+lexlist AS (
+  SELECT doc_id, round(sum(c), 6) AS score FROM sc GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT 50),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM lexlist),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+q AS (SELECT emb, nrm FROM e WHERE vec_id = 0),
+semlist AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cosine
+  FROM e c CROSS JOIN q WHERE c.vec_id <> 0
+  ORDER BY cosine DESC, doc_id LIMIT 50),
+sem AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+           AS sem_rank
+  FROM semlist),
+f AS (
+  SELECT doc_id, lex_rank, sem_rank,
+         round(coalesce(1.0 / (60 + lex_rank), 0.0)
+               + coalesce(1.0 / (60 + sem_rank), 0.0), 9) AS rrf_score
+  FROM lex FULL OUTER JOIN sem USING (doc_id))
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(rn AS BIGINT) AS fused_rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM f)
+WHERE rn <= 20
+"""
+
+
+@register("search_rank_fusion", _RRF_ORACLE)
+def q_search_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    # cosine (semantic) top-50 lists — rank-only, so the incomparable
+    # score scales never mix; one full-outer join of two tiny lists
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.rank_fusion(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "window", "merge"],
+        query_vec_id=0,
+    )

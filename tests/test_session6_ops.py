@@ -221,3 +221,70 @@ def test_hits_normalized_and_bounded(spark, sf_dir):
     assert agg["n"] == docs.count()
     assert agg["ma"] == 1.0 and agg["mh"] == 1.0
     assert agg["na"] >= 0.0 and agg["nh"] >= 0.0
+
+
+# ------------------------------------------------------- power iteration
+
+
+def test_top_component_finds_dominant_axis(spark):
+    import math
+
+    # anisotropic cloud: dim 2 carries 10x the variance of dim 0
+    rows = []
+    for i in range(40):
+        a = math.sin(i * 1.7)  # deterministic "noise" in [-1, 1]
+        rows.append((i, [0.3 * a, 0.0, 10.0 * (i - 20) / 20.0, 0.1 * a]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r["projection"]
+        for r in similarity.top_component(emb, iterations=3).collect()
+    }
+    # projections must order like the dominant coordinate (up to sign)
+    coords = {i: 10.0 * (i - 20) / 20.0 for i in range(40)}
+    by_proj = sorted(out, key=out.get)
+    by_coord = sorted(coords, key=coords.get)
+    assert by_proj == by_coord or by_proj == by_coord[::-1]
+
+
+def test_top_component_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.top_component(emb).collect()
+    b = similarity.top_component(emb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------ rank fusion
+
+
+def test_rank_fusion_structure(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.rank_fusion(
+        docs, emb, ["spark", "window", "merge"], query_vec_id=0, top_k=10
+    ).collect()
+    assert len(rows) == 10
+    assert [r["fused_rank"] for r in rows] != []
+    assert sorted(r["fused_rank"] for r in rows) == list(range(1, 11))
+    scores = [r["rrf_score"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+
+
+def test_rank_fusion_both_lists_beat_one(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.rank_fusion(
+        docs, emb, ["spark", "window", "merge"], query_vec_id=0, top_k=20
+    ).collect()
+    both = [r for r in rows if r["lex_rank"] and r["sem_rank"]]
+    single_best = min(
+        (r["fused_rank"] for r in rows if not (r["lex_rank"] and r["sem_rank"])),
+        default=None,
+    )
+    if both and single_best is not None:
+        # some doc retrieved by BOTH modalities must outrank the best
+        # single-modality doc whenever its ranks aren't pathological
+        assert min(r["fused_rank"] for r in both) < single_best
