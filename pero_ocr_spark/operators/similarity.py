@@ -713,3 +713,179 @@ def rank_fusion(
         .filter(F.col("fused_rank") <= top_k)
         .select("doc_id", "lex_rank", "sem_rank", "rrf_score", "fused_rank")
     )
+
+
+def _lloyd(
+    base: DataFrame, k: int, iters: int, id_col: str = "vec_id"
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Lloyd loop over a pre-sliced (id, e: array<double>) frame —
+    kmeans_assign's exact arithmetic (init = first k ids rounded to 6,
+    ties to the lowest cell, per-dim means re-rounded to 6 per step) —
+    returning BOTH the final assignment and the codebook that produced
+    it (product quantization needs the codebook for the ADC tables;
+    kmeans_assign only surfaces the assignment)."""
+    spark = base.sparkSession
+    inits = (
+        base.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(
+            id_col,
+            F.transform(F.col("e"), lambda x: F.round(x, 6)).alias("c"),
+        )
+        .collect()
+    )
+    cent_pairs = [(int(r[id_col]), [float(v) for v in r["c"]]) for r in inits]
+    assign = None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            cent_pairs, "cell long, cent array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = base.crossJoin(F.broadcast(cent_df)).withColumn("d", dist)
+        assign = scored.groupBy(id_col).agg(
+            F.min_by("cell", F.struct("d", "cell")).alias("cell")
+        )
+        if it == iters - 1:
+            break
+        means = (
+            assign.join(base, id_col)
+            .select("cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda x: x["v"],
+                ).alias("cent")
+            )
+            .collect()
+        )
+        cent_pairs = sorted(
+            (int(r["cell"]), list(r["cent"])) for r in means
+        )
+    return assign, cent_pairs
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC — Jégou et al.): the vector splits into ``m`` subspaces, each
+    trained with its own ``ksub``-cell Lloyd quantizer, and a vector's
+    code is the m-tuple of nearest cells — dim·4 bytes collapse to m
+    codes. Search never decodes: per query, an m×ksub lookup table of
+    exact query↔centroid subdistances is built once, and a candidate's
+    distance is m table lookups summed.
+
+    This is the missing third leg of the quantization suite (IVF cells
+    route, SQ8 shrinks scans, PQ compresses residual geometry); at
+    10^12 vectors PQ codes are what actually fits in memory.
+
+    Plan shape: training = m independent Lloyd loops (each the k-means
+    pattern: broadcast codebook, min_by argmin, rounded means);
+    encoding = the m final assignments joined on the id (m small
+    shuffles); search = m broadcast LUT joins onto the code table —
+    the corpus side carries only (id, m codes), never the vectors.
+    Driver state: m·ksub·(dim/m) centroid doubles + the LUTs. Float
+    parity: LUT entries are python-summed then rounded to 9 (matching
+    the oracle's sequential list_sum), and the final ADC sum is a
+    FIXED-ORDER 4-term addition rounded to 6.
+    """
+    base = _spread(emb.select(id_col, _to_double(F.col("embedding")).alias("e")))
+    dims = len(base.select("e").first()["e"])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    w = dims // m
+    spark = emb.sparkSession
+
+    q_rows = {
+        int(r[id_col]): [float(v) for v in r["e"]]
+        for r in base.filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    # the base frame is scanned by every subspace's Lloyd loop —
+    # persist it once (it is re-read 3·m times otherwise)
+    base = base.persist()
+
+    def _train(j: int):
+        sub = base.select(id_col, F.slice("e", j * w + 1, w).alias("e"))
+        return _lloyd(sub, ksub, iters, id_col)
+
+    # the m quantizers are independent — train them CONCURRENTLY
+    # (driver threads submitting Spark jobs; the scheduler interleaves
+    # their stages, collapsing m sequential Lloyd loops into one)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        trained = list(pool.map(_train, range(m)))
+
+    enc = None
+    luts = []  # per subspace: DataFrame(query_id, code, l)
+    for j, (assign, cents) in enumerate(trained):
+        a = assign.select(id_col, F.col("cell").alias(f"k{j}"))
+        enc = a if enc is None else enc.join(a, id_col)
+        lut_rows = []
+        for qid, qv in q_rows.items():
+            qs = qv[j * w : (j + 1) * w]
+            for cell, cent in cents:
+                d = 0.0
+                for i in range(w):
+                    d += (qs[i] - cent[i]) * (qs[i] - cent[i])
+                lut_rows.append((qid, cell, _round_half_away(d, 9)))
+        luts.append(
+            spark.createDataFrame(
+                lut_rows, "query_id long, code long, l double"
+            )
+        )
+
+    out = enc
+    for j in range(m):
+        if j == 0:
+            lj = luts[j].select(
+                "query_id",
+                F.col("code").alias("k0"),
+                F.col("l").alias("l0"),
+            )
+            out = out.join(F.broadcast(lj), "k0")
+        else:
+            lj = luts[j].select(
+                F.col("query_id").alias("_q"),
+                F.col("code").alias(f"_c{j}"),
+                F.col("l").alias(f"l{j}"),
+            )
+            out = out.join(
+                F.broadcast(lj),
+                (F.col("_q") == F.col("query_id"))
+                & (F.col(f"k{j}") == F.col(f"_c{j}")),
+            ).drop("_q", f"_c{j}")
+    adc = F.round(
+        F.col("l0") + F.col("l1") + F.col("l2") + F.col("l3"), 6
+    ) if m == 4 else F.round(
+        sum((F.col(f"l{j}") for j in range(1, m)), F.col("l0")), 6
+    )
+    scored = (
+        out.filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -326,3 +326,49 @@ def rolling_window_stats(
             F.round(F.max("_t").over(w) / 10_000.0, 4).alias("rolling_max"),
         )
     )
+
+
+def mad_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly flagging by the MAD rule (Hampel / Iglewicz-
+    Hoaglin): per group, modified z = 0.6745·|x − median| / MAD where
+    MAD = median(|x − median|); |z| > 3.5 flags the point. Median/MAD
+    shrug off the very outliers a mean/stddev rule would absorb — the
+    standard telemetry-quality gate for pipeline metrics feeds.
+
+    Plan shape: two exact-percentile aggregations over the SAME group
+    key (groups are few — event types — so both results broadcast back
+    onto the stream); the corpus shuffles only for the two group aggs,
+    and at 10^12 events those become t-digest/histogram sketches with
+    identical downstream algebra. A zero MAD (≥50% identical values)
+    disables the rule for that group rather than dividing by zero —
+    the documented Hampel degenerate case.
+    """
+    med = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_dev, 0.5)").alias("mad")
+    )
+    z = F.when(
+        F.col("mad") == 0.0, F.lit(0.0)
+    ).otherwise(F.round(0.6745 * F.col("_dev") / F.col("mad"), 6))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .select(
+            "event_id",
+            F.col(group_col).alias("group_key"),
+            F.col(value_col).alias("value"),
+            F.round("med", 6).alias("group_median"),
+            F.round("mad", 6).alias("group_mad"),
+            z.alias("mod_z"),
+            (z > z_thresh).alias("is_anomaly"),
+        )
+    )

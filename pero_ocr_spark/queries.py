@@ -155,6 +155,7 @@ _CHECK_FIRST = (
     "corpus_ccnet_buckets", "similarity_margin_pairs",
     "training_span_corruption", "web_hits",
     "embedding_top_component", "search_rank_fusion",
+    "events_anomaly_mad", "similarity_ann_pq",
 )
 
 
@@ -6275,4 +6276,127 @@ def q_search_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"),
         ["spark", "window", "merge"],
         query_vec_id=0,
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1),
+z AS (
+  SELECT dev.event_id, dev.event_type, dev.value, dev.med, dev.d, mad.mad,
+         CASE WHEN mad.mad = 0 THEN 0.0
+              ELSE round(0.6745 * dev.d / mad.mad, 6) END AS mod_z
+  FROM dev JOIN mad USING (event_type))
+SELECT event_id, event_type AS group_key, value,
+       round(med, 6) AS group_median, round(mad, 6) AS group_mad,
+       mod_z, mod_z > 3.5 AS is_anomaly
+FROM z
+""",
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hampel/MAD robust anomaly gate: per-group exact medians via two
+    # broadcast-back aggs; modified z = 0.6745*|x-med|/MAD; zero MAD
+    # (>=50% ties) disables the rule instead of dividing by zero
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.mad_anomalies(_t(spark, sf_dir, "events"))
+
+
+def _pq_cte(m: int = 4, ksub: int = 16, iters: int = 3, dims: int = 64,
+            k: int = 5) -> str:
+    """Unrolled product quantization in DuckDB: per subspace, the
+    Lloyd CTE chain on the dim slice (same arithmetic as _kmeans_cte:
+    init rounded 6, ties to lowest cell, means re-rounded 6), then the
+    query LUTs (subdistances rounded 9) and the fixed-order ADC sum —
+    identical arithmetic to similarity.pq_topk."""
+    w = dims // m
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    sql = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+           FROM embeddings),
+dimw AS (SELECT unnest(generate_series(1, {w})) AS i)"""
+    for j in range(m):
+        a, b = j * w + 1, (j + 1) * w
+        sql += f""",
+es{j} AS (SELECT vec_id, d[{a}:{b}] AS s FROM e),
+c{j}_0 AS (
+  SELECT vec_id AS cell, list_transform(s, x -> round(x, 6)) AS cent
+  FROM es{j} WHERE vec_id < {ksub})"""
+        for t in range(iters):
+            sql += f""",
+a{j}_{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT es.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY es.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {w}),
+                       i -> (es.s[i] - c.cent[i]) * (es.s[i] - c.cent[i]))),
+                      c.cell) AS rn
+    FROM es{j} es CROSS JOIN c{j}_{t} c) WHERE rn = 1)"""
+            if t < iters - 1:
+                sql += f""",
+c{j}_{t + 1} AS (
+  SELECT cell, list(v ORDER BY i) AS cent FROM (
+    SELECT a.cell, dimw.i, round(avg(es.s[dimw.i]), 6) AS v
+    FROM a{j}_{t} a JOIN es{j} es USING (vec_id) CROSS JOIN dimw
+    GROUP BY a.cell, dimw.i) GROUP BY cell)"""
+        sql += f""",
+lut{j} AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         round(list_sum(list_transform(generate_series(1, {w}),
+               i -> (q.s[i] - c.cent[i]) * (q.s[i] - c.cent[i]))), 9) AS l
+  FROM es{j} q CROSS JOIN c{j}_{iters - 1} c
+  WHERE q.vec_id IN ({ids}))"""
+    T = iters - 1
+    joins = "\n  ".join(
+        f"JOIN a{j}_{T} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cell = enc.k{j} "
+        f"AND l{j}.query_id = l0.query_id"
+        for j in range(1, m)
+    )
+    adc_sum = " + ".join(f"l{j}.l" for j in range(m))
+    sql += f""",
+enc AS (
+  SELECT a0.vec_id, {", ".join(f"a{j}.cell AS k{j}" for j in range(m))}
+  FROM a0_{T} a0
+  {joins}),
+adc AS (
+  SELECT l0.query_id, enc.vec_id AS neighbor_id,
+         round({adc_sum}, 6) AS adc_dist
+  FROM enc JOIN lut0 l0 ON l0.cell = enc.k0
+  {lut_joins}
+  WHERE enc.vec_id <> l0.query_id)
+SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc)
+WHERE rn <= {k}
+"""
+    return sql
+
+
+@register("similarity_ann_pq", _pq_cte())
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product quantization + asymmetric distance (Jegou et al.): 4
+    # subspace Lloyd quantizers, vectors collapse to 4 codes, search =
+    # 4 broadcast LUT joins + a fixed-order 4-term sum — the corpus
+    # side carries codes only, never vectors; completes the
+    # quantization suite (IVF routes, SQ8 shrinks, PQ compresses)
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, m=4, ksub=16,
+        iters=3, k=5,
     )

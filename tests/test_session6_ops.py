@@ -288,3 +288,30 @@ def test_rank_fusion_both_lists_beat_one(spark, sf_dir):
         # some doc retrieved by BOTH modalities must outrank the best
         # single-modality doc whenever its ranks aren't pathological
         assert min(r["fused_rank"] for r in both) < single_best
+
+
+# --------------------------------------------------------------- PQ / ADC
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, qids, k=10).collect()
+    }
+    pq = similarity.pq_topk(emb, qids, m=4, ksub=16, iters=3, k=10).collect()
+    assert len(pq) == 40
+    hits = sum((r["query_id"], r["neighbor_id"]) in brute for r in pq)
+    # PQ is lossy, but 16 cells x 4 subspaces on this corpus must keep
+    # a meaningful fraction of the true neighborhood
+    assert hits >= 10, f"PQ recall@10 too low: {hits}/40"
+
+
+def test_pq_distances_monotone_per_query(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.pq_topk(emb, [0], m=4, ksub=16, iters=3, k=5).collect()
+    rows.sort(key=lambda r: r["rank"])
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["neighbor_id"] != 0 for r in rows)
