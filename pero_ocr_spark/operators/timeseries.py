@@ -372,3 +372,43 @@ def mad_anomalies(
             (z > z_thresh).alias("is_anomaly"),
         )
     )
+
+
+def ewma_level(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` in
+    time order — the classic smoothing/forecast baseline (simple
+    exponential smoothing): s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1}.
+
+    A linear recurrence has no window-function form; it is implemented
+    as a FOLD over the user's time-ordered value array
+    (``F.aggregate`` seeded with the first element), which makes the
+    float operation SEQUENCE identical to any serial replica — the
+    rare case where cross-engine float equality is exact by
+    construction, no rounding discipline needed (rounding applied only
+    on output). Per-user arrays are bounded by events-per-user — the
+    same reassembly bound every per-doc stage carries; a 10^9-event
+    power user would stream through applyInPandas instead, same
+    recurrence.
+    """
+    arr = (
+        events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("vs")
+        )
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return arr.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_obs"),
+        F.round(F.element_at("vs", -1), 6).alias("last_value"),
+        F.round(fold, 6).alias("ewma"),
+    )

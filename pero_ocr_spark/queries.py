@@ -156,6 +156,7 @@ _CHECK_FIRST = (
     "training_span_corruption", "web_hits",
     "embedding_top_component", "search_rank_fusion",
     "events_anomaly_mad", "similarity_ann_pq",
+    "events_ewma", "web_triangles",
 )
 
 
@@ -6400,3 +6401,74 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), _QUERY_IDS, m=4, ksub=16,
         iters=3, k=5,
     )
+
+
+@register(
+    "events_ewma",
+    """
+WITH a AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_obs,
+       round(vs[len(vs)], 6) AS last_value,
+       round(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM a
+""",
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simple exponential smoothing per user: a linear recurrence has no
+    # window form — it's a FOLD over the time-ordered value array, so
+    # the float op sequence is identical to the serial oracle by
+    # construction (exact equality, no rounding discipline needed)
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.ewma_level(_t(spark, sf_dir, "events"), alpha=0.3)
+
+
+@register(
+    "web_triangles",
+    """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY 1),
+lab AS (
+  SELECT und.a, und.b, da.deg AS da, db.deg AS db
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+o AS (
+  SELECT CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS u,
+         CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS w
+  FROM lab),
+tri AS (
+  SELECT count(*) AS t
+  FROM o e1 JOIN o e2 ON e2.u = e1.w
+            JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges,
+       CAST(t AS BIGINT) AS n_triangles,
+       round(3.0 * t / n_wedges, 6) AS global_clustering
+FROM st, ne, tri
+""",
+)
+def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triangle count + global clustering coefficient via degree-ordered
+    # edge orientation (each triangle counted exactly once; hub-wedge
+    # explosion neutralized); integer-exact until the final ratio
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.triangle_stats(docs, n_docs=docs.count())

@@ -315,3 +315,86 @@ def test_pq_distances_monotone_per_query(spark, sf_dir):
     dists = [r["adc_dist"] for r in rows]
     assert dists == sorted(dists)
     assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+# ------------------------------------------------------------------- EWMA
+
+
+def test_ewma_recurrence_manual(spark):
+    from pero_ocr_spark.operators import timeseries
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2026, 1, 1, 0, 0, i), 7, "view", float(v), "{}")
+        for i, v in enumerate([10.0, 20.0, 30.0])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = timeseries.ewma_level(ev, alpha=0.3).collect()[0]
+    # s1=10, s2=.3*20+.7*10=13, s3=.3*30+.7*13=18.1
+    assert r["n_obs"] == 3
+    assert abs(r["ewma"] - 18.1) < 1e-9
+    assert r["last_value"] == 30.0
+
+
+def test_ewma_single_observation_is_identity(spark):
+    from pero_ocr_spark.operators import timeseries
+    import datetime
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 1, 1), 9, "view", 42.5, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = timeseries.ewma_level(ev).collect()[0]
+    assert r["ewma"] == 42.5 and r["n_obs"] == 1
+
+
+# -------------------------------------------------------------- triangles
+
+
+def test_triangle_count_on_known_graph(spark):
+    from pero_ocr_spark.operators import linkgraph
+
+    # K4 minus one edge has exactly 2 triangles, 4 nodes, 5 edges
+    # synth_edges derives edges from doc_id arithmetic, so probe the
+    # internals directly with a hand-built undirected edge list is not
+    # possible through the public fn; instead verify the invariant on
+    # the synthetic graph: every triangle is a closed wedge, so
+    # 3*triangles <= wedges and the coefficient lands in [0, 1]
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    r = linkgraph.triangle_stats(docs, n_docs=30).collect()[0]
+    assert r["n_nodes"] >= 1 and r["n_edges"] >= 1
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["global_clustering"] <= 1.0
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    from pero_ocr_spark.operators import linkgraph
+
+    # brute-force cross-check at tiny scale: count triangles by
+    # enumerating all node triples over the same synthetic graph
+    docs = spark.range(24).withColumnRenamed("id", "doc_id")
+    got = linkgraph.triangle_stats(docs, n_docs=24).collect()[0]
+    edges = {
+        (r["a"], r["b"])
+        for r in linkgraph.synth_edges(docs, 24)
+        .selectExpr("least(src,dst) a", "greatest(src,dst) b")
+        .distinct()
+        .collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    brute = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        for c in nodes
+        if c > b
+        and (a, b) in edges
+        and (b, c) in edges
+        and (a, c) in edges
+    )
+    assert got["n_triangles"] == brute
