@@ -41,6 +41,13 @@ AUDIT = [
     "events_gap_fill",
     "similarity_hard_negatives",
     "events_rolling_window",
+    "text_ngram_novelty",
+    "dedup_containment_pairs",
+    "similarity_margin_pairs",
+    "training_span_corruption",
+    "search_rank_fusion",
+    "events_anomaly_mad",
+    "web_triangles",
 ]
 
 
