@@ -48,6 +48,9 @@ AUDIT = [
     "search_rank_fusion",
     "events_anomaly_mad",
     "web_triangles",
+    "web_components",
+    "web_communities_lpa",
+    "web_kcore",
 ]
 
 

@@ -52,6 +52,24 @@ def synth_edges(docs: DataFrame, n_docs: int) -> DataFrame:
     return edges.filter(F.col("src") != F.col("dst"))
 
 
+def synth_sparse_edges(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Deterministic SPARSE link graph for component-structure
+    operators: chain edges ``(i, i+1)`` broken at every ``i % 7 == 6``
+    (so the corpus splits into ~N/7 chains), plus a bridge
+    ``(i, i+15)`` at every ``i % 35 == 0`` merging neighboring chains.
+    Many components, diameters up to ~20+ — the long-thin regime where
+    naive min-label propagation needs O(diameter) rounds and the
+    large-star/small-star closure earns its keep."""
+    i = F.col("doc_id")
+    chains = docs.filter((i % 7 != 6) & (i + 1 < n_docs)).select(
+        i.alias("src"), (i + 1).alias("dst")
+    )
+    bridges = docs.filter((i % 35 == 0) & (i + 15 < n_docs)).select(
+        i.alias("src"), (i + 15).alias("dst")
+    )
+    return chains.unionByName(bridges)
+
+
 def anchor_text_corpus(docs: DataFrame, n_docs: int) -> DataFrame:
     """Anchor-text harvesting: what the web SAYS about each page.
 
@@ -383,4 +401,207 @@ def triangle_stats(docs: DataFrame, n_docs: int) -> DataFrame:
         F.round(F.lit(3.0 * tri) / F.col("n_wedges"), 6).alias(
             "global_clustering"
         ),
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components of the undirected link graph via
+    large-star / small-star alternation — the O(log n)-round
+    formulation (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) that web-scale dedup stacks use to close
+    duplicate-pair graphs when plain min-label propagation's
+    O(component diameter) rounds would be the bottleneck (a chain of
+    pairwise near-dups has diameter ~ component size).
+
+    * **large-star**: every node's strictly-larger neighbors re-attach
+      to the minimum of its closed neighborhood.
+    * **small-star**: on the resulting larger→smaller edges, each
+      node and its smaller neighbors all re-attach to the smallest.
+
+    Both steps preserve connectivity and strictly converge to a star
+    forest rooted at each component's minimum id; the loop stops when
+    the edge set fixpoints.
+
+    Scale shape: each half-step is one hash shuffle (groupBy the pivot
+    endpoint) + a distinct; nothing broadcasts (the edge list is
+    corpus-sized at 10^12 docs). Per-round driver state is ONE
+    fingerprint row — (edge count, XOR of xxhash64(u, v)) — reduced by
+    the same job that materializes the round's lazy ``localCheckpoint``
+    (the HITS/k-means bounded-lineage discipline; on a fault-tolerant
+    cluster swap in ``setCheckpointDir`` + eager ``checkpoint``).
+    Fixpoint is detected by fingerprint equality: the star forest is a
+    true fixpoint of both steps, so the fingerprint stabilizes exactly
+    when the edge set does.
+
+    Takes an explicit ``edges (src, dst)`` frame — the general closure
+    primitive: the link graph here, a near-dup pair list in the dedup
+    end-step (where it replaces ``dedup.duplicate_clusters``'s
+    diameter-bound propagation for pathological chain components).
+    Returns every node of ``nodes (doc_id)`` labeled with its
+    component's minimum id (isolated nodes label themselves).
+    """
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_fp = None
+    for _ in range(max_iterations):
+        # large-star over the full (symmetric) neighborhood of x
+        nbrs = e.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionByName(e.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        mins = nbrs.groupBy("x").agg(
+            F.least(F.min("y"), F.first("x")).alias("m")
+        )
+        large = (
+            nbrs.filter(F.col("y") > F.col("x"))
+            .join(mins, "x")
+            .filter(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: canonical u>v edges — every neighbor of u is
+        # smaller, so min(closed neighborhood) = min(v); u re-attaches
+        # too (u > m always, no self-loop possible)
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(mn, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                mn.select(F.col("u").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # overflow-free set fingerprint: count + XOR of 64-bit row
+        # hashes (sum() trips ANSI-mode ARITHMETIC_OVERFLOW at scale)
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    parents = e.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("component")
+    )
+    return nodes.select("doc_id").join(parents, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+
+
+def label_propagation(
+    docs: DataFrame, n_docs: int, iterations: int = 3
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the undirected link graph: every node
+    starts as its own label; each step it adopts the most frequent
+    label among its neighbors, ties broken toward the SMALLEST label
+    (the deterministic variant — the classic random tiebreak is
+    designed out, same discipline as the reading-order sorts).
+    Fixed ``iterations`` steps (k=3), the standard bounded-round usage
+    for spam-farm / mirror-cluster discovery on web graphs.
+
+    Scale shape per step: one shuffle to join labels onto edge
+    destinations, one map-side-combinable count per (node, candidate
+    label), one min-struct agg to pick (max count, min label) — the
+    (-count, label) struct-min trick keeps the argmax inside a single
+    partial-aggregable expression, no window over the corpus. Labels
+    chain linearly (each vector consumed once), so no checkpoints are
+    needed at k=3; nothing broadcasts.
+    """
+    edges = synth_edges(docs, n_docs)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("community"))
+    for _ in range(iterations):
+        cnts = (
+            und.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("community").alias("l")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"), "l")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            cnts.groupBy("doc_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("l").alias("l"))
+                ).alias("p")
+            )
+            .select("doc_id", F.col("p.l").alias("new_l"))
+        )
+        labels = labels.join(pick, "doc_id", "left").select(
+            "doc_id", F.coalesce("new_l", F.col("community")).alias("community")
+        )
+    return labels
+
+
+def kcore_membership(
+    docs: DataFrame, n_docs: int, k: int = 3, max_rounds: int = 30
+) -> DataFrame:
+    """k-core membership of the undirected link graph: iteratively
+    peel nodes of degree < k until every survivor has ≥ k surviving
+    neighbors. The k-core is the classic "dense backbone" filter —
+    link-spam and isolated-page pruning before graph-signal quality
+    priors (pages outside any 3-core get no PageRank-derived boost).
+
+    Peeling is the textbook iterated shuffle: degree agg → survivor
+    filter → semi-join the edge list on BOTH endpoints. The edge set
+    shrinks monotonically, so fixpoint detection is an exact edge
+    COUNT comparison (equal count ⇒ identical set — nothing is ever
+    added), one scalar per round reduced by the job that materializes
+    the round's lazy ``localCheckpoint``. Converges in at most
+    max-coreness·diameter rounds; real web graphs take a handful.
+
+    Returns every document with its final membership flag and its
+    degree inside the core (0 outside).
+    """
+    edges = synth_edges(docs, n_docs)
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        e = (
+            e.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    core_deg = e.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count("*").cast("int").alias("core_degree")
+    )
+    return docs.select("doc_id").join(core_deg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("core_degree", F.lit(0)).alias("core_degree"),
+        (F.coalesce("core_degree", F.lit(0)) >= k).alias("in_core"),
     )

@@ -157,6 +157,8 @@ _CHECK_FIRST = (
     "embedding_top_component", "search_rank_fusion",
     "events_anomaly_mad", "similarity_ann_pq",
     "events_ewma", "web_triangles",
+    # session-7: component closure, communities, dense backbone
+    "web_components", "web_communities_lpa", "web_kcore",
 )
 
 
@@ -6472,3 +6474,139 @@ def q_web_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return linkgraph.triangle_stats(docs, n_docs=docs.count())
+
+
+_LPA_GRAPH_CTE = """
+cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e0 AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+e AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0)
+"""
+
+
+def _lpa_round(r: int) -> str:
+    p = r - 1
+    return f""",
+c{r} AS (
+  SELECT e.a AS doc_id, l{p}.community AS l, count(*) AS c
+  FROM e JOIN l{p} ON l{p}.doc_id = e.b GROUP BY e.a, l{p}.community),
+p{r} AS (
+  SELECT doc_id, l FROM (
+    SELECT doc_id, l,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, l ASC)
+             AS rn
+    FROM c{r}) WHERE rn = 1),
+l{r} AS (
+  SELECT l{p}.doc_id, coalesce(p{r}.l, l{p}.community) AS community
+  FROM l{p} LEFT JOIN p{r} USING (doc_id))"""
+
+
+@register(
+    "web_components",
+    """
+WITH RECURSIVE
+cnt AS (SELECT count(*) AS n FROM documents),
+ch AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  WHERE doc_id % 7 <> 6 AND doc_id + 1 < (SELECT n FROM cnt)),
+br AS (
+  SELECT doc_id AS src, doc_id + 15 AS dst FROM documents
+  WHERE doc_id % 35 = 0 AND doc_id + 15 < (SELECT n FROM cnt)),
+e AS (
+  SELECT src, dst FROM ch UNION SELECT src, dst FROM br
+  UNION SELECT dst, src FROM ch UNION SELECT dst, src FROM br),
+reach (doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r)
+SELECT doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY doc_id
+""",
+)
+def q_web_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over the sparse chain+bridge graph via
+    # large-star/small-star (O(log n) rounds vs the chains' O(n/7)
+    # diameter under plain propagation); oracle = recursive-CTE
+    # reachability closure, tractable exactly because components are
+    # small (the Spark side never materializes the closure)
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = linkgraph.synth_sparse_edges(docs, n_docs=docs.count())
+    return linkgraph.connected_components(docs.select("doc_id"), edges)
+
+
+@register(
+    "web_communities_lpa",
+    "WITH "
+    + _LPA_GRAPH_CTE
+    + ",\nl0 AS (SELECT doc_id, doc_id AS community FROM documents)"
+    + "".join(_lpa_round(r) for r in (1, 2, 3))
+    + "\nSELECT doc_id, CAST(community AS BIGINT) AS community FROM l3",
+)
+def q_web_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synchronous label propagation, 3 rounds, smallest-label tiebreak;
+    # oracle = the same rounds unrolled as CTEs (count argmax via
+    # row_number ordered by (c DESC, l ASC) = the struct-min trick)
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.label_propagation(docs, n_docs=docs.count(),
+                                       iterations=3)
+
+
+def _kcore_round(r: int, k: int = 3) -> str:
+    p = r - 1
+    return f""",
+d{r} AS (SELECT a, count(*) AS deg FROM e{p} GROUP BY a),
+s{r} AS (SELECT a FROM d{r} WHERE deg >= {k}),
+e{r} AS (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN s{r} ka ON ka.a = e.a
+  JOIN s{r} kb ON kb.a = e.b)"""
+
+
+@register(
+    "web_kcore",
+    """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+eraw AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+e0 AS (
+  SELECT src AS a, dst AS b FROM eraw
+  UNION
+  SELECT dst AS a, src AS b FROM eraw)"""
+    + "".join(_kcore_round(r) for r in (1, 2, 3, 4, 5, 6))
+    + """,
+cd AS (SELECT a AS doc_id, CAST(count(*) AS INTEGER) AS core_degree
+       FROM e6 GROUP BY a)
+SELECT d.doc_id,
+       CAST(coalesce(cd.core_degree, 0) AS INTEGER) AS core_degree,
+       coalesce(cd.core_degree, 0) >= 3 AS in_core
+FROM documents d LEFT JOIN cd USING (doc_id)
+""",
+)
+def q_web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-core peeling to fixpoint; the oracle unrolls SIX peel rounds —
+    # peeling is monotone and idempotent past its fixpoint, and the
+    # parity test asserts the fixpoint lands within six rounds at the
+    # oracle SF, so the unrolled form is exact there
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.kcore_membership(docs, n_docs=docs.count(), k=3)
