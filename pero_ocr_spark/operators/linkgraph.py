@@ -605,3 +605,175 @@ def kcore_membership(
         F.coalesce("core_degree", F.lit(0)).alias("core_degree"),
         (F.coalesce("core_degree", F.lit(0)) >= k).alias("in_core"),
     )
+
+
+def trustrank(
+    docs: DataFrame,
+    n_docs: int,
+    iterations: int = 3,
+    damping: float = DAMPING,
+    seed_mod: int = 50,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB'04): PageRank personalized to a
+    trusted seed set — the web-spam demotion stage of URL-level corpus
+    curation. Teleportation mass goes ONLY to seeds (here the
+    deterministic "manually vetted" set ``doc_id % seed_mod == 0``),
+    so trust decays with link distance from the seeds instead of being
+    re-injected uniformly; pages unreachable from any seed converge to
+    exactly zero.
+
+    Same iterated-shuffle shape as :func:`pagerank` — rank joins the
+    persisted weighted edge list on ``src``, re-aggregates on ``dst``,
+    nothing broadcasts (the rank vector is corpus-sized at 10^12
+    docs) — only the teleport term differs: a per-row CASE on the seed
+    predicate, zero extra shuffles. The seed-set cardinality is pure
+    arithmetic on the contiguous id space (at scale: a count pushed to
+    the seed table's metadata), never a collected list.
+    """
+    nodes = docs.select("doc_id")
+    is_seed = F.col("doc_id") % seed_mod == 0
+    n_seeds = (n_docs + seed_mod - 1) // seed_mod
+    edges = synth_edges(docs, n_docs)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    weighted = edges.join(outdeg, "src").persist()
+
+    teleport = F.when(is_seed, F.lit((1.0 - damping) / n_seeds)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.select(
+        "doc_id",
+        F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias(
+            "trust"
+        ),
+    )
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                ranks.select(F.col("doc_id").alias("src"), "trust"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("trust") / F.col("deg")).alias("inflow"))
+        )
+        ranks = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                teleport
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("trust"),
+        )
+    return ranks.select(
+        "doc_id",
+        F.round("trust", 9).alias("trust"),
+        (F.round("trust", 9) > 0.0).alias("reachable"),
+    )
+
+
+def bfs_depth(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 16,
+) -> DataFrame:
+    """Minimum hop distance from a seed set over the undirected link
+    graph — crawl-depth analysis (how far does the frontier sit from
+    the vetted seeds?) and the distance feature TrustRank-style
+    curation thresholds on. Frontier-parallel BFS: each round joins
+    ONLY the just-settled frontier to the edge list and settles its
+    unvisited neighbors; settled nodes never re-enter the join, so
+    total work is O(edges touched), not O(rounds × edges).
+
+    Per round: one hash shuffle (frontier ⋈ edges) + a distinct + a
+    left join back onto the distance vector; the round's lazy
+    ``localCheckpoint`` bounds lineage and its materializing job also
+    reduces the ONE driver scalar (settled count) that detects the
+    fixpoint — monotone growth makes an exact count comparison a true
+    set-equality test. ``max_hops`` caps the rounds; beyond-cap nodes
+    report depth −1 (unreachable), mirrored by the oracle's hop-bound
+    closure.
+    """
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    dist = nodes.select("doc_id").join(
+        seeds.select("doc_id", F.lit(0).alias("depth")), "doc_id", "left"
+    )
+    prev_settled = None
+    for r in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("depth") == r - 1).select(
+            F.col("doc_id").alias("a")
+        )
+        reached = (
+            und.join(frontier, "a")
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit(r).alias("nd"))
+        )
+        dist = (
+            dist.join(reached, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("depth", "nd").alias("depth")
+            )
+            .localCheckpoint(eager=False)
+        )
+        settled = dist.agg(F.count("depth")).collect()[0][0]
+        if settled == prev_settled:
+            break
+        prev_settled = settled
+    return dist.select(
+        "doc_id",
+        F.coalesce(F.col("depth"), F.lit(-1)).cast("long").alias("depth"),
+        F.col("depth").isNotNull().alias("reachable"),
+    )
+
+
+def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Host-graph condensation: collapse the document-level link graph
+    to (src_host, dst_host) with link counts — the standard first
+    reduction of a web graph (10^12 pages → ~10^7 hosts) before
+    host-level spam/quality analysis, and the granularity at which
+    link-farm detection and host reputation actually run.
+
+    Scale shape: the SOURCE host is derived in the source row (the
+    edge synthesis and the host live in the same row — no join at
+    all), so the only corpus-sized operation is one equi-join carrying
+    the destination's host onto the edge list, followed by a map-side-
+    combinable aggregate to the host×host table (tiny). At real scale
+    the destination host is a projection of the target URL itself, so
+    even that join disappears; the synthetic graph links by doc_id, so
+    the join is kept honest here.
+    """
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    deg = (F.col("doc_id") % 3 + 2).cast("int")
+    exploded = docs.select(
+        F.col("doc_id").alias("src"),
+        host.alias("src_host"),
+        F.explode(F.sequence(F.lit(0), deg - 1)).alias("j"),
+    )
+    edges = exploded.select(
+        "src",
+        "src_host",
+        ((F.col("src") * 7 + F.col("j") * 13 + 1) % n_docs).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    dst_hosts = docs.select(
+        F.col("doc_id").alias("dst"), host.alias("dst_host")
+    )
+    return (
+        edges.join(dst_hosts, "dst")
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src").alias("n_src_docs"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            "n_links",
+            "n_src_docs",
+            (F.col("src_host") == F.col("dst_host")).alias("intra_host"),
+        )
+    )

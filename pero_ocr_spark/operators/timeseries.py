@@ -412,3 +412,144 @@ def ewma_level(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         F.round(F.element_at("vs", -1), 6).alias("last_value"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+def holt_linear(
+    events: DataFrame, alpha: float = 0.4, beta: float = 0.3
+) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + linear
+    trend) in time order — the standard trend-aware forecast baseline
+    one rung above :func:`ewma_level`:
+
+        l_1 = x_1,  b_1 = x_2 − x_1  (classic init; b_1 = 0 if n = 1)
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    The coupled recurrence has no window form; it is a FOLD over the
+    user's time-ordered values with a (level, trend) STRUCT
+    accumulator (``F.aggregate`` seeded with the classic init), so the
+    float operation sequence is identical to any serial replica —
+    exact cross-engine equality by construction, rounding only on
+    output. Per-user arrays are bounded by events-per-user, the same
+    reassembly bound every per-doc stage carries.
+    """
+    arr = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    vs = F.col("vs")
+    seed = F.struct(
+        F.element_at(vs, 1).alias("l"),
+        F.when(
+            F.size(vs) > 1, F.element_at(vs, 2) - F.element_at(vs, 1)
+        ).otherwise(F.lit(0.0)).alias("b"),
+    )
+
+    def step(acc, x):
+        new_l = F.lit(alpha) * x + F.lit(1.0 - alpha) * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (
+                F.lit(beta) * (new_l - acc["l"])
+                + F.lit(1.0 - beta) * acc["b"]
+            ).alias("b"),
+        )
+
+    fold = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))), seed, step
+    )
+    return arr.select(
+        "user_id",
+        F.size(vs).cast("long").alias("n_obs"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast"),
+    )
+
+
+def cusum_alarms(
+    events: DataFrame, k: float = 0.5, h: float = 5.0
+) -> DataFrame:
+    """Per-user one-sided CUSUM drift alarm (Page 1954): accumulate
+    positive deviations above a robust target and alarm when the
+    running sum clears a threshold — the standard sequential
+    change-detection gate on pipeline telemetry feeds (a level shift
+    trips it long before any per-point outlier rule does).
+
+        target = median + k·MAD          (robust, engine-exact)
+        s_0 = 0,  s_t = max(0, s_{t−1} + (x_t − target))
+        alarm ⇔ MAD > 0  ∧  max_t s_t > h·MAD
+
+    The (s, s_max) pair is a FOLD over the time-ordered deviations
+    with a 2-element array accumulator — identical float op sequence
+    to a serial scan, so cross-engine equality is exact by
+    construction. Median and MAD are exact order statistics (computed
+    from the user's sorted value array by the same even/odd-midpoint
+    formula on both engines), never a parallel float sum. One shuffle
+    total: the per-user aggregate that builds the array; everything
+    after is in-row.
+    """
+    arr = events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+
+    def arr_median(col):
+        n = F.size(col)
+        mid = F.floor((n + F.lit(1)) / 2).cast("int")
+        return F.when(
+            n % 2 == 1, F.element_at(col, mid)
+        ).otherwise(
+            (
+                F.element_at(col, (n / F.lit(2)).cast("int"))
+                + F.element_at(col, (n / F.lit(2)).cast("int") + 1)
+            )
+            / F.lit(2.0)
+        )
+
+    staged = (
+        arr.select("user_id", "vs", F.array_sort("vs").alias("sv"))
+        .select("user_id", "vs", arr_median(F.col("sv")).alias("med"))
+        .select(
+            "user_id",
+            "vs",
+            "med",
+            F.array_sort(
+                F.transform(F.col("vs"), lambda v: F.abs(v - F.col("med")))
+            ).alias("ma"),
+        )
+        .select(
+            "user_id", "vs", "med", arr_median(F.col("ma")).alias("mad")
+        )
+        .select(
+            "user_id",
+            "vs",
+            "mad",
+            (F.col("med") + F.lit(k) * F.col("mad")).alias("target"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(F.col("vs"), lambda v: v - F.col("target")),
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, d: F.array(
+            F.greatest(F.lit(0.0), F.element_at(acc, 1) + d),
+            F.greatest(
+                F.element_at(acc, 2),
+                F.greatest(F.lit(0.0), F.element_at(acc, 1) + d),
+            ),
+        ),
+    )
+    return staged.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_obs"),
+        F.round("target", 6).alias("target"),
+        F.round(F.element_at(fold, 2), 6).alias("cusum_max"),
+        (
+            (F.col("mad") > 0.0)
+            & (F.element_at(fold, 2) > F.lit(h) * F.col("mad"))
+        ).alias("alarm"),
+    )

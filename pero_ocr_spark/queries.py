@@ -159,6 +159,9 @@ _CHECK_FIRST = (
     "events_ewma", "web_triangles",
     # session-7: component closure, communities, dense backbone
     "web_components", "web_communities_lpa", "web_kcore",
+    # session-8: seeded trust, BFS depth, host condensation, Holt, CUSUM
+    "web_trustrank", "web_bfs_depth", "web_host_graph",
+    "events_holt", "events_cusum",
 )
 
 
@@ -6610,3 +6613,221 @@ def q_web_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return linkgraph.kcore_membership(docs, n_docs=docs.count(), k=3)
+
+
+_TRUSTRANK_ORACLE = """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+ns AS (SELECT count(*) AS s FROM documents WHERE doc_id % 50 = 0),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+r0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN 1.0/(SELECT s FROM ns)
+              ELSE 0.0 END AS trust
+  FROM documents),
+r1 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0 THEN (1.0-0.85)/(SELECT s FROM ns)
+              ELSE 0.0 END + 0.85*coalesce(s.inflow, 0.0) AS trust
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r0.trust/ew.deg) AS inflow
+    FROM ew JOIN r0 ON r0.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id)),
+r2 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0 THEN (1.0-0.85)/(SELECT s FROM ns)
+              ELSE 0.0 END + 0.85*coalesce(s.inflow, 0.0) AS trust
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r1.trust/ew.deg) AS inflow
+    FROM ew JOIN r1 ON r1.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id)),
+r3 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0 THEN (1.0-0.85)/(SELECT s FROM ns)
+              ELSE 0.0 END + 0.85*coalesce(s.inflow, 0.0) AS trust
+  FROM documents d LEFT JOIN (
+    SELECT ew.dst AS doc_id, sum(r2.trust/ew.deg) AS inflow
+    FROM ew JOIN r2 ON r2.doc_id = ew.src GROUP BY ew.dst) s USING (doc_id))
+SELECT doc_id, round(trust, 9) AS trust,
+       round(trust, 9) > 0.0 AS reachable
+FROM r3
+"""
+
+
+@register("web_trustrank", _TRUSTRANK_ORACLE)
+def q_web_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TrustRank (Gyongyi et al.): PageRank personalized to the vetted
+    # seed set doc_id % 50 == 0 — teleport mass goes ONLY to seeds, so
+    # trust decays with link distance and spam demotion falls out; same
+    # iterated-shuffle shape as web_pagerank, only the teleport CASE
+    # differs. Oracle = three unrolled power steps.
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.trustrank(docs, n_docs=docs.count(), iterations=3)
+
+
+@register(
+    "web_bfs_depth",
+    """
+WITH RECURSIVE
+cnt AS (SELECT count(*) AS n FROM documents),
+ch AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  WHERE doc_id % 7 <> 6 AND doc_id + 1 < (SELECT n FROM cnt)),
+br AS (
+  SELECT doc_id AS src, doc_id + 15 AS dst FROM documents
+  WHERE doc_id % 35 = 0 AND doc_id + 15 < (SELECT n FROM cnt)),
+e AS (
+  SELECT src, dst FROM ch UNION SELECT src, dst FROM br
+  UNION SELECT dst, src FROM ch UNION SELECT dst, src FROM br),
+bfs (doc_id, d) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.doc_id
+  WHERE bfs.d < 16),
+md AS (SELECT doc_id, min(d) AS d FROM bfs GROUP BY doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(md.d, -1) AS BIGINT) AS depth,
+       md.d IS NOT NULL AS reachable
+FROM documents doc LEFT JOIN md USING (doc_id)
+""",
+)
+def q_web_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frontier-parallel BFS: min hop distance from the seed set over
+    # the sparse chain+bridge graph, capped at 16 hops (-1 beyond);
+    # settled nodes never re-enter the join; fixpoint = settled-count
+    # scalar reduced with each round's lazy localCheckpoint. Oracle =
+    # hop-bounded recursive-CTE closure (tractable: components are
+    # small at oracle SF; the Spark side never materializes paths).
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = linkgraph.synth_sparse_edges(docs, n_docs=docs.count())
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return linkgraph.bfs_depth(docs.select("doc_id"), edges, seeds)
+
+
+@register(
+    "web_host_graph",
+    """
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT doc_id AS src,
+         unnest(generate_series(0, doc_id % 3 + 1)) AS j
+  FROM documents),
+e AS (
+  SELECT src, (src*7 + j*13 + 1) % (SELECT n FROM cnt) AS dst
+  FROM j
+  WHERE (src*7 + j*13 + 1) % (SELECT n FROM cnt) <> src),
+sh AS (SELECT doc_id, source || '.example.com' AS host FROM documents)
+SELECT s.host AS src_host, d.host AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT e.src) AS BIGINT) AS n_src_docs,
+       s.host = d.host AS intra_host
+FROM e JOIN sh s ON s.doc_id = e.src JOIN sh d ON d.doc_id = e.dst
+GROUP BY s.host, d.host
+""",
+)
+def q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # host-graph condensation (10^12 pages -> ~10^7 hosts): source host
+    # derived IN the edge's source row (no join), one corpus equi-join
+    # carries the destination host, then a map-side-combinable agg to
+    # the tiny host-by-host table
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.host_graph(docs, n_docs=docs.count())
+
+
+@register(
+    "events_holt",
+    """
+WITH a AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1),
+s AS (
+  SELECT user_id, len(vs) AS n,
+         list_reduce(
+           [[vs[1],
+             CASE WHEN len(vs) > 1 THEN vs[2] - vs[1]
+                  ELSE CAST(0.0 AS DOUBLE) END]]
+           || list_transform(vs[2:], v -> [v, CAST(0.0 AS DOUBLE)]),
+           (acc, x) -> [0.4*x[1] + 0.6*(acc[1] + acc[2]),
+                        0.3*(0.4*x[1] + 0.6*(acc[1] + acc[2]) - acc[1])
+                        + 0.7*acc[2]]) AS st
+  FROM a)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+       round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast
+FROM s
+""",
+)
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt double exponential smoothing (level + trend) per user: a
+    # coupled linear recurrence = FOLD with a (l, b) accumulator seeded
+    # by the classic init (l=x1, b=x2-x1) — float op sequence identical
+    # to the serial oracle BY CONSTRUCTION, exact equality, rounding
+    # only on output. Oracle accumulator is a 2-element LIST, not a
+    # struct: DuckDB 1.0 list_reduce leaks the already-updated first
+    # struct field into the second field's expression from the second
+    # step onward (list accumulators evaluate against the old value).
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.holt_linear(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_cusum",
+    """
+WITH a AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1),
+m AS (SELECT user_id, vs, list_sort(vs) AS sv, len(vs) AS n FROM a),
+med AS (
+  SELECT user_id, vs, n,
+         CASE WHEN n % 2 = 1 THEN sv[CAST((n+1)//2 AS INTEGER)]
+              ELSE (sv[CAST(n//2 AS INTEGER)]
+                    + sv[CAST(n//2 AS INTEGER) + 1]) / 2.0 END AS med
+  FROM m),
+mad0 AS (
+  SELECT user_id, vs, n, med,
+         list_sort(list_transform(vs, v -> abs(v - med))) AS ma
+  FROM med),
+mad AS (
+  SELECT user_id, vs, n, med,
+         CASE WHEN n % 2 = 1 THEN ma[CAST((n+1)//2 AS INTEGER)]
+              ELSE (ma[CAST(n//2 AS INTEGER)]
+                    + ma[CAST(n//2 AS INTEGER) + 1]) / 2.0 END AS mad
+  FROM mad0),
+t AS (SELECT user_id, vs, n, mad, med + 0.5 * mad AS target FROM mad),
+f AS (
+  SELECT user_id, n, mad, target,
+         list_reduce(
+           [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]]
+           || list_transform(vs, v -> [v - target, CAST(0.0 AS DOUBLE)]),
+           (acc, x) -> [greatest(0.0, acc[1] + x[1]),
+                        greatest(acc[2],
+                                 greatest(0.0, acc[1] + x[1]))]) AS st
+  FROM t)
+SELECT user_id, CAST(n AS BIGINT) AS n_obs, round(target, 6) AS target,
+       round(st[2], 6) AS cusum_max,
+       mad > 0.0 AND st[2] > 5.0 * mad AS alarm
+FROM f
+""",
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-sided CUSUM drift alarm per user (Page 1954): robust target
+    # (median + 0.5*MAD, exact order statistics via the SAME even/odd
+    # midpoint formula on both engines), then the (s, s_max) pair as a
+    # FOLD with a 2-element array accumulator — exact cross-engine
+    # equality by construction; alarm when s_max > 5*MAD
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.cusum_alarms(_t(spark, sf_dir, "events"))

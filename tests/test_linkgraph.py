@@ -281,3 +281,122 @@ class TestKCore:
         # dense result is non-trivial instead
         got = L.kcore_membership(docs, n_docs=n, k=6).toPandas()
         assert not got["in_core"].all()
+
+
+@pytest.mark.usefixtures("spark")
+class TestTrustRank:
+    def test_matches_naive_personalized_power_iteration(self, spark):
+        n, d, seed_mod = 120, 0.85, 50
+        edges = []
+        for i in range(n):
+            for j in range(2 + i % 3):
+                t = (i * 7 + j * 13 + 1) % n
+                if t != i:
+                    edges.append((i, t))
+        deg = np.zeros(n)
+        for s, _ in edges:
+            deg[s] += 1
+        seeds = [i for i in range(n) if i % seed_mod == 0]
+        r = np.zeros(n)
+        for s in seeds:
+            r[s] = 1.0 / len(seeds)
+        for _ in range(3):
+            nxt = np.zeros(n)
+            for s in seeds:
+                nxt[s] = (1 - d) / len(seeds)
+            for s, t in edges:
+                nxt[t] += d * r[s] / deg[s]
+            r = nxt
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = L.trustrank(docs, n_docs=n, iterations=3).toPandas()
+        for _, row in got.iterrows():
+            assert abs(row["trust"] - r[row["doc_id"]]) < 1e-8
+            assert row["reachable"] == (round(r[row["doc_id"]], 9) > 0.0)
+
+    def test_mass_concentrates_near_seeds(self, spark):
+        # a page unreachable from every seed must hold exactly zero
+        # trust (uniform-teleport PageRank would give it (1-d)/n)
+        n = 120
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = L.trustrank(docs, n_docs=n, iterations=3).toPandas()
+        unreachable = got[~got["reachable"]]
+        assert (unreachable["trust"] == 0.0).all()
+        assert got.loc[got["doc_id"] % 50 == 0, "trust"].min() > 0.0
+
+
+@pytest.mark.usefixtures("spark")
+class TestBfsDepth:
+    @staticmethod
+    def _naive(n, seeds, max_hops=16):
+        adj = {i: set() for i in range(n)}
+        for i in range(n):
+            if i % 7 != 6 and i + 1 < n:
+                adj[i].add(i + 1)
+                adj[i + 1].add(i)
+            if i % 35 == 0 and i + 15 < n:
+                adj[i].add(i + 15)
+                adj[i + 15].add(i)
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        for r in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = r
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        return dist
+
+    def test_matches_naive_bfs(self, spark):
+        n = 150
+        seeds_py = [i for i in range(n) if i % 50 == 0]
+        want = self._naive(n, seeds_py)
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = L.synth_sparse_edges(docs, n_docs=n)
+        seeds = docs.filter(F.col("doc_id") % 50 == 0)
+        got = L.bfs_depth(docs, edges, seeds).toPandas()
+        for _, row in got.iterrows():
+            assert row["depth"] == want.get(row["doc_id"], -1)
+            assert row["reachable"] == (row["doc_id"] in want)
+
+    def test_hop_cap_leaves_far_nodes_unreached(self, spark):
+        # one seed at 0, pure chain: nodes > max_hops away report -1
+        n = 30
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "doc_id long")
+        got = L.bfs_depth(docs, edges, seeds, max_hops=5).toPandas()
+        got = dict(zip(got["doc_id"], got["depth"]))
+        assert got[5] == 5
+        assert got[6] == -1 and got[n - 1] == -1
+
+
+@pytest.mark.usefixtures("spark")
+class TestHostGraph:
+    def test_matches_naive_condensation(self, spark):
+        n = 80
+        hosts = {i: f"h{i % 4}.example.com" for i in range(n)}
+        want = {}
+        srcs = {}
+        for i in range(n):
+            for j in range(2 + i % 3):
+                t = (i * 7 + j * 13 + 1) % n
+                if t != i:
+                    key = (hosts[i], hosts[t])
+                    want[key] = want.get(key, 0) + 1
+                    srcs.setdefault(key, set()).add(i)
+        docs = spark.createDataFrame(
+            [(i, f"h{i % 4}") for i in range(n)], "doc_id long, source string"
+        )
+        got = L.host_graph(docs, n_docs=n).toPandas()
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            key = (row["src_host"], row["dst_host"])
+            assert row["n_links"] == want[key]
+            assert row["n_src_docs"] == len(srcs[key])
+            assert row["intra_host"] == (key[0] == key[1])

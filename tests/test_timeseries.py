@@ -179,3 +179,96 @@ def test_rolling_window_range_frame(spark):
     assert got[12]["rolling_n"] == 2 and got[12]["rolling_sum"] == 6.5
     assert got[12]["rolling_max"] == 4.0
     assert got[13]["rolling_n"] == 1 and got[13]["rolling_sum"] == 100.0
+
+
+def _serial_holt(vs, a=0.4, b_=0.3):
+    l = vs[0]
+    b = vs[1] - vs[0] if len(vs) > 1 else 0.0
+    for x in vs[1:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    return round(l, 6), round(b, 6)
+
+
+def test_holt_matches_serial_recurrence(spark):
+    from pero_ocr_spark.operators.timeseries import holt_linear
+
+    series = {
+        1: [3.1, 3.36, 3.61, 45.24, 53.37, 12.0],
+        2: [10.0, 12.0, 14.0, 16.0],   # perfect trend: b stays 2
+        3: [7.5],                       # n=1: level=x1, trend=0
+    }
+    rows = [
+        (u, _t(i), u * 100 + i, v)
+        for u, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    got = {r.user_id: r for r in holt_linear(df).collect()}
+    for u, vs in series.items():
+        l, b = _serial_holt(vs)
+        assert got[u].n_obs == len(vs)
+        assert got[u].level == l
+        assert got[u].trend == b
+        assert got[u].forecast == round(
+            _unrounded_holt(vs)[0] + _unrounded_holt(vs)[1], 6
+        )
+    assert got[2].trend == 2.0 and got[2].forecast == 18.0
+    assert got[3].level == 7.5 and got[3].trend == 0.0
+
+
+def _unrounded_holt(vs, a=0.4, b_=0.3):
+    l = vs[0]
+    b = vs[1] - vs[0] if len(vs) > 1 else 0.0
+    for x in vs[1:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    return l, b
+
+
+def _serial_cusum(vs, k=0.5, h=5.0):
+    sv = sorted(vs)
+    n = len(sv)
+    med = sv[(n - 1) // 2] if n % 2 == 1 else (sv[n // 2 - 1] + sv[n // 2]) / 2.0
+    ma = sorted(abs(v - med) for v in vs)
+    mad = ma[(n - 1) // 2] if n % 2 == 1 else (ma[n // 2 - 1] + ma[n // 2]) / 2.0
+    target = med + k * mad
+    s = s_max = 0.0
+    for x in vs:
+        s = max(0.0, s + (x - target))
+        s_max = max(s_max, s)
+    return target, s_max, mad > 0.0 and s_max > h * mad
+
+
+def test_cusum_matches_serial_scan_and_flags_level_shift(spark):
+    from pero_ocr_spark.operators.timeseries import cusum_alarms
+
+    series = {
+        # noisy base then a late drift in the MINORITY of points: the
+        # median/MAD target stays on the base regime, so the CUSUM sum
+        # clears 5*MAD -> alarm (a 50/50 shift would move the median
+        # itself and correctly stay silent)
+        1: [4.9, 5.1] * 6 + [25.0] * 4,
+        2: [5.0, 5.1, 4.9, 5.0, 5.05],   # stable -> no alarm
+        3: [7.0, 7.0, 7.0],              # MAD = 0 -> alarm gated off
+    }
+    rows = [
+        (u, _t(i), u * 100 + i, v)
+        for u, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    got = {r.user_id: r for r in cusum_alarms(df).collect()}
+    for u, vs in series.items():
+        target, s_max, alarm = _serial_cusum(vs)
+        assert got[u].n_obs == len(vs)
+        assert got[u].target == round(target, 6)
+        assert got[u].cusum_max == round(s_max, 6)
+        assert got[u].alarm == alarm
+    assert got[1].alarm and not got[2].alarm and not got[3].alarm
