@@ -162,6 +162,10 @@ _CHECK_FIRST = (
     # session-8: seeded trust, BFS depth, host condensation, Holt, CUSUM
     "web_trustrank", "web_bfs_depth", "web_host_graph",
     "events_holt", "events_cusum",
+    # session-9: merge-on-read deletes, z-order skipping, eval suite
+    "icetable_mor_deletes", "corpus_zorder_skipping",
+    "quality_classifier_auc", "quality_calibration_bins",
+    "dedup_winnowing", "merge_engine_agreement",
 )
 
 
@@ -4101,6 +4105,68 @@ def q_icetable_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "doc_id % 2 = 1 AND doc_id < 100", prune={"doc_id": (0, 99)}
     )
     return table.read(spark)
+
+
+@register(
+    "icetable_mor_deletes",
+    """
+WITH survivors AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT (doc_id % 10 IN (3, 7))
+    AND NOT (source = 'src1' AND doc_id % 10 = 4)),
+stages AS (
+  SELECT 'pre_delete' AS stage, doc_id, text FROM documents
+  UNION ALL SELECT 'post_mor', doc_id, text FROM survivors
+  UNION ALL SELECT 'post_compact', doc_id, text FROM survivors
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM stages GROUP BY stage
+""",
+)
+def q_icetable_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Merge-on-read DELETE on the snapshot table (Iceberg spec-v2
+    # positional deletes): two sparse deletes publish position-delete
+    # files only — pytest-asserted here that NO data file is rewritten
+    # — reads anti-join the (broadcast-sized, known from manifest
+    # arithmetic) delete set, and compaction folds the deletes into
+    # clean files. This is the only delete shape that works at 100 TB:
+    # copy-on-write rewrites every file containing one matching row;
+    # MOR writes bytes proportional to the matches. Three read paths
+    # verified row-exact: time travel to pre-delete, post-delete
+    # (anti-join active), post-compaction (anti-join folded away).
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    table = IceTable(_scratch("icetable_mor"), stats_cols=("doc_id",))
+    table.commit(docs.repartitionByRange(8, "doc_id"))
+    files_v1 = set(table.files(1))
+    table.delete_where_mor(spark, "doc_id % 10 IN (3, 7)")
+    table.delete_where_mor(spark, "source = 'src1' AND doc_id % 10 = 4")
+    assert set(table.files()) == files_v1, "MOR delete must not rewrite data"
+    v_mor = table.current_version()
+    assert table.delete_files(v_mor), "expected pending position deletes"
+    v_compact = table.compact(spark, target_files=4)
+    assert table.delete_files(v_compact) == [], "compaction must fold deletes"
+    reads = [
+        ("pre_delete", table.read(spark, version=1)),
+        ("post_mor", table.read(spark, version=v_mor)),
+        ("post_compact", table.read(spark, version=v_compact)),
+    ]
+    parts = [
+        df.select(F.lit(tag).alias("stage"), "doc_id", "text")
+        for tag, df in reads
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("stage").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
 
 
 @register(

@@ -10,6 +10,7 @@ scratch over plain parquet + JSON metadata, following the published
 Iceberg spec ideas (spec v2, apache/iceberg docs) — no Iceberg code:
 
   <root>/data/<commit-uuid>/part-*.parquet     immutable data files
+  <root>/deletes/<commit-uuid>/part-*.parquet  position-delete files (MOR)
   <root>/metadata/snap-<v>.json                one snapshot per commit
   <root>/metadata/version-hint.text            current-version pointer
 
@@ -30,6 +31,14 @@ Scale properties (the parts that matter at 10^12 docs):
   range predicate — with range-clustered writes (``repartitionByRange``
   on the stats column) a narrow predicate plans a handful of files
   out of millions.
+* **Sparse deletes never rewrite data (merge-on-read).** A 100 TB
+  table cannot afford a copy-on-write rewrite for a delete touching
+  0.01% of rows spread across every file. ``delete_where_mor`` writes
+  *position-delete files* — (data file path, row index) pairs, the
+  Iceberg spec-v2 positional delete — and publishes a metadata-only
+  ``delete`` snapshot; readers anti-join the (tiny) delete set against
+  the scan on the parquet ``_metadata`` columns. ``compact`` folds
+  pending deletes into clean data files and drops them.
 * **Commits are atomic + optimistic.** The snapshot file is created
   with O_EXCL (two racing committers: one wins, the loser sees
   ``CommitConflict``) and the version pointer is an ``os.replace``
@@ -50,6 +59,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -188,12 +198,34 @@ class IceTable:
 
     # -- commit -------------------------------------------------------------
 
+    def _publish(self, snap: dict, version: int) -> int:
+        """Atomically publish ``snap`` as ``snap-<version>.json`` and
+        swing the version pointer. O_EXCL link of the fully-written
+        temp file: exactly one of two racing committers creates the
+        snapshot; the loser sees :class:`CommitConflict`."""
+        tmp = _snap_path(self.root, version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        try:
+            os.link(tmp, _snap_path(self.root, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(f"concurrent commit won v{version}") from None
+        os.unlink(tmp)
+        hint = os.path.join(_meta(self.root), "version-hint.text")
+        tmp = hint + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)  # atomic pointer swap
+        return version
+
     def commit(
         self,
         df: DataFrame,
         operation: str = "append",
         expected_version: int | None = None,
         carry_manifest: list[dict] | None = None,
+        carry_deletes: list[dict] | None = None,
         properties: dict | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and publish
@@ -217,7 +249,7 @@ class IceTable:
         """
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
-        if carry_manifest and operation != "overwrite":
+        if (carry_manifest or carry_deletes) and operation != "overwrite":
             raise ValueError("carry_manifest requires operation='overwrite'")
         base = self.current_version()
         if expected_version is not None and base != expected_version:
@@ -263,12 +295,21 @@ class IceTable:
                 self.snapshot(base)["summary"]["total_rows"] if base else 0
             )
         manifest = (carry_manifest or []) + manifest
+        # Carried delete files keep merge-on-read deletions active for
+        # carried data files (positions referencing rewritten/dead
+        # files match nothing at read time). total_rows nets them out;
+        # if a carried delete file also referenced a rewritten file it
+        # over-subtracts — summary drift only, reads stay exact.
+        carried_del_rows = sum(d["rows"] for d in (carry_deletes or []))
+        if operation == "overwrite":
+            total -= carried_del_rows
         snap = {
             "version": base + 1,
             "parent": base,
             "operation": operation,
             "schema": df.schema.json(),
             "manifest": manifest,
+            "delete_files": carry_deletes or [],
             "properties": properties or {},
             "summary": {
                 "added_files": len(manifest) - len(carry_manifest or []),
@@ -277,23 +318,7 @@ class IceTable:
                 "total_rows": total,
             },
         }
-        tmp = _snap_path(self.root, base + 1) + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        try:
-            # O_EXCL link of the fully-written temp file: exactly one
-            # of two racing committers creates snap-<v>.json
-            os.link(tmp, _snap_path(self.root, base + 1))
-        except FileExistsError:
-            os.unlink(tmp)
-            raise CommitConflict(f"concurrent commit won v{base + 1}") from None
-        os.unlink(tmp)
-        hint = os.path.join(_meta(self.root), "version-hint.text")
-        tmp = hint + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(base + 1))
-        os.replace(tmp, hint)  # atomic pointer swap
-        return base + 1
+        return self._publish(snap, base + 1)
 
     # -- scan planning ------------------------------------------------------
 
@@ -338,6 +363,49 @@ class IceTable:
                     out.append(f["path"])
         return sorted(out)
 
+    def delete_files(self, version: int | None = None) -> list[dict]:
+        """Position-delete file entries live at ``version`` (merge-on-
+        read deletions not yet folded in by a rewrite)."""
+        version = self.current_version() if version is None else version
+        return [
+            d for snap in self._chain(version)
+            for d in snap.get("delete_files", [])
+        ]
+
+    def _apply_deletes(self, df: DataFrame, dels: list[dict]) -> DataFrame:
+        """Anti-join pending position deletes against a tagged scan.
+
+        The scan side carries parquet's ``_metadata.file_path`` /
+        ``_metadata.row_index`` virtual columns (zero data-page cost);
+        the delete side is the union of position-delete parquets. The
+        delete set's size is known from manifest arithmetic, so the
+        join strategy is decided metadata-only: small delete sets
+        broadcast (the overwhelmingly common case — that is why the
+        delete was merge-on-read in the first place); huge ones fall
+        back to a shuffle join AQE can skew-split.
+        """
+        if not dels:
+            return df
+        spark = df.sparkSession
+        pos = (
+            spark.read.parquet(*sorted(d["path"] for d in dels))
+            .select(
+                F.col("file_path").alias("__icetable_file"),
+                F.col("row_index").alias("__icetable_pos"),
+            )
+        )
+        if sum(d["rows"] for d in dels) <= 4_000_000:
+            pos = F.broadcast(pos)
+        tagged = df.withColumns(
+            {
+                "__icetable_file": F.col("_metadata.file_path"),
+                "__icetable_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return tagged.join(
+            pos, ["__icetable_file", "__icetable_pos"], "left_anti"
+        ).drop("__icetable_file", "__icetable_pos")
+
     def read(
         self,
         spark: SparkSession,
@@ -349,7 +417,8 @@ class IceTable:
         running query (the whole point of snapshot tables). The scan
         is projected through the SNAPSHOT's schema (all-nullable), so
         files written before an add-column evolution surface the new
-        columns as nulls."""
+        columns as nulls. Pending merge-on-read position deletes are
+        applied before rows surface."""
         version = self.current_version() if version is None else version
         if not version:
             raise ValueError("empty table with no snapshot to take schema from")
@@ -357,7 +426,8 @@ class IceTable:
         files = self.files(version, prune)
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        return self._apply_deletes(df, self.delete_files(version))
 
     def incremental(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -370,9 +440,10 @@ class IceTable:
         files = []
         for v in range(from_version + 1, to_version + 1):
             s = self.snapshot(v)
-            if s["operation"] == "overwrite":
+            if s["operation"] != "append":
                 raise ValueError(
-                    f"v{v} is an overwrite; incremental reads only span appends"
+                    f"v{v} is an {s['operation']}; incremental reads only "
+                    "span appends"
                 )
             files.extend(f["path"] for f in s["manifest"])
         if not files:
@@ -442,12 +513,14 @@ class IceTable:
             else:
                 (carry if st[1] < lo or st[0] > hi else cand).append(f)
         spark = updates.sparkSession
+        dels = self.delete_files(base)
         if cand:
-            survivors = (
-                spark.read.schema(self._snapshot_schema(base))
-                .parquet(*sorted(f["path"] for f in cand))
-                .join(keys, key, "left_anti")
-            )
+            survivors = self._apply_deletes(
+                spark.read.schema(self._snapshot_schema(base)).parquet(
+                    *sorted(f["path"] for f in cand)
+                ),
+                dels,
+            ).join(keys, key, "left_anti")
             # allowMissingColumns: an update batch may carry an
             # add-column evolution; survivors project it as null
             new_df = survivors.unionByName(updates, allowMissingColumns=True)
@@ -458,6 +531,9 @@ class IceTable:
             operation="overwrite",
             expected_version=base,
             carry_manifest=carry,
+            # rewritten candidates had pending deletes applied above;
+            # carried files still need theirs active at read time
+            carry_deletes=dels if carry else [],
         )
 
     def delete_where(
@@ -490,17 +566,123 @@ class IceTable:
             (cand if keep else carry).append(f)
         if not cand:
             return base  # nothing can match: metadata-only no-op
-        survivors = (
-            spark.read.schema(self._snapshot_schema(base))
-            .parquet(*sorted(f["path"] for f in cand))
-            .filter(f"NOT ({predicate})")
-        )
+        dels = self.delete_files(base)
+        survivors = self._apply_deletes(
+            spark.read.schema(self._snapshot_schema(base)).parquet(
+                *sorted(f["path"] for f in cand)
+            ),
+            dels,
+        ).filter(f"NOT ({predicate})")
         return self.commit(
             survivors,
             operation="overwrite",
             expected_version=base,
             carry_manifest=carry,
+            carry_deletes=dels if carry else [],
         )
+
+    def delete_where_mor(
+        self, spark: SparkSession, predicate: str,
+        prune: dict[str, tuple] | None = None,
+    ) -> int:
+        """Merge-on-read DELETE: publish *position-delete files* (data
+        file path, row index — the Iceberg spec-v2 positional delete)
+        instead of rewriting data files. Returns the committed version
+        (unchanged if nothing matched).
+
+        This is the only delete shape that works for a sparse
+        predicate on a 100 TB table: copy-on-write would rewrite every
+        file containing one matching row, merge-on-read writes bytes
+        proportional to the MATCHES and defers the fold to
+        :meth:`compact`. The cost moves to reads — one anti-join
+        against the pending delete set, broadcast while the set is
+        small (decided from manifest arithmetic, no extra job) — which
+        is why compaction still matters.
+
+        Already-deleted positions are excluded from the new delete
+        files, so delete-file row counts stay exact under repeated or
+        overlapping predicates.
+        """
+        base = self.current_version()
+        if not base:
+            raise ValueError("delete on empty table")
+        entries = self._live_entries(base)
+        cand = []
+        for f in entries:
+            keep = True
+            for col, (lo, hi) in (prune or {}).items():
+                st = f["stats"].get(col)
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    keep = False
+                    break
+            if keep:
+                cand.append(f)
+        prev_dels = self.delete_files(base)
+        if not cand:
+            return base  # nothing can match: metadata-only no-op
+        scan = (
+            spark.read.schema(self._snapshot_schema(base))
+            .parquet(*sorted(f["path"] for f in cand))
+        )
+        matches = (
+            scan.filter(predicate)
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        if prev_dels:
+            prior = spark.read.parquet(
+                *sorted(d["path"] for d in prev_dels)
+            ).select("file_path", "row_index")
+            if sum(d["rows"] for d in prev_dels) <= 4_000_000:
+                prior = F.broadcast(prior)
+            matches = matches.join(
+                prior, ["file_path", "row_index"], "left_anti"
+            )
+        stage = os.path.join(self.root, "deletes", uuid.uuid4().hex)
+        matches.write.mode("errorifexists").parquet(stage)
+        part_files = sorted(
+            os.path.join(stage, n)
+            for n in os.listdir(stage)
+            if n.endswith(".parquet")
+        )
+        new_dels = [
+            {"path": p, "rows": r}
+            for batch in (
+                spark.sparkContext.parallelize(
+                    part_files, max(1, len(part_files))
+                )
+                .glom()
+                .map(lambda ps: _footer_stats(ps, ()))
+                .collect()
+            )
+            for (p, r, _s) in batch
+            if r  # drop empty parts
+        ]
+        n_deleted = sum(d["rows"] for d in new_dels)
+        if not n_deleted:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            return base  # predicate matched nothing: no-op
+        prev = self.snapshot(base)
+        snap = {
+            "version": base + 1,
+            "parent": base,
+            "operation": "delete",
+            "schema": prev["schema"],
+            "manifest": [],  # adds no data files
+            "delete_files": new_dels,
+            "properties": {},
+            "summary": {
+                "added_files": 0,
+                "added_delete_files": len(new_dels),
+                "deleted_rows": n_deleted,
+                "total_rows": prev["summary"]["total_rows"] - n_deleted,
+            },
+        }
+        return self._publish(snap, base + 1)
 
     # -- maintenance --------------------------------------------------------
 
@@ -515,9 +697,12 @@ class IceTable:
         micro-batch producer appending every few minutes leaves
         thousands of KB-sized files whose per-file open/footer cost
         dominates scans; compaction restores big, range-clustered
-        files (which also restores pruning selectivity). Logical rows
-        are unchanged — readers see the same table, time travel to
-        pre-compaction snapshots still works until expiration."""
+        files (which also restores pruning selectivity). Pending
+        merge-on-read position deletes are folded into the rewrite
+        (the new snapshot carries no delete files), restoring
+        anti-join-free reads. Logical rows are unchanged — readers see
+        the same table, time travel to pre-compaction snapshots still
+        works until expiration."""
         cluster_by = cluster_by or (self.stats_cols[0] if self.stats_cols else None)
         base = self.current_version()
         df = self.read(spark, version=base)
@@ -543,14 +728,15 @@ class IceTable:
             return 0
         live: set[str] = set()
         for v in range(keep_from, current + 1):
-            live.update(
-                f["path"] for snap in self._chain(v) for f in snap["manifest"]
-            )
+            for snap in self._chain(v):
+                live.update(f["path"] for f in snap["manifest"])
+                live.update(d["path"] for d in snap.get("delete_files", []))
         oldest = self.snapshot(keep_from)
         if not (oldest["operation"] == "overwrite" or oldest.get("terminator")):
             oldest["manifest"] = [
                 f for snap in self._chain(keep_from) for f in snap["manifest"]
             ]
+            oldest["delete_files"] = self.delete_files(keep_from)
             oldest["terminator"] = True
             tmp = _snap_path(self.root, keep_from) + f".{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as f:
@@ -562,9 +748,11 @@ class IceTable:
                 snap = self.snapshot(v)
             except FileNotFoundError:
                 continue
-            for f in snap["manifest"]:
-                if f["path"] not in live and os.path.exists(f["path"]):
-                    os.unlink(f["path"])
+            dead = [f["path"] for f in snap["manifest"]]
+            dead += [d["path"] for d in snap.get("delete_files", [])]
+            for path in dead:
+                if path not in live and os.path.exists(path):
+                    os.unlink(path)
                     removed += 1
             os.unlink(_snap_path(self.root, v))
         return removed

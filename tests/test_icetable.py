@@ -330,3 +330,131 @@ class TestSchemaEvolution:
         got = {r.doc_id: (r.text, r.lang) for r in t.read(spark).collect()}
         assert got[6] == ("u-6", "en")
         assert got[15] == ("a-15", None)
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeOnReadDeletes:
+    """Position-delete files (Iceberg spec-v2 positional deletes):
+    sparse deletes publish (file, row) pairs instead of rewriting
+    data files; reads anti-join them; compaction folds them in."""
+
+    def test_mor_delete_hides_rows_without_rewriting_data(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        files_before = set(t.files())
+        v = t.delete_where_mor(spark, "doc_id % 10 = 3")
+        assert v == 2
+        # no data file was rewritten — the live data set is unchanged
+        assert set(t.files()) == files_before
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == [i for i in range(100) if i % 10 != 3]
+        # the delete is its own snapshot: time travel still sees v1
+        assert t.read(spark, version=1).count() == 100
+        assert t.snapshot(2)["summary"]["deleted_rows"] == 10
+        assert t.snapshot(2)["summary"]["total_rows"] == 90
+
+    def test_mor_deletes_accumulate_across_snapshots(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 50))
+        t.delete_where_mor(spark, "doc_id < 5")
+        t.delete_where_mor(spark, "doc_id >= 45")
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == list(range(5, 45))
+        assert len(t.delete_files()) >= 2
+
+    def test_overlapping_mor_deletes_count_exactly_once(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 40))
+        t.delete_where_mor(spark, "doc_id < 20")
+        v = t.delete_where_mor(spark, "doc_id < 30")  # overlaps first
+        assert t.snapshot(v)["summary"]["deleted_rows"] == 10
+        assert t.snapshot(v)["summary"]["total_rows"] == 10
+        assert t.read(spark).count() == 10
+
+    def test_mor_delete_matching_nothing_is_noop(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        assert t.delete_where_mor(spark, "doc_id > 999") == 1
+        assert t.current_version() == 1
+
+    def test_append_after_mor_delete_untouched(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.delete_where_mor(spark, "doc_id = 3")
+        t.commit(_df(spark, 10, 20, tag="b"))
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == [i for i in range(20) if i != 3]
+        assert t.snapshot(3)["summary"]["total_rows"] == 19
+
+    def test_compact_folds_pending_deletes(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.delete_where_mor(spark, "doc_id % 2 = 1")
+        v = t.compact(spark, target_files=2)
+        assert t.delete_files(v) == []  # folded in, no MOR cost left
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == list(range(0, 100, 2))
+
+    def test_upsert_after_mor_delete_does_not_resurrect(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.delete_where_mor(spark, "doc_id = 7")
+        # update batch far from doc 7's file: its file is carried, the
+        # carried delete must stay active
+        t.upsert(_df(spark, 90, 95, tag="u"), key="doc_id")
+        got = {r.doc_id: r.text for r in t.read(spark).collect()}
+        assert 7 not in got
+        assert got[92] == "u-92"
+        # rewrite of doc 7's own file folds the delete for that file
+        t.upsert(_df(spark, 7, 8, tag="back"), key="doc_id")
+        got = {r.doc_id: r.text for r in t.read(spark).collect()}
+        assert got[7] == "back-7"
+
+    def test_cow_delete_after_mor_delete_composes(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 30))
+        t.delete_where_mor(spark, "doc_id = 1")
+        t.delete_where(spark, "doc_id >= 20")
+        got = sorted(r.doc_id for r in t.read(spark).collect())
+        assert got == [0] + list(range(2, 20))
+        # cow rewrite applied + carried the pending delete correctly
+        assert 1 not in got
+
+    def test_mor_prune_narrows_scan(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))  # 4 range-clustered files
+        t.delete_where_mor(spark, "doc_id = 99", prune={"doc_id": (90, 100)})
+        assert t.read(spark).count() == 99
+
+    def test_incremental_refuses_delete_span(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.delete_where_mor(spark, "doc_id = 0")
+        t.commit(_df(spark, 10, 20))
+        with pytest.raises(ValueError, match="delete"):
+            t.incremental(spark, 1, 3)
+
+    def test_expire_drops_dead_delete_files_keeps_live(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 20))
+        t.delete_where_mor(spark, "doc_id = 5")          # v2
+        del_path = t.delete_files(2)[0]["path"]
+        t.commit(_df(spark, 20, 30))                     # v3
+        # keep from v3: the delete file is still live via the chain
+        t.expire_snapshots(keep_from=3)
+        assert os.path.exists(del_path)
+        assert sorted(r.doc_id for r in t.read(spark).collect()) == [
+            i for i in range(30) if i != 5
+        ]
+        # fold + expire everything: the delete file becomes dead
+        v = t.compact(spark, target_files=2)
+        t.expire_snapshots(keep_from=v)
+        assert not os.path.exists(del_path)
+
+    def test_mor_summary_is_exact_after_partial_carry(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 100))
+        t.delete_where_mor(spark, "doc_id IN (2, 93)")
+        # upsert rewrites only the high-key file; delete file carried
+        t.upsert(_df(spark, 95, 96, tag="u"), key="doc_id")
+        assert t.read(spark).count() == 98
