@@ -4169,6 +4169,86 @@ def q_icetable_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_ORACLE = """
+WITH dims AS (
+  SELECT user_id % 256 AS zx,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 256 AS zy
+  FROM events),
+keyed AS (
+  SELECT zx, zy, {zsql} AS zkey,
+         zx BETWEEN 32 AND 47 AND zy BETWEEN 64 AND 95 AS hit
+  FROM dims),
+assigned AS (
+  SELECT *,
+         CAST(floor(zkey * 64 / 65536) AS BIGINT) AS file_z,
+         CAST(floor(zx * 64 / 256) AS BIGINT) AS file_lin
+  FROM keyed),
+stats AS (
+  SELECT 'zorder' AS layout, file_z AS file_id,
+         min(zx) AS min_x, max(zx) AS max_x,
+         min(zy) AS min_y, max(zy) AS max_y,
+         count(*) AS rows_, sum(CASE WHEN hit THEN 1 ELSE 0 END) AS hits
+  FROM assigned GROUP BY file_z
+  UNION ALL
+  SELECT 'linear', file_lin,
+         min(zx), max(zx), min(zy), max(zy),
+         count(*), sum(CASE WHEN hit THEN 1 ELSE 0 END)
+  FROM assigned GROUP BY file_lin)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN min_x <= 47 AND max_x >= 32
+                      AND min_y <= 95 AND max_y >= 64
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN min_x <= 47 AND max_x >= 32
+                      AND min_y <= 95 AND max_y >= 64
+                THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(hits) AS BIGINT) AS rows_matching
+FROM stats GROUP BY layout
+"""
+
+
+@register(
+    "corpus_zorder_skipping",
+    None,  # interpolated below after zorder import
+)
+def q_corpus_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-order (Morton) clustering vs linear sort for two-dimensional
+    # file skipping: events bucketized to (user % 256, hour % 256),
+    # files simulated as fixed-width key ranges (the write-side
+    # equivalent is repartitionByRange on the Morton key), per-file
+    # min/max stats evaluated against a rectangular (user-block ×
+    # time-window) predicate — exactly the pruning arithmetic
+    # IceTable.files() applies from its manifest. The key is a pure
+    # bitwise codegen expression, the report two map-side-combinable
+    # aggs; identical integer arithmetic runs in DuckDB. The pytest
+    # drives the REAL table path: an IceTable committed z-clustered
+    # prunes both dims from stats alone.
+    from pero_ocr_spark.operators import zorder
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder.skipping_report(
+        ev,
+        x=F.col("user_id") % 256,
+        y=F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 256,
+        box=(32, 47, 64, 95),
+        bits=8,
+        n_files=64,
+    )
+
+
+def _finalize_zorder_oracle() -> None:
+    from pero_ocr_spark.operators import zorder
+
+    fn, _ = _REGISTRY["corpus_zorder_skipping"]
+    _REGISTRY["corpus_zorder_skipping"] = (
+        fn,
+        _ZORDER_ORACLE.format(zsql=zorder.zorder_sql("zx", "zy", 8)),
+    )
+
+
+_finalize_zorder_oracle()
+
+
 @register(
     "web_anchor_text",
     """
