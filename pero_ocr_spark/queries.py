@@ -165,7 +165,7 @@ _CHECK_FIRST = (
     # session-9: merge-on-read deletes, z-order skipping, eval suite
     "icetable_mor_deletes", "corpus_zorder_skipping",
     "quality_classifier_auc", "quality_calibration_bins",
-    "dedup_winnowing", "merge_engine_agreement",
+    "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
 )
 
 
@@ -2992,6 +2992,200 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_classifier_scores(
         _t(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+# shared oracle CTE for the evaluation suite: the hashed-classifier
+# probability (the score under test) and the heuristic quality gate
+# (the stand-in ground truth) computed per document, identical
+# arithmetic to quality_classifier_filter / text_quality_score
+_EVAL_SCORED_CTE = f"""
+WITH q0 AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-4.0 *
+           list_sum(list_transform(w,
+             x -> ({_DUCK_POLY.format(col="x")} % 4096 * 2654435761) % 9973
+                  / 9973.0 - 0.5))
+           / n)), 6) AS prob,
+         round((len(list_distinct(w)) * 1.0 / n
+                + (CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+                + (CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                        * 1.0 / n BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END)) / 3.0, 6) >= 0.75 AS label
+  FROM q0)
+"""
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    prob = textstats.quality_classifier_scores(docs).select(
+        "doc_id", F.col("quality_prob").alias("prob")
+    )
+    label = textstats.quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.75).alias("label")
+    )
+    # both are zero-shuffle per-row projections of the same scan; the
+    # equi-join on doc_id is the only exchange and AQE broadcasts the
+    # smaller build side locally
+    return prob.join(label, "doc_id")
+
+
+@register(
+    "quality_classifier_auc",
+    _EVAL_SCORED_CTE
+    + """
+, per AS (
+  SELECT prob AS s,
+         sum(CASE WHEN label THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN label THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY prob),
+cum AS (
+  SELECT np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       round(CAST(sum(np * (2 * c + nn)) AS DOUBLE)
+             / (2.0 * sum(np) * sum(nn)), 6) AS auc
+FROM cum
+""",
+)
+def q_quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # How well does the cheap hashed classifier rank documents against
+    # the heuristic quality gate? Exact Mann-Whitney AUC — but the
+    # textbook global rank is a corpus-wide single-partition window;
+    # here scores are quantized (already 6 dp), ONE map-side
+    # aggregation groups by score value, and the only ordered walk is
+    # the cumulative sum over the score DOMAIN (≤ 10^6 + 1 rows,
+    # corpus-independent). Integer arithmetic until the final divide.
+    from pero_ocr_spark.operators import evaluate
+
+    return evaluate.binary_auc(
+        _eval_scored(spark, sf_dir), label_col="label", score_col="prob"
+    )
+
+
+@register(
+    "quality_calibration_bins",
+    _EVAL_SCORED_CTE
+    + """
+, b AS (
+  SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin,
+         CAST(prob AS DECIMAL(18,6)) AS s,
+         CASE WHEN label THEN 1 ELSE 0 END AS y
+  FROM scored),
+agg AS (
+  SELECT bin, count(*) AS n, sum(s) AS sum_s, sum(y) AS n_pos
+  FROM b GROUP BY bin)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(sum_s AS DOUBLE) / n, 6) AS mean_predicted,
+       round(n_pos * 1.0 / n, 6) AS frac_positive,
+       round(round(CAST(sum_s AS DOUBLE) / n, 6)
+             - round(n_pos * 1.0 / n, 6), 6) AS gap
+FROM agg
+""",
+)
+def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram for the classifier's probabilities: one
+    # aggregation over ≤ 10 bin keys; score sums ride DECIMAL so the
+    # distributed addition order cannot flip a final double ulp.
+    from pero_ocr_spark.operators import evaluate
+
+    return evaluate.calibration_bins(
+        _eval_scored(spark, sf_dir), label_col="label", score_col="prob"
+    )
+
+
+@register(
+    "merge_engine_agreement",
+    _EVAL_SCORED_CTE
+    + """
+, v AS (SELECT prob >= 0.5 AS a, label AS b FROM scored)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n00,
+       round((sum(CASE WHEN a = b THEN 1 ELSE 0 END)) * 1.0 / count(*), 6)
+         AS p_observed,
+       round((sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+             * (sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0 / count(*))
+             + (1 - sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+             * (1 - sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0 / count(*)), 6)
+         AS p_expected,
+       round(((sum(CASE WHEN a = b THEN 1 ELSE 0 END)) * 1.0 / count(*)
+              - ((sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * (sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 + (1 - sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * (1 - sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0
+                    / count(*))))
+             / (1 - ((sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * (sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 + (1 - sum(CASE WHEN a THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * (1 - sum(CASE WHEN b THEN 1 ELSE 0 END) * 1.0
+                    / count(*)))), 6) AS kappa
+FROM v
+""",
+)
+def q_merge_engine_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohen's kappa between the model gate and the heuristic gate —
+    # chance-corrected agreement between two document filters. Both
+    # verdicts are computed in the same row; one global aggregate,
+    # zero joins beyond the shared scored frame.
+    from pero_ocr_spark.operators import evaluate
+
+    scored = _eval_scored(spark, sf_dir).select(
+        (F.col("prob") >= 0.5).alias("model_keep"), "label"
+    )
+    return evaluate.rater_kappa(scored, "model_keep", "label")
+
+
+@register(
+    "similarity_recall_eval",
+    None,  # oracle assembled below from the exact + ANN oracle CTEs
+)
+def q_similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of the LSH-bucketed ANN index against exact brute-force
+    # cosine top-k, per query — the measurement that licenses swapping
+    # the approximate index in at 100 TB. Both sides are k·|queries|
+    # rows; the comparison join is evaluation-sized, not corpus-sized.
+    from pero_ocr_spark.operators import evaluate, similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5)
+    approx = similarity.ann_bucketed_topk(emb, _QUERY_IDS, k=5)
+    return evaluate.recall_at_k(approx, exact, k=5)
+
+
+def _finalize_recall_oracle() -> None:
+    exact_cte = _TOPK_ORACLE.strip()
+    approx_cte = _ann_oracle().strip()
+    # re-head the two standalone oracles as CTE bodies
+    sql = f"""
+WITH exact_k AS ({exact_cte}),
+approx_k AS ({approx_cte}),
+h AS (
+  SELECT e.query_id,
+         CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact_k e LEFT JOIN approx_k a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+       round(sum(hit) / 5.0, 6) AS recall
+FROM h GROUP BY query_id
+"""
+    fn, _ = _REGISTRY["similarity_recall_eval"]
+    _REGISTRY["similarity_recall_eval"] = (fn, sql)
+
+
+_finalize_recall_oracle()
 
 
 @register(
