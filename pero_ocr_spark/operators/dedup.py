@@ -1065,3 +1065,139 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def _word_gram_hashes(text, k: int):
+    """Array of polynomial hashes of the word k-grams of ``text``, in
+    position order — h(s) = fold(a*31 + ord(c)) mod 2^31-1 over the
+    gram's characters, the module's portable hash (bit-identical in
+    ANSI SQL for the oracle). Word grams, not char grams: winnowing
+    selects window MINIMA, so a low-entropy gram pool (char k-grams of
+    a repetitive corpus) collapses onto the few smallest hash values
+    and every document fingerprints alike; word k-grams keep the pool
+    ~vocabulary^k. Built entirely in-row: one split, one sequence over
+    start positions."""
+    ws = F.split(text, " ")
+    n_grams = F.greatest(F.size(ws) - k + 1, F.lit(0))
+    gram = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
+    return F.when(n_grams == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.aggregate(
+                F.split(gram(i), ""),
+                F.lit(0).cast("bigint"),
+                lambda a, c: (a * 31 + F.ascii(c)) % HASH_P,
+            ),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — distinct winnowing fingerprints per document.
+
+    Robust winnowing: hash every word k-gram, slide a window of ``w``
+    consecutive hashes, and in each window select the MINIMUM hash,
+    breaking ties by the RIGHTMOST position (the Schleimer et al.
+    rule that guarantees at least one fingerprint per window while
+    keeping the selected set stable under edits elsewhere — the MOSS
+    document-fingerprinting scheme, at word granularity). Guarantee:
+    any shared passage of ≥ k + w − 1 words between two documents
+    yields at least one shared fingerprint.
+
+    Scale shape: selection is ENTIRELY in-row — gram hashing, window
+    minima, and rightmost-tie argmin are nested array expressions in
+    whole-stage codegen, bounded by document length; the only shuffle
+    is the final explode feeding downstream grouping. No UDF, no
+    Python, and the identical list arithmetic runs in the DuckDB
+    oracle.
+    """
+    hs = F.col("__hs")
+    n_win = F.greatest(F.size(hs) - w + 1, F.lit(1))
+    # rightmost position (0-based, window-relative) achieving the
+    # window minimum; windows past the tail truncate naturally
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda j: F.element_at(
+            hs,
+            j
+            + F.array_max(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(w - 1)),
+                    # try_: windows past the tail probe out of bounds
+                    # (ANSI element_at throws); NULL != min drops them
+                    lambda p: F.try_element_at(hs, j + p + 1)
+                    == F.array_min(F.slice(hs, j + 1, w)),
+                )
+            )
+            + 1,
+        ),
+    )
+    return (
+        docs.select("doc_id", _word_gram_hashes(F.col("text"), k).alias("__hs"))
+        .filter(F.size("__hs") > 0)
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("fp"))
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints,
+    with fingerprint-set jaccard — near-dup / plagiarism detection on
+    the MOSS scheme.
+
+    Fingerprints occurring in more than ``max_df`` documents are
+    dropped before the self-join (corpus boilerplate: headers,
+    licenses — exactly what MOSS's common-code filter does); this also
+    bounds the inverted-index join's worst posting list, the same
+    hot-key guard the shingle pipeline uses. One groupBy(fp), one
+    equi-self-join on fp restricted to surviving postings, one
+    pair-count aggregation — never all-pairs.
+    """
+    fps = winnow_fingerprints(docs, k, w)
+    df_counts = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    kept = fps.join(
+        df_counts.filter(F.col("__df") <= max_df).select("fp"), "fp"
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )

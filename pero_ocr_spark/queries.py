@@ -2994,6 +2994,60 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_ORACLE = f"""
+WITH wds AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(w) - 2),
+           i -> {_DUCK_POLY.format(
+               col="array_to_string(list_slice(w, i, i + 2), ' ')")}) AS hs
+  FROM wds
+  WHERE len(w) >= 3),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(hs) - 3, 1) - 1),
+           j -> hs[j + list_max(list_filter(generate_series(0, 3),
+                  p -> hs[j + p + 1] = list_min(list_slice(hs, j + 1, j + 4))))
+                + 1])) AS fps
+  FROM h),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+kept AS (
+  SELECT doc_id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp
+               HAVING count(DISTINCT doc_id) <= 100)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 5)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS fp_jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+@register("dedup_winnowing", _WINNOW_ORACLE)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS-style winnowing (Schleimer et al. 2003) at word
+    # granularity: word-3-gram hashes, window-4 minima with rightmost
+    # tie-break — any shared passage of >= 6 words yields a shared
+    # fingerprint. Selection is all in-row codegen array math;
+    # too-common fingerprints (corpus boilerplate) are dropped before
+    # the inverted-index self-join, which bounds the worst posting
+    # list.
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.winnowing_pairs(
+        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=5, max_df=100
+    )
+
+
 # shared oracle CTE for the evaluation suite: the hashed-classifier
 # probability (the score under test) and the heuristic quality gate
 # (the stand-in ground truth) computed per document, identical
