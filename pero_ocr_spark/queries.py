@@ -166,6 +166,7 @@ _CHECK_FIRST = (
     "icetable_mor_deletes", "corpus_zorder_skipping",
     "quality_classifier_auc", "quality_calibration_bins",
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
+    "icetable_bloom_skipping",
 )
 
 
@@ -4353,6 +4354,46 @@ def q_icetable_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "doc_id % 2 = 1 AND doc_id < 100", prune={"doc_id": (0, 99)}
     )
     return table.read(spark)
+
+
+@register(
+    "icetable_bloom_skipping",
+    """
+SELECT doc_id, text, source FROM documents
+WHERE doc_id IN (7, 93, 211, 348, 499)
+""",
+)
+def q_icetable_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-lookup planning from per-file Bloom filters: the table is
+    # committed hash-partitioned on source (deliberately NOT clustered
+    # by doc_id, so min/max stats span the whole keyspace and range
+    # pruning is useless), yet each point probe plans a strict subset
+    # of files from manifest arithmetic alone — the bloom's clear bit
+    # proves absence, driver-side, no job. No false negatives: every
+    # looked-up row must surface, verified row-exact against the plain
+    # SQL lookup. The Iceberg/Parquet bloom-metrics analog.
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    table = IceTable(
+        _scratch("icetable_bloom"), stats_cols=(), bloom_cols=("doc_id",)
+    )
+    table.commit(docs.repartition(8, "source"))
+    keys = [7, 93, 211, 348, 499]
+    total = len(table.files())
+    parts = []
+    for key in keys:
+        planned = table.files(point={"doc_id": key})
+        assert len(planned) < total, f"bloom must prune for key {key}"
+        parts.append(
+            table.read(spark, point={"doc_id": key}).filter(
+                F.col("doc_id") == key
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union
 
 
 @register(

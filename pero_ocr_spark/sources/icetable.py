@@ -66,6 +66,32 @@ class CommitConflict(RuntimeError):
     """Another committer published the version this commit was based on."""
 
 
+BLOOM_FILE_M = 1 << 15  # bits per file per column: 4 KB packed
+
+
+def _bloom_hash_py(value) -> list[int]:
+    """Driver-side replica of the task-side bloom positions: the same
+    portable polynomial hash (fold a·31 + ord(c) mod 2^31−1 over the
+    value's STRING rendering) and the same k affine re-hashes the
+    dedup tier uses (``operators/dedup.BLOOM_SEEDS``), so planning can
+    test membership without launching a job. Values are hashed via
+    their CAST-to-string form on both sides — int and string columns
+    are type-stable; don't put float columns in ``bloom_cols``."""
+    from pero_ocr_spark.operators.dedup import BLOOM_SEEDS, HASH_P
+
+    h = 0
+    for c in str(value):
+        h = (h * 31 + ord(c)) % HASH_P
+    return [((h * a + b) % HASH_P) % BLOOM_FILE_M for a, b in BLOOM_SEEDS]
+
+
+def _bloom_test(hex_bits: str, positions: list[int]) -> bool:
+    """True iff every position bit is set (value MAY be in the file);
+    any clear bit proves absence — the only direction planning uses."""
+    bits = bytes.fromhex(hex_bits)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def _shape(schema_json):
     """Schema comparison key: names + types, nullability ignored — a
     parquet round trip reports every column nullable, and (as in
@@ -139,10 +165,83 @@ class IceTable:
     ``write.metadata.metrics`` columns).
     """
 
-    def __init__(self, root: str, stats_cols: tuple[str, ...] = ("doc_id",)):
+    def __init__(
+        self,
+        root: str,
+        stats_cols: tuple[str, ...] = ("doc_id",),
+        bloom_cols: tuple[str, ...] = (),
+    ):
         self.root = root
         self.stats_cols = tuple(stats_cols)
+        # per-file Bloom filters for point-lookup planning (the analog
+        # of Iceberg/Parquet bloom metrics): min/max stats prune RANGE
+        # predicates but are useless for a point probe on a column the
+        # files aren't clustered by — a 4 KB bloom per (file, column)
+        # answers "definitely not here" from the manifest alone
+        self.bloom_cols = tuple(bloom_cols)
         os.makedirs(_meta(root), exist_ok=True)
+
+    def _bloom_manifest(self, spark, part_files: list[str]) -> dict:
+        """{path: {col: hex bitset}} for newly staged data files.
+
+        One distributed pass: per row the k positions of each bloom
+        column (portable integer arithmetic, all codegen), tagged with
+        ``_metadata.file_path``, made distinct — so at most
+        files × cols × m positions (manifest-scale, never row-scale)
+        reach the driver, which packs bitsets."""
+        from pero_ocr_spark.operators.dedup import (
+            BLOOM_SEEDS,
+            HASH_P,
+        )
+        from pero_ocr_spark.operators.textstats import _poly_hash
+
+        scan = spark.read.parquet(*part_files)
+        parts = []
+        for col in self.bloom_cols:
+            if col not in scan.columns:
+                continue
+            h = _poly_hash(F.col(col).cast("string"))
+            pos = F.array(
+                *[
+                    F.pmod(
+                        F.pmod(h * F.lit(a) + F.lit(b), F.lit(HASH_P)),
+                        F.lit(BLOOM_FILE_M),
+                    )
+                    for a, b in BLOOM_SEEDS
+                ]
+            )
+            parts.append(
+                scan.select(
+                    F.col("_metadata.file_path").alias("fp"),
+                    F.lit(col).alias("col"),
+                    F.explode(pos).alias("p"),
+                )
+            )
+        if not parts:
+            return {}
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        rows = (
+            union.distinct()
+            .groupBy("fp", "col")
+            .agg(F.collect_list("p").alias("ps"))
+            .collect()
+        )
+        out: dict[str, dict[str, str]] = {}
+        for r in rows:
+            bits = bytearray(BLOOM_FILE_M // 8)
+            for p in r["ps"]:
+                bits[p >> 3] |= 1 << (p & 7)
+            # _metadata.file_path is a file: URI (Hadoop renders it as
+            # file:/abs or file:///abs); manifest paths are plain
+            path = r["fp"]
+            for prefix in ("file:///", "file://", "file:"):
+                if path.startswith(prefix):
+                    path = "/" + path[len(prefix):].lstrip("/")
+                    break
+            out.setdefault(path, {})[r["col"]] = bytes(bits).hex()
+        return out
 
     # -- version resolution -------------------------------------------------
 
@@ -276,8 +375,13 @@ class IceTable:
         )
         # footer stats task-side; the collect is manifest rows only
         cols = self.stats_cols
+        blooms = (
+            self._bloom_manifest(spark, part_files) if self.bloom_cols else {}
+        )
         manifest = [
-            {"path": p, "rows": r, "stats": s}
+            {"path": p, "rows": r, "stats": s, **(
+                {"bloom": blooms[p]} if p in blooms else {}
+            )}
             for batch in (
                 spark.sparkContext.parallelize(part_files, max(1, len(part_files)))
                 .glom()
@@ -339,17 +443,27 @@ class IceTable:
         self,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        point: dict | None = None,
     ) -> list[str]:
-        """Data files for a snapshot, optionally stats-pruned.
+        """Data files for a snapshot, optionally stats- and
+        bloom-pruned.
 
         ``prune`` maps a stats column to an inclusive ``(lo, hi)``
         range; files whose recorded min/max cannot overlap are
-        skipped — an *optimization only*, readers still apply the
-        exact predicate (a file may mix matching and non-matching
+        skipped. ``point`` maps a bloom column to a probe value; files
+        whose per-file Bloom filter proves the value absent are
+        skipped (no false negatives — a bloom miss is definitive).
+        Both are *optimizations only*: readers still apply the exact
+        predicate (a kept file may mix matching and non-matching
         rows). Planning is pure manifest arithmetic: no filesystem
-        listing, no footer reads.
+        listing, no footer reads, no Spark job — the bloom probe
+        hashes driver-side with the same portable arithmetic the
+        write path used.
         """
         version = self.current_version() if version is None else version
+        probes = {
+            col: _bloom_hash_py(val) for col, val in (point or {}).items()
+        }
         out = []
         for snap in self._chain(version):
             for f in snap["manifest"]:
@@ -359,6 +473,12 @@ class IceTable:
                     if st is not None and (st[1] < lo or st[0] > hi):
                         keep = False
                         break
+                for col, pos in probes.items():
+                    if not keep:
+                        break
+                    bloom = f.get("bloom", {}).get(col)
+                    if bloom is not None and not _bloom_test(bloom, pos):
+                        keep = False
                 if keep:
                     out.append(f["path"])
         return sorted(out)
@@ -411,6 +531,7 @@ class IceTable:
         spark: SparkSession,
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
+        point: dict | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: the plan is pinned to the file list
         of one immutable snapshot, so concurrent commits never tear a
@@ -418,12 +539,14 @@ class IceTable:
         is projected through the SNAPSHOT's schema (all-nullable), so
         files written before an add-column evolution surface the new
         columns as nulls. Pending merge-on-read position deletes are
-        applied before rows surface."""
+        applied before rows surface. ``prune``/``point`` narrow the
+        planned file set (see :meth:`files`); callers still apply the
+        exact predicate."""
         version = self.current_version() if version is None else version
         if not version:
             raise ValueError("empty table with no snapshot to take schema from")
         schema = self._snapshot_schema(version)
-        files = self.files(version, prune)
+        files = self.files(version, prune, point)
         if not files:
             return spark.createDataFrame([], schema)
         df = spark.read.schema(schema).parquet(*files)

@@ -458,3 +458,72 @@ class TestMergeOnReadDeletes:
         # upsert rewrites only the high-key file; delete file carried
         t.upsert(_df(spark, 95, 96, tag="u"), key="doc_id")
         assert t.read(spark).count() == 98
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomPointSkipping:
+    """Per-file Bloom filters for point-lookup planning: min/max stats
+    cannot prune a point probe on an uncluttered column; a 4 KB bloom
+    per (file, column) answers 'definitely not here' from the manifest
+    alone, driver-side, no job."""
+
+    def _table(self, spark, root, n=400, files=8):
+        t = IceTable(root, stats_cols=(), bloom_cols=("doc_id", "text"))
+        df = _df(spark, 0, n).repartition(files, "text")  # not id-clustered
+        t.commit(df)
+        return t
+
+    def test_point_lookup_prunes_files(self, spark, root):
+        t = self._table(spark, root)
+        total = len(t.files())
+        planned = t.files(point={"doc_id": 123})
+        assert total == 8 and len(planned) < total
+        got = t.read(spark, point={"doc_id": 123}).filter("doc_id = 123")
+        assert [r.text for r in got.collect()] == ["a-123"]
+
+    def test_no_false_negatives_across_all_keys(self, spark, root):
+        t = self._table(spark, root, n=100)
+        for key in range(0, 100, 7):
+            got = (
+                t.read(spark, point={"doc_id": key})
+                .filter(f"doc_id = {key}")
+                .count()
+            )
+            assert got == 1, f"doc {key} lost by bloom planning"
+
+    def test_absent_value_prunes_aggressively(self, spark, root):
+        t = self._table(spark, root)
+        # absent key: only bloom false positives survive planning
+        assert len(t.files(point={"doc_id": 10_000_000})) <= 2
+
+    def test_string_column_probe(self, spark, root):
+        t = self._table(spark, root)
+        planned = t.files(point={"text": "a-7"})
+        assert len(planned) < 8
+        assert (
+            t.read(spark, point={"text": "a-7"})
+            .filter("text = 'a-7'")
+            .count()
+            == 1
+        )
+
+    def test_blooms_carry_through_upsert(self, spark, root):
+        t = IceTable(root, stats_cols=("doc_id",), bloom_cols=("doc_id",))
+        t.commit(_df(spark, 0, 200).repartitionByRange(8, "doc_id"))
+        t.upsert(_df(spark, 5, 6, tag="u"), key="doc_id")
+        carried = [
+            f for f in t._live_entries() if f.get("bloom")
+        ]
+        assert carried, "carried manifest entries must keep their blooms"
+        # lookups still work against the mixed carried+rewritten set
+        assert (
+            t.read(spark, point={"doc_id": 150})
+            .filter("doc_id = 150")
+            .count()
+            == 1
+        )
+
+    def test_files_without_bloom_are_never_pruned(self, spark, root):
+        t = IceTable(root, stats_cols=(), bloom_cols=())  # no blooms
+        t.commit(_df(spark, 0, 50))
+        assert t.files(point={"doc_id": 3}) == t.files()
