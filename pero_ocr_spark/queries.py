@@ -166,7 +166,7 @@ _CHECK_FIRST = (
     "icetable_mor_deletes", "corpus_zorder_skipping",
     "quality_classifier_auc", "quality_calibration_bins",
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
-    "icetable_bloom_skipping",
+    "icetable_bloom_skipping", "icetable_wap_publish",
 )
 
 
@@ -4394,6 +4394,68 @@ def q_icetable_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         union = union.unionByName(p)
     return union
+
+
+@register(
+    "icetable_wap_publish",
+    """
+WITH stages AS (
+  SELECT 'head_during_audit' AS stage, doc_id FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'after_publish', doc_id FROM documents
+  UNION ALL
+  SELECT 'after_failed_audit', doc_id FROM documents
+)
+SELECT stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM stages GROUP BY stage
+""",
+)
+def q_icetable_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Write-audit-publish on the snapshot table: a staged commit is
+    # invisible to readers (the version pointer never moves) until its
+    # audit passes; a poison batch (null texts) fails the audit and is
+    # abandoned — its version slot freed, its files deleted — so the
+    # published table only ever holds audited data. This is the
+    # production ingestion gate for a 10^12-doc table: quality checks
+    # run against real committed files via time travel, and publish is
+    # one atomic pointer swap.
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = IceTable(_scratch("icetable_wap"), stats_cols=("doc_id",))
+    table.commit(docs.filter(F.col("doc_id") % 2 == 0))
+    staged = table.commit(docs.filter(F.col("doc_id") % 2 == 1), audit=True)
+    head_during_audit = table.read(spark)  # pointer still on v1
+    assert (
+        table.read(spark, version=staged).filter("text IS NULL").count() == 0
+    ), "good batch must pass audit"
+    table.publish(staged)
+    after_publish = table.read(spark)
+    poison = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    ).limit(10)
+    bad = table.commit(poison, audit=True)
+    assert (
+        table.read(spark, version=bad).filter("text IS NULL").count() > 0
+    ), "poison batch must fail audit"
+    table.abandon(bad)
+    after_failed = table.read(spark)
+    parts = [
+        ("head_during_audit", head_during_audit),
+        ("after_publish", after_publish),
+        ("after_failed_audit", after_failed),
+    ]
+    union = parts[0][1].select(F.lit(parts[0][0]).alias("stage"), "doc_id")
+    for tag, df in parts[1:]:
+        union = union.unionByName(df.select(F.lit(tag).alias("stage"), "doc_id"))
+    return union.groupBy("stage").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
 
 
 @register(

@@ -255,11 +255,16 @@ class IceTable:
             with open(hint) as f:
                 return int(f.read().strip())
         except (FileNotFoundError, ValueError):
-            versions = [
-                int(n[5:-5])
-                for n in os.listdir(_meta(self.root))
-                if n.startswith("snap-") and n.endswith(".json")
-            ]
+            versions = []
+            for n in os.listdir(_meta(self.root)):
+                if not (n.startswith("snap-") and n.endswith(".json")):
+                    continue
+                v = int(n[5:-5])
+                # staged (write-audit-publish) snapshots are not the
+                # head until published — recovery must skip them
+                if self.snapshot(v).get("staged"):
+                    continue
+                versions.append(v)
             return max(versions, default=0)
 
     def snapshot(self, version: int) -> dict:
@@ -297,11 +302,11 @@ class IceTable:
 
     # -- commit -------------------------------------------------------------
 
-    def _publish(self, snap: dict, version: int) -> int:
-        """Atomically publish ``snap`` as ``snap-<version>.json`` and
-        swing the version pointer. O_EXCL link of the fully-written
-        temp file: exactly one of two racing committers creates the
-        snapshot; the loser sees :class:`CommitConflict`."""
+    def _publish(self, snap: dict, version: int, stage_only: bool = False) -> int:
+        """Atomically create ``snap-<version>.json`` and (unless
+        ``stage_only``) swing the version pointer. O_EXCL link of the
+        fully-written temp file: exactly one of two racing committers
+        creates the snapshot; the loser sees :class:`CommitConflict`."""
         tmp = _snap_path(self.root, version) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(snap, f)
@@ -311,12 +316,67 @@ class IceTable:
             os.unlink(tmp)
             raise CommitConflict(f"concurrent commit won v{version}") from None
         os.unlink(tmp)
+        if stage_only:
+            return version
         hint = os.path.join(_meta(self.root), "version-hint.text")
         tmp = hint + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, hint)  # atomic pointer swap
         return version
+
+    def publish(self, version: int) -> int:
+        """Publish a snapshot staged with ``commit(..., audit=True)``:
+        the write-audit-publish (WAP) pattern. The staged snapshot
+        must sit directly on the current published head (fast-forward
+        only) — if another commit won in between, the stager must
+        re-stage on the new head. The swap itself is the same atomic
+        pointer replace every commit uses; data files do not move."""
+        snap = self.snapshot(version)  # raises if the stage vanished
+        current = self.current_version()
+        if snap["parent"] != current:
+            raise CommitConflict(
+                f"staged v{version} is based on v{snap['parent']} but the "
+                f"table is at v{current}; re-stage on the new head"
+            )
+        if snap.get("staged"):
+            snap = {k: v for k, v in snap.items() if k != "staged"}
+            tmp = _snap_path(self.root, version) + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            os.replace(tmp, _snap_path(self.root, version))
+        hint = os.path.join(_meta(self.root), "version-hint.text")
+        tmp = hint + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)
+        return version
+
+    def abandon(self, version: int) -> int:
+        """Drop a staged snapshot whose audit failed: delete its data
+        and delete files and its metadata, freeing the version slot so
+        the next commit on the same head does not collide. Returns the
+        number of files removed. Refuses to touch published snapshots
+        (use ``expire_snapshots`` for those)."""
+        snap = self.snapshot(version)
+        if not snap.get("staged"):
+            raise ValueError(f"v{version} is published; abandon refuses")
+        removed = 0
+        carried = {
+            f["path"] for s in self._chain(snap["parent"]) for f in s["manifest"]
+        } | {
+            d["path"]
+            for s in self._chain(snap["parent"])
+            for d in s.get("delete_files", [])
+        }
+        own = [f["path"] for f in snap["manifest"]]
+        own += [d["path"] for d in snap.get("delete_files", [])]
+        for path in own:
+            if path not in carried and os.path.exists(path):
+                os.unlink(path)
+                removed += 1
+        os.unlink(_snap_path(self.root, version))
+        return removed
 
     def commit(
         self,
@@ -326,6 +386,7 @@ class IceTable:
         carry_manifest: list[dict] | None = None,
         carry_deletes: list[dict] | None = None,
         properties: dict | None = None,
+        audit: bool = False,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and publish
         them as the next snapshot. Returns the committed version.
@@ -345,6 +406,13 @@ class IceTable:
         shards a job has ingested) that are exactly-once by
         construction: a crash before the commit leaves no marker, a
         crash after leaves marker AND data.
+
+        ``audit=True`` stages the snapshot WITHOUT moving the version
+        pointer — the write-audit-publish pattern: readers keep seeing
+        the old head, the auditor reads the staged version via
+        ``read(version=...)`` time travel, then :meth:`publish` swings
+        the pointer (or :meth:`abandon` drops the stage after a failed
+        audit, freeing the version slot).
         """
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
@@ -422,7 +490,9 @@ class IceTable:
                 "total_rows": total,
             },
         }
-        return self._publish(snap, base + 1)
+        if audit:
+            snap["staged"] = True
+        return self._publish(snap, base + 1, stage_only=audit)
 
     # -- scan planning ------------------------------------------------------
 

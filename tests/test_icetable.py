@@ -527,3 +527,86 @@ class TestBloomPointSkipping:
         t = IceTable(root, stats_cols=(), bloom_cols=())  # no blooms
         t.commit(_df(spark, 0, 50))
         assert t.files(point={"doc_id": 3}) == t.files()
+
+
+@pytest.mark.usefixtures("spark")
+class TestWriteAuditPublish:
+    """commit(audit=True) stages without moving the pointer; publish()
+    fast-forwards it; abandon() frees a failed stage's version slot."""
+
+    def test_staged_commit_is_invisible_until_published(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        v = t.commit(_df(spark, 10, 20), audit=True)
+        assert v == 2
+        assert t.current_version() == 1          # pointer unmoved
+        assert t.read(spark).count() == 10       # readers see old head
+        assert t.read(spark, version=v).count() == 20  # auditor sees stage
+        t.publish(v)
+        assert t.current_version() == 2
+        assert t.read(spark).count() == 20
+
+    def test_publish_requires_fast_forward(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        v = t.commit(_df(spark, 10, 20), audit=True)
+        # audit takes long; someone else abandons the stage and commits
+        t.abandon(v)
+        t.commit(_df(spark, 50, 60))
+        v2 = t.commit(_df(spark, 20, 30), audit=True)
+        assert t.publish(v2) == 3
+        assert sorted(r.doc_id for r in t.read(spark).collect()) == (
+            list(range(10)) + list(range(20, 30)) + list(range(50, 60))
+        )
+
+    def test_publish_stale_stage_conflicts(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        # stage, then a competing commit moves the head; note the
+        # competing commit wins version 3 (2 is occupied by the stage)
+        v = t.commit(_df(spark, 10, 20), audit=True)
+        with pytest.raises(CommitConflict):
+            t.commit(_df(spark, 30, 40))  # collides with the stage slot
+        t.abandon(v)
+        t.commit(_df(spark, 30, 40))  # reuses the freed slot 2
+        with pytest.raises(CommitConflict):
+            t.publish(v)  # slot now holds a published snapshot
+
+    def test_abandon_removes_stage_data_keeps_parent(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        parent_files = set(t.files())
+        v = t.commit(_df(spark, 10, 20), audit=True)
+        removed = t.abandon(v)
+        assert removed >= 1
+        assert set(t.files()) == parent_files
+        assert t.read(spark).count() == 10
+        with pytest.raises(ValueError, match="published"):
+            t.commit(_df(spark, 10, 20))  # regular commit reuses slot 2
+            t.abandon(2)
+
+    def test_recovery_scan_skips_staged(self, spark, root):
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20), audit=True)
+        os.unlink(os.path.join(root, "metadata", "version-hint.text"))
+        assert t.current_version() == 1  # the stage is not the head
+
+    def test_audited_quality_gate_end_to_end(self, spark, root):
+        # the WAP loop: good batch passes audit -> published; poison
+        # batch fails audit -> abandoned; table holds only audited data
+        t = IceTable(root)
+        good = _df(spark, 0, 50)
+        v = t.commit(good, audit=True)
+        audit_ok = t.read(spark, version=v).filter("text IS NULL").count() == 0
+        assert audit_ok
+        t.publish(v)
+        poison = spark.range(50, 60).select(
+            F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("text")
+        )
+        v2 = t.commit(poison, audit=True)
+        audit_ok = t.read(spark, version=v2).filter("text IS NULL").count() == 0
+        assert not audit_ok
+        t.abandon(v2)
+        assert t.read(spark).count() == 50
+        assert t.read(spark).filter("text IS NULL").count() == 0
