@@ -798,3 +798,90 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
             ).alias("bucket"),
         )
     )
+
+
+def word_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent word pair, with
+    multiplicity (LM counts need it). Same zip_with-over-slices shape
+    as :func:`char_bigrams` (the element_at-in-transform O(n²) trap is
+    documented there)."""
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    n = F.size(F.col("ws"))
+    grams = F.zip_with(
+        F.slice(F.col("ws"), 1, n - 1),
+        F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return d.select("doc_id", F.explode_outer(grams).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+
+
+def kneser_ney_perplexity(
+    docs: DataFrame, discount: float = 0.75, keep_threshold: float = 30.0
+) -> DataFrame:
+    """Per-doc perplexity under an interpolated Kneser-Ney word-bigram
+    LM trained on the corpus itself — the standard smoothing upgrade
+    over :func:`lm_perplexity_scores`'s add-one model (Kneser & Ney
+    1995; Chen & Goodman 1999 empirical study):
+
+        P(w2|w1) = max(c(w1 w2) − d, 0)/c(w1·)
+                   + d · N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+
+    The continuation probability N1+(· w2)/N1+(· ·) scores a word by
+    how many CONTEXTS it follows, not how often it occurs — the fix
+    for high-frequency-but-context-bound words that add-one smoothing
+    overrates.
+
+    Plan shape: one narrow bigram explode; the pair-count table joins
+    the stream on (w1, w2) — a key hash join, never broadcast (pair
+    vocab can be large); the two unigram-level tables (context counts
+    + forward continuation fan-out, backward continuation counts) are
+    vocabulary-sized and BROADCAST; the pair-total is a 1-row
+    crossJoin. Final agg is one map-side-combinable doc_id shuffle.
+    Float parity: per-bigram log2 terms are rounded to 9 dp and summed
+    as DECIMAL so the distributed addition order cannot flip an ulp
+    (the zipf_fit technique); everything upstream is exact integer
+    counts flowing through an identically-parenthesized double
+    expression on both engines.
+    """
+    g = word_bigrams(docs)
+    pair = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    ctx = pair.groupBy("w1").agg(
+        F.sum("n12").alias("c1"),
+        F.count(F.lit(1)).alias("n1_fwd"),  # N1+(w1 ·)
+    )
+    cont = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))  # N1+(· w2)
+    npairs = pair.agg(F.count(F.lit(1)).alias("npairs"))  # N1+(· ·)
+    p = (
+        F.greatest(F.col("n12") - F.lit(discount), F.lit(0.0)) / F.col("c1")
+        + F.lit(discount)
+        * F.col("n1_fwd")
+        / F.col("c1")
+        * F.col("n1_bwd")
+        / F.col("npairs")
+    )
+    scored = (
+        g.join(pair, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "doc_id",
+            F.round(F.log2(p), 9).cast("decimal(24,9)").alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.pow(
+                    F.lit(2.0),
+                    -(F.sum("lp").cast("double") / F.count(F.lit(1))),
+                ),
+                6,
+            ).alias("ppl"),
+        )
+    )
+    return scored.withColumn("keep", F.col("ppl") <= keep_threshold)

@@ -167,6 +167,7 @@ _CHECK_FIRST = (
     "quality_classifier_auc", "quality_calibration_bins",
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
     "icetable_bloom_skipping", "icetable_wap_publish",
+    "lm_kneser_ney_perplexity",
 )
 
 
@@ -3047,6 +3048,50 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing_pairs(
         _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=5, max_df=100
     )
+
+
+_KN_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+g AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)),
+pair AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n12) AS c1, count(*) AS n1_fwd FROM pair GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1_bwd FROM pair GROUP BY w2),
+np AS (SELECT count(*) AS npairs FROM pair),
+terms AS (
+  SELECT g.doc_id,
+         CAST(round(log2(
+           greatest(pair.n12 - 0.75, 0.0) / ctx.c1
+           + 0.75 * ctx.n1_fwd / ctx.c1 * cont.n1_bwd / np.npairs
+         ), 9) AS DECIMAL(24,9)) AS lp
+  FROM g
+  JOIN pair ON g.w1 = pair.w1 AND g.w2 = pair.w2
+  JOIN ctx ON g.w1 = ctx.w1
+  JOIN cont ON g.w2 = cont.w2
+  CROSS JOIN np)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(pow(2.0, -(CAST(sum(lp) AS DOUBLE) / count(*))), 6) AS ppl,
+       round(pow(2.0, -(CAST(sum(lp) AS DOUBLE) / count(*))), 6) <= 30.0
+         AS keep
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("lm_kneser_ney_perplexity", _KN_ORACLE)
+def q_lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interpolated Kneser-Ney word-bigram perplexity (Kneser & Ney
+    # 1995) — the smoothing upgrade over the add-one CCNet filter: the
+    # continuation probability scores words by how many CONTEXTS they
+    # follow. Pair counts hash-join the bigram stream; unigram tables
+    # broadcast; per-term log2 rounded 9 dp and DECIMAL-summed so the
+    # distributed addition order is ulp-exact vs the serial oracle.
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.kneser_ney_perplexity(_t(spark, sf_dir, "documents"))
 
 
 # shared oracle CTE for the evaluation suite: the hashed-classifier

@@ -1,0 +1,67 @@
+"""Interpolated Kneser-Ney perplexity (operators/textstats.py) vs a
+serial replica, plus the continuation-probability property."""
+
+import math
+from collections import Counter
+
+from pero_ocr_spark.operators import textstats
+
+
+def _kn_ppl(corpus: dict[int, str], d: float = 0.75) -> dict[int, float]:
+    pair, ctx_tot, fwd, bwd = Counter(), Counter(), {}, {}
+    doc_grams = {}
+    for doc, text in corpus.items():
+        ws = text.split(" ")
+        gs = list(zip(ws, ws[1:]))
+        doc_grams[doc] = gs
+        pair.update(gs)
+    for (w1, w2), c in pair.items():
+        ctx_tot[w1] += c
+        fwd.setdefault(w1, set()).add(w2)
+        bwd.setdefault(w2, set()).add(w1)
+    npairs = len(pair)
+    out = {}
+    for doc, gs in doc_grams.items():
+        if not gs:
+            continue
+        s = 0.0
+        for w1, w2 in gs:
+            p = (
+                max(pair[(w1, w2)] - d, 0.0) / ctx_tot[w1]
+                + d * len(fwd[w1]) / ctx_tot[w1] * len(bwd[w2]) / npairs
+            )
+            s += round(math.log2(p), 9)
+        out[doc] = round(2.0 ** -(s / len(gs)), 6)
+    return out
+
+
+def test_matches_serial_replica(spark):
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the rug",
+        2: "a cat and a dog and a bird",
+        3: "completely novel words everywhere here",
+        4: "the the the the",  # degenerate repetition
+        5: "single",           # no bigram: absent from output
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r.ppl for r in
+           textstats.kneser_ney_perplexity(df).collect()}
+    want = _kn_ppl(corpus)
+    assert set(got) == set(want)
+    for doc in want:
+        assert abs(got[doc] - want[doc]) < 1e-6, doc
+
+
+def test_continuation_beats_raw_frequency(spark):
+    # 'francisco' is frequent but follows ONE context; 'and' follows
+    # many. Kneser-Ney's continuation term must score an unseen-pair
+    # completion with 'and' higher than with 'francisco'.
+    rows = [(i, "san francisco") for i in range(10)]
+    rows += [(100 + i, f"w{i} and v{i}") for i in range(10)]
+    rows += [(200, "probe and"), (201, "probe francisco")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.ppl for r in
+           textstats.kneser_ney_perplexity(df).collect()}
+    # lower perplexity = more probable under the LM
+    assert got[200] < got[201]
