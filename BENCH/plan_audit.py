@@ -51,6 +51,17 @@ AUDIT = [
     "web_components",
     "web_communities_lpa",
     "web_kcore",
+    # session 8-9 waves
+    "web_trustrank",
+    "web_bfs_depth",
+    "web_host_graph",
+    "events_holt",
+    "events_cusum",
+    "corpus_zorder_skipping",
+    "quality_classifier_auc",
+    "dedup_winnowing",
+    "similarity_recall_eval",
+    "lm_kneser_ney_perplexity",
 ]
 
 
