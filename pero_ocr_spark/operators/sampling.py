@@ -651,3 +651,61 @@ def span_corruption(docs: DataFrame, mask_pct: int = 15) -> DataFrame:
         .alias("target_text"),
         "n_spans",
     )
+
+
+def doremi_mixture(
+    doc_losses: DataFrame, eta: float = 0.1
+) -> DataFrame:
+    """Domain-reweighting mixture from per-source loss — one
+    exponentiated-gradient step of the DoReMi idea (Xie et al. 2023):
+    up-weight domains where the model's loss EXCEEDS the best
+    domain's, so the next training mix spends more tokens where
+    learning headroom remains.
+
+        excess(s) = mean_loss(s) − min_t mean_loss(t)
+        weight(s) ∝ exp(η · excess(s)),  normalized over sources
+
+    (Full DoReMi alternates proxy-model retraining with these steps;
+    without a trainable model only the first step is honest, and one
+    step is exactly what the published method contributes per round.)
+
+    Input: (doc_id, source, loss) — e.g. the Kneser-Ney perplexity
+    tier's per-doc ppl. Scale shape: ONE map-side-combinable source
+    aggregation over the corpus (losses ride DECIMAL so partition
+    order is ulp-exact); everything after runs on the |sources| frame:
+    the min is a 1-row broadcast crossJoin, the normalizer a DECIMAL
+    sum of 9-dp-rounded exp terms. No windows, no corpus second pass.
+    """
+    per_src = doc_losses.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("loss").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_loss"),
+    )
+    best = per_src.agg(F.min("mean_loss").alias("best_loss"))
+    scored = per_src.crossJoin(F.broadcast(best)).select(
+        "source",
+        "n_docs",
+        "mean_loss",
+        F.round(F.col("mean_loss") - F.col("best_loss"), 6).alias("excess"),
+        F.round(
+            F.exp(F.lit(eta) * (F.col("mean_loss") - F.col("best_loss"))), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("__e"),
+    )
+    z = scored.agg(F.sum("__e").alias("__z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "mean_loss",
+            "excess",
+            F.round(
+                F.col("__e").cast("double") / F.col("__z").cast("double"), 6
+            ).alias("weight"),
+        )
+    )

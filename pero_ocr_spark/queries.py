@@ -167,7 +167,7 @@ _CHECK_FIRST = (
     "quality_classifier_auc", "quality_calibration_bins",
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
     "icetable_bloom_skipping", "icetable_wap_publish",
-    "lm_kneser_ney_perplexity",
+    "lm_kneser_ney_perplexity", "sample_doremi_mixture",
 )
 
 
@@ -3092,6 +3092,49 @@ def q_lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.kneser_ney_perplexity(_t(spark, sf_dir, "documents"))
+
+
+_DOREMI_ORACLE = (
+    "WITH kn AS (" + _KN_ORACLE + """),
+dl AS (
+  SELECT d.source, CAST(round(log2(kn.ppl), 6) AS DECIMAL(18,6)) AS loss
+  FROM kn JOIN documents d ON d.doc_id = kn.doc_id),
+per AS (
+  SELECT source, count(*) AS n_docs,
+         round(CAST(sum(loss) AS DOUBLE) / count(*), 6) AS mean_loss
+  FROM dl GROUP BY source),
+b AS (SELECT min(mean_loss) AS best FROM per),
+s AS (
+  SELECT source, n_docs, mean_loss,
+         round(mean_loss - b.best, 6) AS excess,
+         CAST(round(exp(0.1 * (mean_loss - b.best)), 9) AS DECIMAL(20,9))
+           AS e
+  FROM per, b),
+z AS (SELECT sum(e) AS z FROM s)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, mean_loss, excess,
+       round(CAST(e AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+FROM s, z
+"""
+)
+
+
+@register("sample_doremi_mixture", _DOREMI_ORACLE)
+def q_sample_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi-style domain reweighting (Xie et al. 2023, one honest EG
+    # step without a trainable proxy): per-source mean Kneser-Ney
+    # log2-perplexity, excess over the best source, exp(eta*excess)
+    # normalized. One corpus aggregation; everything downstream runs
+    # on the |sources| frame with DECIMAL sums for cross-engine
+    # float parity.
+    from pero_ocr_spark.operators import sampling, textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    losses = (
+        textstats.kneser_ney_perplexity(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.round(F.log2("ppl"), 6).alias("loss"))
+    )
+    return sampling.doremi_mixture(losses, eta=0.1)
 
 
 # shared oracle CTE for the evaluation suite: the hashed-classifier

@@ -141,3 +141,30 @@ def test_skew_profile_salt_factors(spark):
     )
     out2 = sampling.skew_profile(uni, target_partitions=32).collect()
     assert all(r["salt_factor"] == 1 for r in out2)
+
+
+class TestDoremiMixture:
+    def _losses(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, loss double"
+        )
+
+    def test_uniform_loss_gives_uniform_weights(self, spark):
+        from pero_ocr_spark.operators import sampling
+
+        rows = [(i, f"s{i % 4}", 2.5) for i in range(40)]
+        got = sampling.doremi_mixture(self._losses(spark, rows)).collect()
+        assert all(abs(r.weight - 0.25) < 1e-6 for r in got)
+        assert all(r.excess == 0.0 for r in got)
+
+    def test_lossy_domain_upweighted_and_normalized(self, spark):
+        from pero_ocr_spark.operators import sampling
+
+        rows = [(i, "easy", 2.0) for i in range(10)]
+        rows += [(100 + i, "hard", 6.0) for i in range(10)]
+        rows += [(200 + i, "mid", 4.0) for i in range(10)]
+        got = {r.source: r for r in
+               sampling.doremi_mixture(self._losses(spark, rows)).collect()}
+        assert got["hard"].weight > got["mid"].weight > got["easy"].weight
+        assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+        assert got["hard"].excess == 4.0 and got["easy"].excess == 0.0
