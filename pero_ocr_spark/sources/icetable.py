@@ -127,17 +127,30 @@ def _snap_path(root: str, version: int) -> str:
     return os.path.join(_meta(root), f"snap-{version}.json")
 
 
-def _footer_stats(paths, stats_cols):
-    """Per-file (path, rows, {col: [min, max]}) from parquet footers.
+MAX_VALUE_LIST = 16  # distinct values per file above which lists are dropped
 
-    Runs inside Spark tasks — only footer metadata is read (a few KB
-    per file regardless of file size), never data pages.
+
+def _footer_stats(paths, stats_cols, value_cols=()):
+    """Per-file (path, rows, {col: [min, max]}, {col: [values]}) from
+    parquet footers + (for ``value_cols``) one column read.
+
+    Runs inside Spark tasks — footer metadata is a few KB per file
+    regardless of file size. ``value_cols`` are low-cardinality
+    columns whose EXACT per-file distinct-value list is recorded (the
+    analog of Iceberg's partition tuple): a file written
+    partition-clustered carries one or two values, and planning can
+    prune IN-list / equality predicates exactly. Lists longer than
+    ``MAX_VALUE_LIST`` are dropped (the column isn't partition-like in
+    that file; min/max and bloom still apply). Reading just those
+    columns touches only their pages — for a partition-clustered
+    low-cardinality column that is dictionary-encoded kilobytes.
     """
     import pyarrow.parquet as pq
 
     out = []
     for path in paths:
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         stats: dict[str, list] = {}
         for col in stats_cols:
@@ -153,7 +166,15 @@ def _footer_stats(paths, stats_cols):
                 hi = st.max if hi is None else max(hi, st.max)
             if lo is not None:
                 stats[col] = [int(lo), int(hi)] if isinstance(lo, int) else [lo, hi]
-        out.append((path, md.num_rows, stats))
+        values: dict[str, list] = {}
+        present = [c for c in value_cols if c in names]
+        if present:
+            tbl = pf.read(columns=present)
+            for col in present:
+                vals = tbl.column(col).unique().to_pylist()
+                if len(vals) <= MAX_VALUE_LIST and None not in vals:
+                    values[col] = sorted(vals)
+        out.append((path, md.num_rows, stats, values))
     return out
 
 
@@ -170,9 +191,15 @@ class IceTable:
         root: str,
         stats_cols: tuple[str, ...] = ("doc_id",),
         bloom_cols: tuple[str, ...] = (),
+        value_cols: tuple[str, ...] = (),
     ):
         self.root = root
         self.stats_cols = tuple(stats_cols)
+        # exact per-file distinct-value lists for low-cardinality
+        # columns — the Iceberg partition-tuple analog; see
+        # _footer_stats. Planning prunes equality/IN predicates on
+        # them exactly via files(isin=...)
+        self.value_cols = tuple(value_cols)
         # per-file Bloom filters for point-lookup planning (the analog
         # of Iceberg/Parquet bloom metrics): min/max stats prune RANGE
         # predicates but are useless for a point probe on a column the
@@ -446,17 +473,20 @@ class IceTable:
         blooms = (
             self._bloom_manifest(spark, part_files) if self.bloom_cols else {}
         )
+        vcols = self.value_cols
         manifest = [
             {"path": p, "rows": r, "stats": s, **(
+                {"values": v} if v else {}
+            ), **(
                 {"bloom": blooms[p]} if p in blooms else {}
             )}
             for batch in (
                 spark.sparkContext.parallelize(part_files, max(1, len(part_files)))
                 .glom()
-                .map(lambda ps, c=cols: _footer_stats(ps, c))
+                .map(lambda ps, c=cols, vc=vcols: _footer_stats(ps, c, vc))
                 .collect()
             )
-            for (p, r, s) in batch
+            for (p, r, s, v) in batch
         ]
         added_rows = sum(f["rows"] for f in manifest)
         carried_rows = sum(f["rows"] for f in (carry_manifest or []))
@@ -514,6 +544,7 @@ class IceTable:
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
         point: dict | None = None,
+        isin: dict | None = None,
     ) -> list[str]:
         """Data files for a snapshot, optionally stats- and
         bloom-pruned.
@@ -523,7 +554,10 @@ class IceTable:
         skipped. ``point`` maps a bloom column to a probe value; files
         whose per-file Bloom filter proves the value absent are
         skipped (no false negatives — a bloom miss is definitive).
-        Both are *optimizations only*: readers still apply the exact
+        ``isin`` maps a value-list column to a collection of wanted
+        values; files whose recorded EXACT distinct-value list is
+        disjoint from it are skipped (files without a recorded list
+        are kept). All are *optimizations only*: readers still apply the exact
         predicate (a kept file may mix matching and non-matching
         rows). Planning is pure manifest arithmetic: no filesystem
         listing, no footer reads, no Spark job — the bloom probe
@@ -548,6 +582,12 @@ class IceTable:
                         break
                     bloom = f.get("bloom", {}).get(col)
                     if bloom is not None and not _bloom_test(bloom, pos):
+                        keep = False
+                for col, wanted in (isin or {}).items():
+                    if not keep:
+                        break
+                    vals = f.get("values", {}).get(col)
+                    if vals is not None and not set(vals) & set(wanted):
                         keep = False
                 if keep:
                     out.append(f["path"])
@@ -602,6 +642,7 @@ class IceTable:
         version: int | None = None,
         prune: dict[str, tuple] | None = None,
         point: dict | None = None,
+        isin: dict | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read: the plan is pinned to the file list
         of one immutable snapshot, so concurrent commits never tear a
@@ -616,7 +657,7 @@ class IceTable:
         if not version:
             raise ValueError("empty table with no snapshot to take schema from")
         schema = self._snapshot_schema(version)
-        files = self.files(version, prune, point)
+        files = self.files(version, prune, point, isin)
         if not files:
             return spark.createDataFrame([], schema)
         df = spark.read.schema(schema).parquet(*files)
@@ -850,7 +891,7 @@ class IceTable:
                 .map(lambda ps: _footer_stats(ps, ()))
                 .collect()
             )
-            for (p, r, _s) in batch
+            for (p, r, _s, _v) in batch
             if r  # drop empty parts
         ]
         n_deleted = sum(d["rows"] for d in new_dels)

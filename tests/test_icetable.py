@@ -610,3 +610,52 @@ class TestWriteAuditPublish:
         t.abandon(v2)
         assert t.read(spark).count() == 50
         assert t.read(spark).filter("text IS NULL").count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+class TestValueListPlanning:
+    """Exact per-file distinct-value lists (the Iceberg partition-tuple
+    analog) prune equality/IN predicates on low-cardinality columns."""
+
+    def _table(self, spark, root):
+        t = IceTable(root, stats_cols=(), value_cols=("lang",))
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+        )
+        t.commit(df.repartition(6, "lang"))
+        return t
+
+    def test_in_list_prunes_disjoint_files(self, spark, root):
+        t = self._table(spark, root)
+        total = len(t.files())
+        planned = t.files(isin={"lang": ["de"]})
+        assert 0 < len(planned) < total
+        got = (
+            t.read(spark, isin={"lang": ["de"]})
+            .filter("lang = 'de'")
+            .count()
+        )
+        assert got == 100
+
+    def test_multi_value_probe_unions(self, spark, root):
+        t = self._table(spark, root)
+        got = (
+            t.read(spark, isin={"lang": ["en", "fr"]})
+            .filter("lang IN ('en', 'fr')")
+            .count()
+        )
+        assert got == 200
+
+    def test_high_cardinality_column_records_no_list(self, spark, root):
+        t = IceTable(root, stats_cols=(), value_cols=("doc_id",))
+        t.commit(
+            spark.range(300).select(F.col("id").alias("doc_id")).coalesce(2)
+        )
+        # 150 distinct per file > MAX_VALUE_LIST: no list, never pruned
+        assert all("values" not in f or not f["values"]
+                   for f in t._live_entries())
+        assert t.files(isin={"doc_id": [5]}) == t.files()
