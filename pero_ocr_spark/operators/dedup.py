@@ -1096,27 +1096,11 @@ def _word_gram_hashes(text, k: int):
     )
 
 
-def winnow_fingerprints(
-    docs: DataFrame, k: int = 3, w: int = 4
-) -> DataFrame:
-    """(doc_id, fp) — distinct winnowing fingerprints per document.
-
-    Robust winnowing: hash every word k-gram, slide a window of ``w``
-    consecutive hashes, and in each window select the MINIMUM hash,
-    breaking ties by the RIGHTMOST position (the Schleimer et al.
-    rule that guarantees at least one fingerprint per window while
-    keeping the selected set stable under edits elsewhere — the MOSS
-    document-fingerprinting scheme, at word granularity). Guarantee:
-    any shared passage of ≥ k + w − 1 words between two documents
-    yields at least one shared fingerprint.
-
-    Scale shape: selection is ENTIRELY in-row — gram hashing, window
-    minima, and rightmost-tie argmin are nested array expressions in
-    whole-stage codegen, bounded by document length; the only shuffle
-    is the final explode feeding downstream grouping. No UDF, no
-    Python, and the identical list arithmetic runs in the DuckDB
-    oracle.
-    """
+def _doc_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, fps array) — the per-doc distinct winnowing
+    fingerprint ARRAY; see :func:`winnow_fingerprints` for semantics.
+    Kept un-exploded so callers with several consumers can materialize
+    ONE bounded row per document."""
     hs = F.col("__hs")
     n_win = F.greatest(F.size(hs) - w + 1, F.lit(1))
     # rightmost position (0-based, window-relative) achieving the
@@ -1141,7 +1125,33 @@ def winnow_fingerprints(
     return (
         docs.select("doc_id", _word_gram_hashes(F.col("text"), k).alias("__hs"))
         .filter(F.size("__hs") > 0)
-        .select("doc_id", F.explode(F.array_distinct(sel)).alias("fp"))
+        .select("doc_id", F.array_distinct(sel).alias("fps"))
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — distinct winnowing fingerprints per document.
+
+    Robust winnowing: hash every word k-gram, slide a window of ``w``
+    consecutive hashes, and in each window select the MINIMUM hash,
+    breaking ties by the RIGHTMOST position (the Schleimer et al.
+    rule that guarantees at least one fingerprint per window while
+    keeping the selected set stable under edits elsewhere — the MOSS
+    document-fingerprinting scheme, at word granularity). Guarantee:
+    any shared passage of ≥ k + w − 1 words between two documents
+    yields at least one shared fingerprint.
+
+    Scale shape: selection is ENTIRELY in-row — gram hashing, window
+    minima, and rightmost-tie argmin are nested array expressions in
+    whole-stage codegen, bounded by document length; the only shuffle
+    is the final explode feeding downstream grouping. No UDF, no
+    Python, and the identical list arithmetic runs in the DuckDB
+    oracle.
+    """
+    return _doc_fingerprints(docs, k, w).select(
+        "doc_id", F.explode("fps").alias("fp")
     )
 
 
@@ -1164,7 +1174,14 @@ def winnowing_pairs(
     equi-self-join on fp restricted to surviving postings, one
     pair-count aggregation — never all-pairs.
     """
-    fps = winnow_fingerprints(docs, k, w)
+    # the selection expression is the expensive part (nested lambda
+    # array math over every doc) and feeds THREE consumers (posting
+    # counts, per-doc sizes, the join) — Spark 4.1 finalized plans do
+    # not reuse identical exchanges, so materialize the bounded
+    # one-row-per-doc fingerprint arrays once (measured 16.5 s -> the
+    # selection runs once instead of three times at sf0.1)
+    doc_fps = _doc_fingerprints(docs, k, w).localCheckpoint(eager=False)
+    fps = doc_fps.select("doc_id", F.explode("fps").alias("fp"))
     df_counts = fps.groupBy("fp").agg(
         F.countDistinct("doc_id").alias("__df")
     )
