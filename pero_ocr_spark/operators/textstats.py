@@ -892,3 +892,62 @@ def kneser_ney_perplexity(
         )
     )
     return scored.withColumn("keep", F.col("ppl") <= keep_threshold)
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, min_pmi: float = 3.0
+) -> DataFrame:
+    """Adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI(w1,w2) = log2 p(w1,w2)/(p(w1)·p(w2)),
+    bigram probability over the corpus bigram total, unigram
+    probabilities over the corpus token total. High-PMI pairs are
+    multiword units ("los angeles"), the standard collocation /
+    phrase-mining signal; ``min_count`` guards the small-count PMI
+    blowup (a hapax pair maxes PMI by construction).
+
+    Scale shape: one narrow bigram explode + one token explode, each
+    reduced by a map-side-combinable count agg; everything after runs
+    on the vocabulary (pair joins the two unigram tables BROADCAST,
+    totals are 1-row crossJoins). The log ratio is one identically-
+    parenthesized expression on exact integer counts — cross-engine
+    equal after the final 6 dp round.
+    """
+    g = word_bigrams(docs)
+    pair = g.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uni = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    n_pairs = pair.agg(F.sum("n12").alias("n_bigrams"))
+    n_toks = uni.agg(F.sum("nw").alias("n_tokens"))
+    pmi = F.round(
+        F.log2(
+            (F.col("n12") / F.col("n_bigrams"))
+            / (
+                (F.col("n1") / F.col("n_tokens"))
+                * (F.col("n2") / F.col("n_tokens"))
+            )
+        ),
+        6,
+    )
+    return (
+        pair.filter(F.col("n12") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .filter(F.col("pmi") >= min_pmi)
+    )

@@ -168,6 +168,7 @@ _CHECK_FIRST = (
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
     "icetable_bloom_skipping", "icetable_wap_publish",
     "lm_kneser_ney_perplexity", "sample_doremi_mixture",
+    "text_pmi_collocations",
 )
 
 
@@ -3092,6 +3093,51 @@ def q_lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.kneser_ney_perplexity(_t(spark, sf_dir, "documents"))
+
+
+_PMI_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 2),
+pair AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2),
+uni AS (
+  SELECT unnest(w) AS wd FROM ws),
+uc AS (SELECT wd, count(*) AS nw FROM uni GROUP BY wd),
+np AS (SELECT sum(n12) AS n_bigrams FROM pair),
+nt AS (SELECT sum(nw) AS n_tokens FROM uc)
+SELECT p.w1, p.w2, CAST(p.n12 AS BIGINT) AS n_pair,
+       round(log2(
+         (p.n12 / np.n_bigrams)
+         / ((u1.nw / nt.n_tokens) * (u2.nw / nt.n_tokens))
+       ), 6) AS pmi
+FROM pair p
+JOIN uc u1 ON u1.wd = p.w1
+JOIN uc u2 ON u2.wd = p.w2
+CROSS JOIN np CROSS JOIN nt
+WHERE p.n12 >= 5
+  AND round(log2(
+        (p.n12 / np.n_bigrams)
+        / ((u1.nw / nt.n_tokens) * (u2.nw / nt.n_tokens))
+      ), 6) >= 3.0
+"""
+
+
+@register("text_pmi_collocations", _PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation / phrase mining by pointwise mutual information
+    # (Church & Hanks 1990) over adjacent word pairs, with the
+    # min-count gate that kills the hapax-pair PMI blowup. Two narrow
+    # explodes reduced map-side; all joins on the vocabulary-sized
+    # aggregates (broadcast); exact integer counts through one
+    # identically-parenthesized log ratio.
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, min_pmi=3.0
+    )
 
 
 _DOREMI_ORACLE = (

@@ -65,3 +65,30 @@ def test_continuation_beats_raw_frequency(spark):
            textstats.kneser_ney_perplexity(df).collect()}
     # lower perplexity = more probable under the LM
     assert got[200] < got[201]
+
+
+def test_pmi_collocations_flag_fixed_phrases(spark):
+    # 'san francisco' always co-occurs; 'the' pairs with everything
+    rows = [(i, f"the w{i} visited san francisco with the w{i+1}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): r for r in
+           textstats.pmi_collocations(df, min_count=5, min_pmi=1.0).collect()}
+    assert ("san", "francisco") in got
+    import math
+    # serial replica of the PMI formula for the fixed pair
+    n12, n_bigrams = 20, 20 * 8
+    n_san = n_fran = 20
+    n_tokens = 20 * 9
+    want = round(math.log2((n12 / n_bigrams) /
+                           ((n_san / n_tokens) * (n_fran / n_tokens))), 6)
+    assert abs(got[("san", "francisco")].pmi - want) < 1e-6
+    # promiscuous 'the' never reaches the PMI bar
+    assert not any(w1 == "the" or w2 == "the" for w1, w2 in got)
+
+
+def test_pmi_min_count_gate(spark):
+    rows = [(0, "rare pairing here"), (1, "unrelated words entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every pair is a hapax: the count gate must empty the result
+    assert textstats.pmi_collocations(df, min_count=5).count() == 0
