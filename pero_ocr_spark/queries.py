@@ -3121,7 +3121,7 @@ WHERE p.n12 >= 5
   AND round(log2(
         (p.n12 / np.n_bigrams)
         / ((u1.nw / nt.n_tokens) * (u2.nw / nt.n_tokens))
-      ), 6) >= 3.0
+      ), 6) >= 0.4
 """
 
 
@@ -3136,7 +3136,7 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.pmi_collocations(
-        _t(spark, sf_dir, "documents"), min_count=5, min_pmi=3.0
+        _t(spark, sf_dir, "documents"), min_count=5, min_pmi=0.4
     )
 
 
