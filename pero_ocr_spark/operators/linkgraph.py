@@ -777,3 +777,73 @@ def host_graph(docs: DataFrame, n_docs: int) -> DataFrame:
             (F.col("src_host") == F.col("dst_host")).alias("intra_host"),
         )
     )
+
+
+def random_walks(docs: DataFrame, n_docs: int, steps: int = 3) -> DataFrame:
+    """One deterministic ``steps``-hop walk per node over the dense
+    synthetic graph — the DeepWalk/node2vec corpus generator
+    (Perozzi et al. 2014): walks become "sentences" a skip-gram model
+    trains on. Next-hop choice is pseudo-random but STATELESS: among
+    the current node's out-edges, take the dst minimizing the portable
+    LCG hash((cur·69069 + dst) mod P · 48271 + step·12345) mod P — the
+    A-ES trick applied to neighbor selection, so the same corpus
+    produces the same walks at any partitioning or cluster size, and
+    the oracle replicates them exactly in SQL (arg_min over the same
+    arithmetic; every product stays < 2^48, no overflow).
+
+    Scale shape: each hop is ONE equi-join frontier↔edges on the
+    current node plus a struct-min aggregation per walker — argmin
+    inside a partial-aggregable expression, no windows; ``steps`` is a
+    small constant so the walk unrolls into a fixed chain of hash
+    joins (walkers and edges both hash-partition on the join key; a
+    hub node's fan-in is bounded by the aggregation's map-side
+    combine). Output: (start_id, walk string, end node).
+    """
+    edges = synth_edges(docs, n_docs)
+    frontier = docs.select(
+        F.col("doc_id").alias("start"),
+        F.col("doc_id").alias("cur"),
+        F.col("doc_id").cast("string").alias("walk"),
+    )
+    for step in range(1, steps + 1):
+        key = F.pmod(
+            F.pmod(F.col("cur") * 69069 + F.col("dst"), F.lit(2_147_483_647))
+            * 48271
+            + step * 12345,
+            F.lit(2_147_483_647),
+        )
+        # composite (key << 32) | dst: ties on the hash resolve to the
+        # smallest dst INSIDE one integer min — bit-identical argmin in
+        # any engine (key < 2^31, so the product stays inside int64)
+        ckey = key * F.lit(4_294_967_296) + F.col("dst")
+        hop = (
+            frontier.join(edges, frontier["cur"] == edges["src"], "left")
+            .groupBy("start")
+            .agg(
+                F.min(ckey).alias("mk"),
+                F.min("cur").alias("pcur"),   # one frontier row per start
+                F.min("walk").alias("pwalk"),
+            )
+            .select(
+                "start",
+                # dead-end nodes (no out-edges) keep their position
+                F.coalesce(
+                    F.pmod(F.col("mk"), F.lit(4_294_967_296)), F.col("pcur")
+                ).alias("cur"),
+                F.when(F.col("mk").isNull(), F.col("pwalk"))
+                .otherwise(
+                    F.concat(
+                        F.col("pwalk"),
+                        F.lit("->"),
+                        F.pmod(F.col("mk"), F.lit(4_294_967_296)).cast(
+                            "string"
+                        ),
+                    )
+                )
+                .alias("walk"),
+            )
+        )
+        frontier = hop
+    return frontier.select(
+        "start", "walk", F.col("cur").cast("long").alias("end_node")
+    )

@@ -168,7 +168,7 @@ _CHECK_FIRST = (
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
     "icetable_bloom_skipping", "icetable_wap_publish",
     "lm_kneser_ney_perplexity", "sample_doremi_mixture",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "web_random_walks",
 )
 
 
@@ -3093,6 +3093,61 @@ def q_lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.kneser_ney_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _walk_hop_sql(step: int, prev: str) -> str:
+    """One unrolled hop of the deterministic walk: LEFT join the
+    frontier to the edges, integer-composite argmin per walker,
+    dead-ends carry their position."""
+    return f"""
+h{step} AS (
+  SELECT f.start,
+         min((((f.cur * 69069 + e.dst) % 2147483647 * 48271
+               + {step} * 12345) % 2147483647) * 4294967296 + e.dst) AS mk,
+         min(f.cur) AS pcur, min(f.walk) AS pwalk
+  FROM {prev} f LEFT JOIN e ON e.src = f.cur
+  GROUP BY f.start),
+f{step} AS (
+  SELECT start,
+         CASE WHEN mk IS NULL THEN pcur ELSE mk % 4294967296 END AS cur,
+         CASE WHEN mk IS NULL THEN pwalk
+              ELSE pwalk || '->' || CAST(mk % 4294967296 AS VARCHAR)
+         END AS walk
+  FROM h{step})"""
+
+
+_WALKS_ORACLE = (
+    """
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j * 13 + 1) % n.c AS dst
+  FROM documents d, n, generate_series(0, 4) t(j)
+  WHERE t.j <= d.doc_id % 3 + 1),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+f0 AS (SELECT doc_id AS start, doc_id AS cur,
+              CAST(doc_id AS VARCHAR) AS walk
+       FROM documents),"""
+    + ",".join(_walk_hop_sql(s, f"f{s - 1}") for s in (1, 2, 3))
+    + """
+SELECT start, walk, CAST(cur AS BIGINT) AS end_node FROM f3
+"""
+)
+
+
+@register("web_random_walks", _WALKS_ORACLE)
+def q_web_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DeepWalk/node2vec walk corpus (Perozzi et al. 2014): one
+    # deterministic 3-hop walk per node — next hop = hash-argmin over
+    # the current node's out-edges (the A-ES stateless-randomness
+    # trick), so the walk corpus is identical at any partitioning or
+    # cluster size. Each hop is one frontier-edges equi-join + a
+    # map-side-combinable integer-min per walker; the composite
+    # (hash << 32 | dst) key makes tie-breaking bit-identical in the
+    # unrolled SQL oracle.
+    from pero_ocr_spark.operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    return linkgraph.random_walks(docs, n_docs=docs.count(), steps=3)
 
 
 _PMI_ORACLE = """

@@ -400,3 +400,47 @@ class TestHostGraph:
             assert row["n_links"] == want[key]
             assert row["n_src_docs"] == len(srcs[key])
             assert row["intra_host"] == (key[0] == key[1])
+
+
+class TestRandomWalks:
+    def test_matches_serial_replica(self, spark):
+        from pero_ocr_spark.operators import linkgraph
+
+        n = 40
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        got = {r.start: (r.walk, r.end_node) for r in
+               linkgraph.random_walks(docs, n_docs=n, steps=3).collect()}
+
+        P = 2_147_483_647
+        edges: dict[int, list[int]] = {}
+        for s in range(n):
+            for j in range(s % 3 + 2):
+                d = (s * 7 + j * 13 + 1) % n
+                if d != s:
+                    edges.setdefault(s, []).append(d)
+
+        def hop(cur, step):
+            return min(
+                edges[cur],
+                key=lambda d: (
+                    ((cur * 69069 + d) % P * 48271 + step * 12345) % P,
+                    d,
+                ),
+            )
+
+        for s in range(n):
+            cur, walk = s, str(s)
+            for step in (1, 2, 3):
+                cur = hop(cur, step)
+                walk += f"->{cur}"
+            assert got[s] == (walk, cur), s
+
+    def test_walks_are_partitioning_invariant(self, spark):
+        from pero_ocr_spark.operators import linkgraph
+
+        docs = spark.range(60).select(F.col("id").alias("doc_id"))
+        a = set(map(tuple, linkgraph.random_walks(
+            docs.repartition(1), 60).collect()))
+        b = set(map(tuple, linkgraph.random_walks(
+            docs.repartition(13), 60).collect()))
+        assert a == b
