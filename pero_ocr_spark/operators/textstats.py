@@ -951,3 +951,56 @@ def pmi_collocations(
         )
         .filter(F.col("pmi") >= min_pmi)
     )
+
+
+def heaps_fit(docs: DataFrame) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — least-squares of
+    ln(vocab) on ln(tokens) across the corpus's SOURCES, one
+    (n_tokens, n_distinct_words) point per source:
+
+        V(N) ≈ K · N^β      (β ≈ 0.4-0.6 for natural text)
+
+    The companion diagnostic to :func:`zipf_fit`: a template-heavy
+    source flattens β toward 0 (vocabulary saturates), OCR noise or
+    spam inflates it toward 1 (every page mints "new" words). Sources
+    double as the growth ladder because they differ in size; at 10^12
+    docs you'd bucket by crawl snapshot for more points — same plan.
+
+    Scale shape: ONE (source, word) distinct + count aggregation pair
+    over the corpus (both map-side combinable); the regression runs on
+    the |sources| frame with zipf_fit's exact-decimal term sums, so
+    the distributed addition order is ulp-exact vs the oracle.
+    """
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    per_src = words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_vocab"),
+    )
+    xr = F.round(F.log(F.col("n_tokens").cast("double")), 10)
+    yr = F.round(F.log(F.col("n_vocab").cast("double")), 10)
+    pts = per_src.select(
+        xr.cast("decimal(38,12)").alias("x"),
+        yr.cast("decimal(38,12)").alias("y"),
+        F.round(xr * yr, 10).cast("decimal(38,12)").alias("xy"),
+        F.round(xr * xr, 10).cast("decimal(38,12)").alias("xx"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    nn = F.col("n")
+    beta = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        nn.cast("long").alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / nn), 6
+        ).alias("k"),
+    )

@@ -168,7 +168,7 @@ _CHECK_FIRST = (
     "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
     "icetable_bloom_skipping", "icetable_wap_publish",
     "lm_kneser_ney_perplexity", "sample_doremi_mixture",
-    "text_pmi_collocations", "web_random_walks",
+    "text_pmi_collocations", "web_random_walks", "corpus_heaps_fit",
 )
 
 
@@ -3093,6 +3093,45 @@ def q_lm_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.kneser_ney_perplexity(_t(spark, sf_dir, "documents"))
+
+
+_HEAPS_ORACLE = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents),
+per AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT wd) AS n_vocab
+  FROM w GROUP BY source),
+pts AS (
+  SELECT CAST(round(ln(n_tokens), 10) AS DECIMAL(38,12)) AS x,
+         CAST(round(ln(n_vocab), 10) AS DECIMAL(38,12)) AS y,
+         CAST(round(round(ln(n_tokens), 10) * round(ln(n_vocab), 10), 10)
+              AS DECIMAL(38,12)) AS xy,
+         CAST(round(round(ln(n_tokens), 10) * round(ln(n_tokens), 10), 10)
+              AS DECIMAL(38,12)) AS xx
+  FROM per),
+s AS (
+  SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(xy) AS DOUBLE) AS sxy,
+         CAST(sum(xx) AS DOUBLE) AS sxx
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_sources,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n), 6) AS k
+FROM s
+"""
+
+
+@register("corpus_heaps_fit", _HEAPS_ORACLE)
+def q_corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law vocabulary-growth fit across sources (V ~ K·N^beta):
+    # the zipf_fit companion — template-heavy sources flatten beta,
+    # noise inflates it. One map-side-combinable (source, word)
+    # aggregation pair; the regression runs on the |sources| frame
+    # with exact-decimal term sums.
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.heaps_fit(_t(spark, sf_dir, "documents"))
 
 
 def _walk_hop_sql(step: int, prev: str) -> str:

@@ -96,3 +96,27 @@ def test_pmi_min_count_gate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     # every pair is a hapax: the count gate must empty the result
     assert textstats.pmi_collocations(df, min_count=5).count() == 0
+
+
+def test_heaps_fit_recovers_exponent(spark):
+    # sources built to satisfy V = N^0.5 exactly: source i has V=2^i
+    # distinct words each repeated so N = V^2 -> beta must fit ~0.5
+    rows = []
+    for i in range(3, 7):
+        v = 2 ** i
+        words = [f"s{i}w{j}" for j in range(v) for _ in range(v)]
+        rows.append((i, f"src{i}", " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = textstats.heaps_fit(df).first()
+    assert got.n_sources == 4
+    assert abs(got.beta - 0.5) < 1e-6
+    assert abs(got.k - 1.0) < 1e-6
+
+
+def test_heaps_fit_saturated_vocab_flattens(spark):
+    # every source shares one tiny fixed vocabulary: beta -> 0
+    rows = [(i, f"src{i}", " ".join(["alpha beta gamma"] * (10 * (i + 1))))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = textstats.heaps_fit(df).first()
+    assert abs(got.beta) < 1e-6 and got.k == 3.0
