@@ -462,3 +462,59 @@ def postprocess_lines(
         schema="doc_id long, line_id string, sx0 double, sx1 double, "
         "x_p5 double, y double, n_pts long, is_dominant boolean",
     )
+
+
+def retrace_regions(lines: DataFrame, concave: bool = True) -> DataFrame:
+    """L16/L7 as a driver-checkable stage: recompute each region's
+    polygon from its textline rectangles with the alpha-shape retrace
+    (``functions.geometry.retrace_region(concave=True)``, ref
+    ``layout_helpers.py:160-181``) and report the polygon's bounding
+    box + member count. The retraced polygon's vertices are a SUBSET
+    of the textline vertices while COVERING all of them (alpha shape
+    with hull fallback), so its bbox must equal the member-point bbox
+    — the closed-form invariant the external oracle checks; the
+    polygon's interior shape is pinned by the geometry pytests.
+
+    Scale shape: one hash shuffle on (doc_id, region_id), one
+    applyInPandas Arrow stage whose group size is bounded by
+    lines-per-region; explicit repartition pins parallelism against
+    AQE's small-exchange coalescing (the per-doc python-stage gotcha).
+    """
+
+    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = [
+            np.array(
+                [
+                    [r.x0, r.y - r.asc],
+                    [r.x1, r.y - r.asc],
+                    [r.x1, r.y + r.desc],
+                    [r.x0, r.y + r.desc],
+                ],
+                dtype=np.float64,
+            )
+            for r in pdf.itertuples()
+        ]
+        poly = G.retrace_region(polys, concave=concave)
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "region_id": [pdf["region_id"].iloc[0]],
+                "n_lines": [len(pdf)],
+                "x0": [round(float(poly[:, 0].min()), 4)],
+                "y0": [round(float(poly[:, 1].min()), 4)],
+                "x1": [round(float(poly[:, 0].max()), 4)],
+                "y1": [round(float(poly[:, 1].max()), 4)],
+            }
+        )
+
+    return (
+        lines.repartition(32, "doc_id", "region_id")
+        .groupBy("doc_id", "region_id")
+        .applyInPandas(
+            per_region,
+            schema=(
+                "doc_id long, region_id string, n_lines long, "
+                "x0 double, y0 double, x1 double, y1 double"
+            ),
+        )
+    )

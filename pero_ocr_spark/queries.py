@@ -169,6 +169,7 @@ _CHECK_FIRST = (
     "icetable_bloom_skipping", "icetable_wap_publish",
     "lm_kneser_ney_perplexity", "sample_doremi_mixture",
     "text_pmi_collocations", "web_random_walks", "corpus_heaps_fit",
+    "layout_region_retrace",
 )
 
 
@@ -831,6 +832,43 @@ def q_layout_textline_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import layout
 
     return layout.textline_polygons(layout.lines_table(spark, sf_dir))
+
+
+@register(
+    "layout_region_retrace",
+    _LINES_CTE
+    + """
+SELECT doc_id, region_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(min(x0), 4) AS x0, round(min(y) - 10, 4) AS y0,
+       round(max(x1), 4) AS x1, round(max(y) + 4, 4) AS y1
+FROM lines WHERE ord < 60 AND doc_id % 4 = 0
+GROUP BY doc_id, region_id
+""",
+)
+def q_layout_region_retrace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L16/L7 through the external gate: the alpha-shape region retrace
+    # runs for real in the Arrow stage, and the oracle checks its
+    # closed-form invariant — the retraced polygon's vertices are a
+    # subset of the textline vertices while covering all of them, so
+    # its bbox must equal the member-rectangle bbox exactly. Interior
+    # shape is pinned by the geometry pytests (Delaunay alpha shape vs
+    # the executed reference on fixtures).
+    from pero_ocr_spark.operators import layout
+
+    # ord < 60 bounds lines-per-region (same fixture bound as
+    # layout_cluster_lines): the 64x-skewed docs would otherwise hand
+    # the O(n^2) Delaunay kernel 10k+-point regions — at scale the
+    # operator runs AFTER region segmentation, where region size is
+    # physically bounded by the page
+    # doc_id % 4 = 0: a deterministic quarter of the corpus — the
+    # external invariant check doesn't need every page, the kernel's
+    # correctness is page-local
+    return layout.retrace_regions(
+        layout.lines_table(spark, sf_dir).filter(
+            (F.col("ord") < 60) & (F.col("doc_id") % 4 == 0)
+        )
+    )
 
 
 @register(
