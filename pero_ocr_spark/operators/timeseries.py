@@ -48,7 +48,10 @@ def asof_join(
     (on, time) is not unique on the right.
     """
     carried = [*right_cols, time]
-    if tiebreak is not None and tiebreak not in carried:
+    # the time column is carried but is NOT a valid tiebreak: rows
+    # sharing a timestamp are by definition equal on it, so accepting
+    # it would silently leave them nondeterministically ordered
+    if tiebreak is not None and tiebreak not in right_cols:
         raise ValueError("tiebreak must be one of right_cols")
     r = right.select(
         F.col(on),
@@ -148,8 +151,11 @@ def gap_fill(
 
     Three Catalyst stages, one key shuffle total:
 
-      1. bucket observations: per (key, hour) keep the LAST value by
-         event time (``max_by`` — no sort) plus the observation count;
+      1. bucket observations: per (key, bucket) keep the LAST value by
+         event time (``max_by`` — no sort) plus the observation count —
+         the bucket is the event time floored to the ``freq`` width
+         (epoch arithmetic, so buckets and grid are aligned by
+         construction for ANY freq, not just hourly);
       2. per-key grid: min/max bucket -> ``sequence(...,interval)``
          exploded in-row (grid rows never exceed key-span/freq; the
          explode is narrow, no shuffle);
@@ -161,9 +167,36 @@ def gap_fill(
     Rows before a key's first observation never exist (the grid starts
     at the first bucket), so ``filled_value`` is never null.
 
+    ``freq`` accepts fixed-width intervals only — ``"N second(s) /
+    minute(s) / hour(s) / day(s)"`` — because the bucket is an epoch
+    floor; calendar widths (month, year) are not fixed and raise.
+
     Output: (key, bucket_ts, filled_value, n_obs, is_gap).
     """
-    bucket = F.date_trunc("hour", F.col(time))
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", freq, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            f"freq {freq!r} is not a fixed-width interval "
+            "('N second/minute/hour/day')"
+        )
+    unit_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[m.group(2).lower()]
+    width = int(m.group(1)) * unit_us
+    ts_us = F.unix_micros(F.col(time).cast("timestamp"))
+    # cast back to the input column's timestamp flavor (the pinned UTC
+    # session makes LTZ<->NTZ value-preserving) so the output schema
+    # does not depend on freq
+    bucket = F.timestamp_micros(
+        (F.floor(ts_us / width) * width).cast("long")
+    ).cast(events.schema[time].dataType)
     obs = events.groupBy(F.col(key), bucket.alias("bucket_ts")).agg(
         F.max_by(F.col(value), F.col(time)).alias("_v"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),

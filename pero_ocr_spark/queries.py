@@ -4644,15 +4644,25 @@ def q_icetable_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.commit(docs.repartition(8, "source"))
     keys = [7, 93, 211, 348, 499]
     total = len(table.files())
+    # Pruning is an optimization, never a correctness gate: at rows-
+    # per-file well past BLOOM_FILE_M the filter saturates and a probe
+    # keeps every file — that must degrade to a full scan, not an
+    # error (round-4 advice). The achieved ratio is recorded on the
+    # query function (`last_pruning`) for tests/bench to inspect.
+    planned_files = 0
     parts = []
     for key in keys:
         planned = table.files(point={"doc_id": key})
-        assert len(planned) < total, f"bloom must prune for key {key}"
+        planned_files += len(planned)
         parts.append(
             table.read(spark, point={"doc_id": key}).filter(
                 F.col("doc_id") == key
             )
         )
+    q_icetable_bloom_skipping.last_pruning = {
+        "files_total": total * len(keys),
+        "files_planned": planned_files,
+    }
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)

@@ -141,9 +141,11 @@ def _footer_stats(paths, stats_cols, value_cols=()):
     partition-clustered carries one or two values, and planning can
     prune IN-list / equality predicates exactly. Lists longer than
     ``MAX_VALUE_LIST`` are dropped (the column isn't partition-like in
-    that file; min/max and bloom still apply). Reading just those
-    columns touches only their pages — for a partition-clustered
-    low-cardinality column that is dictionary-encoded kilobytes.
+    that file; min/max and bloom still apply). Cost is bounded: the
+    column is read one row group at a time with an early bail as soon
+    as the running distinct set exceeds the cap, so a high-cardinality
+    column costs at most one row-group column read per file — never a
+    full-file column scan at commit time.
     """
     import pyarrow.parquet as pq
 
@@ -167,13 +169,28 @@ def _footer_stats(paths, stats_cols, value_cols=()):
             if lo is not None:
                 stats[col] = [int(lo), int(hi)] if isinstance(lo, int) else [lo, hi]
         values: dict[str, list] = {}
-        present = [c for c in value_cols if c in names]
-        if present:
-            tbl = pf.read(columns=present)
-            for col in present:
-                vals = tbl.column(col).unique().to_pylist()
-                if len(vals) <= MAX_VALUE_LIST and None not in vals:
-                    values[col] = sorted(vals)
+        for col in value_cols:
+            if col not in names:
+                continue
+            # Row-group-at-a-time with early bail: a partition-like
+            # column converges to its (tiny) value list in the first
+            # group; a high-cardinality column blows past
+            # MAX_VALUE_LIST inside the first group and costs ONE
+            # row-group column read, never a full-file column scan.
+            # Constant row groups (footer min==max) cost zero reads.
+            uniq: set = set()
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is not None and st.has_min_max and st.min == st.max:
+                    uniq.add(st.min)
+                else:
+                    chunk = pf.read_row_group(rg, columns=[col])
+                    uniq.update(chunk.column(col).to_pylist())
+                if len(uniq) > MAX_VALUE_LIST or None in uniq:
+                    uniq = None
+                    break
+            if uniq is not None:
+                values[col] = sorted(uniq)
         out.append((path, md.num_rows, stats, values))
     return out
 
@@ -310,12 +327,16 @@ class IceTable:
         return StructType.fromJson(fields)
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first: (version, operation, summary)."""
+        """Commit log, oldest first: (version, operation, summary).
+        Staged (WAP) snapshots and holes (expired or abandoned slots)
+        are skipped — only the published lineage is history."""
         out = []
         for v in range(1, self.current_version() + 1):
             try:
                 s = self.snapshot(v)
-            except FileNotFoundError:  # expired
+            except FileNotFoundError:  # expired or abandoned slot
+                continue
+            if s.get("staged"):
                 continue
             out.append(
                 {
@@ -381,10 +402,12 @@ class IceTable:
 
     def abandon(self, version: int) -> int:
         """Drop a staged snapshot whose audit failed: delete its data
-        and delete files and its metadata, freeing the version slot so
-        the next commit on the same head does not collide. Returns the
-        number of files removed. Refuses to touch published snapshots
-        (use ``expire_snapshots`` for those)."""
+        and delete files and its metadata, leaving a hole in the
+        version sequence (regular commits never depended on the slot —
+        they skip staged slots — so abandoning is cleanup, not
+        unblocking). Returns the number of files removed. Refuses to
+        touch published snapshots (use ``expire_snapshots`` for
+        those)."""
         snap = self.snapshot(version)
         if not snap.get("staged"):
             raise ValueError(f"v{version} is published; abandon refuses")
@@ -439,7 +462,11 @@ class IceTable:
         the old head, the auditor reads the staged version via
         ``read(version=...)`` time travel, then :meth:`publish` swings
         the pointer (or :meth:`abandon` drops the stage after a failed
-        audit, freeing the version slot).
+        audit). A live stage never blocks other writers: regular
+        commits skip past staged-occupied slots, and a stage whose
+        head moved underneath it must re-stage (publish refuses
+        non-fast-forward), exactly Iceberg's WAP + optimistic-
+        concurrency contract.
         """
         if operation not in ("append", "overwrite"):
             raise ValueError(f"unknown operation {operation!r}")
@@ -522,7 +549,37 @@ class IceTable:
         }
         if audit:
             snap["staged"] = True
-        return self._publish(snap, base + 1, stage_only=audit)
+        # Slot allocation: skip past slots held by STAGED (WAP)
+        # snapshots instead of colliding with them — a staged audit
+        # (even a crashed/abandoned one) must never block the head,
+        # matching real Iceberg, where WAP stages snapshots outside
+        # the published lineage. Losing the O_EXCL race to a
+        # PUBLISHED snapshot is a genuine conflict (the head moved;
+        # the caller re-reads and retries); losing to a stage just
+        # means probing the next slot. The parent pointer stays
+        # ``base`` regardless of the slot number, so staged-occupied
+        # slots become holes in the version sequence that the chain
+        # walk (parent pointers) and history() (skips) tolerate.
+        v = base + 1
+        while True:
+            try:
+                if not self.snapshot(v).get("staged"):
+                    raise CommitConflict(f"concurrent commit won v{v}")
+                v += 1
+                continue
+            except FileNotFoundError:
+                pass
+            snap["version"] = v
+            try:
+                return self._publish(snap, v, stage_only=audit)
+            except CommitConflict:
+                try:
+                    if self.snapshot(v).get("staged"):
+                        v += 1
+                        continue
+                except FileNotFoundError:
+                    continue  # racing stage abandoned already: re-probe
+                raise
 
     # -- scan planning ------------------------------------------------------
 
@@ -960,11 +1017,32 @@ class IceTable:
         keep_from = max(1, min(keep_from, current))
         if keep_from <= 1:
             return 0
+        # Staged (WAP) snapshots occupy slots outside the published
+        # lineage (possibly below keep_from, possibly above current):
+        # their files and metadata stay — the auditor may still
+        # publish. Holes (abandoned/expired slots) are skipped.
+        staged_slots: set[int] = set()
+        for n in os.listdir(_meta(self.root)):
+            if n.startswith("snap-") and n.endswith(".json"):
+                v = int(n[5:-5])
+                if self.snapshot(v).get("staged"):
+                    staged_slots.add(v)
         live: set[str] = set()
-        for v in range(keep_from, current + 1):
-            for snap in self._chain(v):
-                live.update(f["path"] for f in snap["manifest"])
-                live.update(d["path"] for d in snap.get("delete_files", []))
+        for v in {*range(keep_from, current + 1), *staged_slots}:
+            try:
+                for snap in self._chain(v):
+                    live.update(f["path"] for f in snap["manifest"])
+                    live.update(
+                        d["path"] for d in snap.get("delete_files", [])
+                    )
+            except FileNotFoundError:  # hole in the version sequence
+                continue
+        while keep_from in staged_slots or not os.path.exists(
+            _snap_path(self.root, keep_from)
+        ):
+            keep_from += 1  # compact the oldest PUBLISHED kept snapshot
+            if keep_from > current:
+                return 0
         oldest = self.snapshot(keep_from)
         if not (oldest["operation"] == "overwrite" or oldest.get("terminator")):
             oldest["manifest"] = [
@@ -978,6 +1056,8 @@ class IceTable:
             os.replace(tmp, _snap_path(self.root, keep_from))
         removed = 0
         for v in range(1, keep_from):
+            if v in staged_slots:
+                continue  # a live stage keeps its slot until publish/abandon
             try:
                 snap = self.snapshot(v)
             except FileNotFoundError:

@@ -562,15 +562,34 @@ class TestWriteAuditPublish:
     def test_publish_stale_stage_conflicts(self, spark, root):
         t = IceTable(root)
         t.commit(_df(spark, 0, 10))
-        # stage, then a competing commit moves the head; note the
-        # competing commit wins version 3 (2 is occupied by the stage)
+        # stage, then a competing commit moves the head: the commit
+        # skips the staged slot (2) and publishes as version 3 — a
+        # live stage never blocks writers
         v = t.commit(_df(spark, 10, 20), audit=True)
+        assert t.commit(_df(spark, 30, 40)) == 3
+        assert t.current_version() == 3
+        assert t.read(spark).count() == 20  # 0-10 + 30-40
         with pytest.raises(CommitConflict):
-            t.commit(_df(spark, 30, 40))  # collides with the stage slot
-        t.abandon(v)
-        t.commit(_df(spark, 30, 40))  # reuses the freed slot 2
-        with pytest.raises(CommitConflict):
-            t.publish(v)  # slot now holds a published snapshot
+            t.publish(v)  # head moved underneath the stage: re-stage
+        t.abandon(v)  # cleanup; slot 2 stays a hole in the lineage
+        assert [h["version"] for h in t.history()] == [1, 3]
+
+    def test_crashed_auditor_never_wedges_writers(self, spark, root):
+        # the round-4 advice scenario: an auditor stages and dies
+        # without publish/abandon; every subsequent regular commit
+        # must still land (previously the staged slot livelocked the
+        # O_EXCL retry loop because current_version stayed at base)
+        t = IceTable(root)
+        t.commit(_df(spark, 0, 10))
+        t.commit(_df(spark, 10, 20), audit=True)  # auditor "crashes"
+        for i in range(3):
+            lo = 100 + 10 * i
+            assert t.commit(_df(spark, lo, lo + 10)) == 3 + i
+        assert t.read(spark).count() == 40
+        # history shows only the published lineage; the stage is
+        # still readable for a late audit via time travel
+        assert [h["version"] for h in t.history()] == [1, 3, 4, 5]
+        assert t.read(spark, version=2).count() == 20
 
     def test_abandon_removes_stage_data_keeps_parent(self, spark, root):
         t = IceTable(root)

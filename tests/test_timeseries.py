@@ -114,6 +114,54 @@ def test_gap_fill_locf_and_grid(spark):
     assert len(u2) == 1 and not u2["is_gap"].iloc[0]
 
 
+def test_asof_rejects_time_column_as_tiebreak(spark):
+    # the time column is carried but rows sharing a timestamp are by
+    # definition equal on it — accepting it was a silent no-op
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _t(6), "L")], "k long, ts timestamp_ntz, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(4), 7)], "k long, ts timestamp_ntz, rid long"
+    )
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(
+            left, right, on="k", time="ts", right_cols=("rid",),
+            tiebreak="ts",
+        )
+
+
+def test_gap_fill_non_hourly_freq_alignment(spark):
+    # 30-minute grid: observations land on 30-minute buckets aligned
+    # with the grid (the pre-round-5 code hardcoded hourly buckets, so
+    # any other freq silently forward-filled real observations as gaps)
+    from pero_ocr_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 40)  # -> bucket 00:30
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=95), 20.0),  # 02:15 -> bucket 02:00
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = gap_fill(ev, freq="30 minutes").toPandas().sort_values(
+        "bucket_ts"
+    ).reset_index(drop=True)
+    assert list(out["bucket_ts"]) == [
+        dt.datetime(2024, 1, 1, 0, 30),
+        dt.datetime(2024, 1, 1, 1, 0),
+        dt.datetime(2024, 1, 1, 1, 30),
+        dt.datetime(2024, 1, 1, 2, 0),
+    ]
+    assert list(out["filled_value"]) == [10.0, 10.0, 10.0, 20.0]
+    assert list(out["is_gap"]) == [False, True, True, False]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed-width"):
+        gap_fill(ev, freq="1 month")
+
+
 def test_funnel_stage_semantics(spark):
     from pero_ocr_spark.operators.timeseries import funnel
 
