@@ -168,9 +168,16 @@ def media_duplicate_groups(feats: DataFrame) -> DataFrame:
     ``similarity.near_dup_pairs``).
 
     Scale shape: the features stage is the cached-session Arrow map;
-    grouping is ONE map-side-combinable shuffle on the signature.
-    Feature vectors never shuffle — only the signature string and two
-    counters."""
+    grouping is ONE map-side-combinable shuffle keyed on the 8-byte
+    ``xxhash64`` of the signature — per row, neither the feature
+    vector NOR the vector-length signature string crosses the wire,
+    only the hash and two counters (the map-side combine carries at
+    most two signature strings per group per map partition for the
+    exactness check). Exactness is preserved, not assumed: the
+    aggregate records the group's min and max signature, and a 64-bit
+    hash collision (two distinct signatures in one group) fails the
+    query loudly via ``assert_true`` instead of silently merging
+    distinct images."""
     sig = F.concat_ws(
         ",",
         F.transform(
@@ -178,12 +185,33 @@ def media_duplicate_groups(feats: DataFrame) -> DataFrame:
             lambda x: F.round(x.cast("double"), 4).cast("string"),
         ),
     )
-    return (
-        feats.groupBy(sig.alias("sig"))
+    grouped = (
+        feats.select(
+            F.xxhash64(sig).alias("_h"),
+            sig.alias("_sig"),
+            "media_ref",
+            "doc_id",
+        )
+        .groupBy("_h")
         .agg(
-            F.min("media_ref").alias("rep_ref"),
+            F.min("_sig").alias("_lo"),
+            F.max("_sig").alias("_hi"),
+            F.min("media_ref").alias("_rep"),
             F.count(F.lit(1)).cast("long").alias("n_items"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
-        .select("rep_ref", "n_items", "n_docs")
+    )
+    # assert_true is folded into rep_ref so column pruning can never
+    # drop the check; it raises on the (astronomically unlikely)
+    # collision rather than returning a merged group
+    rep = F.when(
+        F.assert_true(
+            F.col("_lo") == F.col("_hi"),
+            F.lit("xxhash64 collision in media_duplicate_groups: "
+                  "distinct signatures merged"),
+        ).isNull(),
+        F.col("_rep"),
+    )
+    return grouped.select(
+        rep.alias("rep_ref"), "n_items", "n_docs"
     )

@@ -397,6 +397,7 @@ def view_click_attribution_streaming(
     sf_dir: str,
     max_lag_hours: int = 6,
     watermark: str = "12 hours",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Stream-stream interval join with watermarks — the attribution
     pattern: every click joined to the same user's views from the
@@ -409,6 +410,17 @@ def view_click_attribution_streaming(
     window), not O(stream). The joined pairs land in an append-mode
     sink; the per-user rollup (pairs + mean lag) runs batch on the
     sink, keeping the streaming stage single-stateful.
+
+    ``state_partitions`` pins the stream's shuffle-partition count for
+    the lifetime of the query (stream-stream join state is partitioned
+    once, at query start). Each state partition carries a state-store
+    instance whose per-micro-batch setup/commit is pure overhead when
+    the partition holds little state — at bench scale 32 stores cost
+    more than the join itself (26s → single digits at 8). On a real
+    cluster size it to executors × cores like any shuffle; ``None``
+    keeps the session setting. Join SEMANTICS are unaffected — the
+    predicate, watermarks, and eviction bound do not depend on the
+    partition count.
 
     Output: (user_id, n_pairs, avg_lag_min).
     """
@@ -435,16 +447,22 @@ def view_click_attribution_streaming(
         "inner",
     )
     name = f"attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # lag in whole seconds is an exact integer — summing it keeps the
     # mean order-independent (a double avg differs in final ulps
     # between Spark's partial-agg tree and a sequential oracle)
