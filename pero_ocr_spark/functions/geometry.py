@@ -16,8 +16,12 @@ the nondeterminism designed out:
     (``layout_helpers.py:312-342``)
   * 1-D band clustering == DBSCAN(eps, min_samples=1) on a line — the
     NaiveRegionSorter's reading order (``naive_sorter.py:60-84``)
-  * recursive XY-cut reading order (``smart_sorter.py:177-256``
-    semantics: alternately split on clean vertical/horizontal gaps)
+  * SmartRegionSorter reading order, faithful semantics
+    (``smart_sorter.py:177-303``): transitive >10%-overlap coupling
+    with alternating axes, the decouple fallback for interlocked
+    regions, and the dominant-baseline-tilt pre-rotation — plus the
+    simpler gap-based recursive XY-cut (``xy_cut_order``) kept as the
+    cheap clean-layout variant
 """
 
 from __future__ import annotations
@@ -741,3 +745,189 @@ def xy_cut_order(bboxes: list[tuple[float, float, float, float]]) -> list[int]:
 
     # start with horizontal bands (top-to-bottom), then columns
     return recurse(list(range(len(bboxes))), vertical=False, depth=0)
+
+
+# ------------------------------------------ SmartRegionSorter (O4)
+
+def rotate_points(pts: np.ndarray, deg: float) -> np.ndarray:
+    """Rotate points ``deg`` degrees counter-clockwise (math
+    convention) around the origin — the shapely
+    ``affinity.rotate(geom, deg, origin=(0, 0))`` arithmetic the
+    reference applies to every polygon/baseline before and after
+    ordering (ref smart_sorter.py:305-348)."""
+    a = np.radians(deg)
+    c, s = np.cos(a), np.sin(a)
+    pts = np.asarray(pts, dtype=np.float64)
+    return pts @ np.array([[c, s], [-s, c]])
+
+
+def smart_baseline_rotation(baselines: list[np.ndarray]) -> float:
+    """Page tilt estimate, SmartRegionSorter variant (ref
+    smart_sorter.py:350-384): per baseline, ``degrees(sin(dy /
+    chord_length))`` of the first->last chord — note the reference
+    applies ``sin`` (not ``asin``) to the ratio, an approximation
+    valid for small tilts that we replicate for parity — then the
+    mean over the longest half of the lines. Differs from
+    ``page_utils.get_rotation`` (the layout_helpers variant), which
+    uses ``atan2``; the sorter must use its own."""
+    import math
+
+    infos = []
+    for line in baselines:
+        p0 = np.asarray(line[0], dtype=np.float64)
+        p1 = np.asarray(line[-1], dtype=np.float64)
+        if p1[1] != p0[1]:
+            length = float(np.hypot(p1[0] - p0[0], p1[1] - p0[1]))
+            infos.append((length, math.degrees(math.sin((p1[1] - p0[1]) / length))))
+        else:
+            infos.append((0.0, 0.0))
+    infos.sort(key=lambda x: x[0], reverse=True)
+    infos = infos[: int(len(infos) / 2)]
+    if not infos:
+        return 0.0
+    return sum(r for _, r in infos) / len(infos)
+
+
+def smart_sort_order(
+    bboxes: list[tuple[float, float, float, float]] | None = None,
+    rotation: float = 0.0,
+    intersect_param: float = 0.1,
+    polygons: list[np.ndarray] | None = None,
+) -> list[int]:
+    """SmartRegionSorter reading order (ref smart_sorter.py:177-303),
+    faithful semantics — NOT the gap-based XY-cut of
+    :func:`xy_cut_order`:
+
+      * regions are pre-rotated by ``-rotation`` degrees around the
+        origin (the reference derotates the whole layout by the
+        dominant baseline tilt before ordering, so a tilted page
+        orders row-major, not by raw bbox y);
+      * clusters form by TRANSITIVE >10%-overlap coupling on one axis
+        (a cluster absorbs any unit whose overlap with the cluster's
+        union bbox exceeds ``intersect_param`` of both extents — the
+        reference's FakeIntersectionParameter), alternating axes down
+        the recursion: y-coupling splits rows, x-coupling splits
+        columns within a row;
+      * a non-root cluster that fails to split on its axis (regions
+        interlocked both ways) falls back to ``decouple``: its units
+        are laid out flat, sorted by whichever axis has the larger
+        total adjacent-min spread (ref :224-256);
+      * sibling clusters order by x_min after x-coupling, y_min after
+        y-coupling (stable, so the decouple order is the tiebreak).
+
+    Pass either ``bboxes`` (x0, y0, x1, y1) — exact when the regions
+    are axis-aligned rects, as this engine's are — or ``polygons``
+    (arrays of (N, 2) points) when the regions are tilted: the
+    reference rotates the true polygons, and derotating a tilted
+    region's axis-aligned bbox would inflate it (the bbox of a tilted
+    rect is bigger than the rect) and over-couple rows. Returns the
+    region indices in reading order. Deterministic: coupling scans in
+    input order, all sorts are stable with numeric keys.
+    """
+    if polygons is not None:
+        pts = [np.asarray(p, dtype=np.float64) for p in polygons]
+        if rotation != 0.0:
+            pts = [rotate_points(p, -rotation) for p in pts]
+        n = len(pts)
+        if n <= 1:
+            return list(range(n))
+        boxes = np.array(
+            [[p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
+             for p in pts]
+        )
+    else:
+        n = len(bboxes)
+        if n <= 1:
+            return list(range(n))
+        boxes = np.asarray(bboxes, dtype=np.float64).reshape(n, 4)
+        if rotation != 0.0:
+            corners = np.stack(
+                [
+                    boxes[:, [0, 1]], boxes[:, [2, 1]],
+                    boxes[:, [2, 3]], boxes[:, [0, 3]],
+                ],
+                axis=1,
+            )  # (n, 4, 2)
+            flat = rotate_points(corners.reshape(-1, 2), -rotation)
+            corners = flat.reshape(n, 4, 2)
+            boxes = np.concatenate(
+                [corners.min(axis=1), corners.max(axis=1)], axis=1
+            )  # (x0, y0, x1, y1)
+
+    def unit_bounds(ids: list[int]) -> tuple[float, float, float, float]:
+        sub = boxes[ids]
+        return (
+            float(sub[:, 0].min()), float(sub[:, 1].min()),
+            float(sub[:, 2].max()), float(sub[:, 3].max()),
+        )
+
+    def couples(a, b, vertical: bool) -> bool:
+        # ref :154-175 — overlap measured as min(|a.lo - b.hi|,
+        # |b.lo - a.hi|) (NOT the true intersection under
+        # containment; replicated for parity), counted only if it
+        # exceeds intersect_param of BOTH extents
+        lo, hi = (0, 2) if vertical else (1, 3)
+        if a[lo] <= b[hi] and b[lo] <= a[hi]:
+            inter = min(abs(a[lo] - b[hi]), abs(b[lo] - a[hi]))
+            ea, eb = a[hi] - a[lo], b[hi] - b[lo]
+            if ea > 0 and eb > 0:
+                return inter / ea > intersect_param and inter / eb > intersect_param
+        return False
+
+    # a "unit" is a list of region indices whose internal order is
+    # already final (a leaf region, or a decoupled sub-cluster)
+    def divide(units: list[list[int]], vertical: bool, is_root: bool) -> list[int]:
+        if len(units) == 1:
+            return units[0]
+        # transitive coupling on this axis, reference scan order:
+        # seed with the first pending unit, absorb-and-restart until
+        # stable, repeat (ref :185-207)
+        pending = list(units)
+        clusters: list[list[list[int]]] = []
+        while pending:
+            cur = [pending.pop(0)]
+            cb = unit_bounds([i for u in cur for i in u])
+            changed = True
+            while changed:
+                changed = False
+                for k, u in enumerate(pending):
+                    ub = unit_bounds(u)
+                    if couples(cb, ub, vertical):
+                        pending.pop(k)
+                        cur.append(u)
+                        cb = (
+                            min(cb[0], ub[0]), min(cb[1], ub[1]),
+                            max(cb[2], ub[2]), max(cb[3], ub[3]),
+                        )
+                        changed = True
+                        break
+            clusters.append(cur)
+        if len(clusters) == 1 and not is_root:
+            # decouple fallback (ref :224-256): units interlock on
+            # both axes; flatten, sort by the axis with the larger
+            # total spread of adjacent mins, and do NOT recurse —
+            # each unit keeps its internal order
+            members = clusters[0]
+            xs = sorted(unit_bounds(u)[0] for u in members)
+            ys = sorted(unit_bounds(u)[1] for u in members)
+            x_diffs = sum(b - a for a, b in zip(xs, xs[1:]))
+            y_diffs = sum(b - a for a, b in zip(ys, ys[1:]))
+            axis = 0 if x_diffs > y_diffs else 1
+            ordered = sorted(members, key=lambda u: unit_bounds(u)[axis])
+            # final sibling sort (ref :219-222) — stable, so the
+            # decouple order survives as the tiebreak
+            key = 0 if vertical else 1
+            ordered = sorted(ordered, key=lambda u: unit_bounds(u)[key])
+            return [i for u in ordered for i in u]
+        # recurse into multi-unit clusters with the axis flipped,
+        # then order siblings by x_min (after x-coupling) / y_min
+        # (after y-coupling)
+        resolved = []
+        for c in clusters:
+            ids = divide(c, not vertical, False) if len(c) > 1 else c[0]
+            resolved.append((unit_bounds(ids), ids))
+        key = 0 if vertical else 1
+        resolved.sort(key=lambda t: t[0][key])
+        return [i for _, ids in resolved for i in ids]
+
+    return divide([[i] for i in range(n)], vertical=False, is_root=True)

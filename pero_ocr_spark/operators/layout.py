@@ -338,13 +338,30 @@ def assign_lines_to_regions(lines: DataFrame, regions: DataFrame) -> DataFrame:
 
 
 def region_reading_order(
-    regions_with_bbox: DataFrame, mode: str = "band", eps: float = 50.0
+    regions_with_bbox: DataFrame,
+    mode: str = "band",
+    eps: float = 50.0,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """O3/O4: reading order of regions per document — band sort
-    (NaiveRegionSorter semantics) or recursive XY-cut
-    (SmartRegionSorter semantics). applyInPandas per doc."""
+    (NaiveRegionSorter semantics) or the SmartRegionSorter coupling
+    algorithm (``geometry.smart_sort_order``: transitive >10%-overlap
+    clustering with alternating axes, decouple fallback, and the
+    dominant-baseline-tilt pre-rotation of ref
+    smart_sorter.py:279-303). applyInPandas per doc.
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    ``lines`` (mode="xycut"/"smart" only): optional line frame with
+    (doc_id, region_id) plus baseline chord endpoints — either
+    (x0, y0, x1, y1) or the flat-line (x0, x1, y) shape
+    ``lines_table`` produces; when given, each document's tilt is
+    estimated from the baselines of its most-lines region
+    (``geometry.smart_baseline_rotation``) and the regions are
+    derotated before ordering — cogrouped on doc_id so rotation and
+    ordering happen in ONE Arrow stage, no second shuffle beyond the
+    cogroup's own. Without it rotation is 0 (the reference's behavior
+    when the dominant region has no tilted baselines)."""
+
+    def order_regions(pdf: pd.DataFrame, rotation: float) -> pd.DataFrame:
         # group row order is partition-dependent; fix it before ordering
         pdf = pdf.sort_values("region_id").reset_index(drop=True)
         if mode == "band":
@@ -353,14 +370,42 @@ def region_reading_order(
             boxes = list(
                 zip(pdf["rx0"], pdf["ry0"], pdf["rx1"], pdf["ry1"])
             )
-            order = G.xy_cut_order(boxes)
+            order = G.smart_sort_order(boxes, rotation=rotation)
         out = pdf.iloc[order].copy()
         out["reading_order"] = range(len(out))
         return out[["doc_id", "region_id", "reading_order"]]
 
-    return regions_with_bbox.groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, region_id string, reading_order long"
+    schema = "doc_id long, region_id string, reading_order long"
+    if lines is None or mode == "band":
+        return regions_with_bbox.groupBy("doc_id").applyInPandas(
+            lambda pdf: order_regions(pdf, 0.0), schema=schema
+        )
+
+    chords = (
+        ("x0", "y0", "x1", "y1")
+        if "y0" in lines.columns
+        else ("x0", "y", "x1", "y")
     )
+
+    def per_doc(regions_pdf: pd.DataFrame, lines_pdf: pd.DataFrame):
+        rotation = 0.0
+        if len(lines_pdf):
+            # the reference estimates tilt from the region with the
+            # most lines (smart_sorter.py:285)
+            top = lines_pdf["region_id"].value_counts().idxmax()
+            sub = lines_pdf[lines_pdf["region_id"] == top]
+            ends = np.stack(
+                [sub[c].to_numpy(dtype=float) for c in chords], axis=1
+            )  # (n, 4) = x0, y0, x1, y1 per baseline chord
+            rotation = G.smart_baseline_rotation(
+                [row.reshape(2, 2) for row in ends]
+            )
+        return order_regions(regions_pdf, rotation)
+
+    keep = ["doc_id", "region_id", *dict.fromkeys(chords)]
+    return regions_with_bbox.groupBy("doc_id").cogroup(
+        lines.select(*keep).groupBy("doc_id")
+    ).applyInPandas(lambda r, l: per_doc(r, l), schema=schema)
 
 
 def postprocess_lines(

@@ -961,10 +961,18 @@ def q_layout_reading_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("layout_reading_order_xycut", _REGION_ORDER_ORACLE)
 def q_layout_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full SmartRegionSorter semantics (round-5): coupling order via
+    # geometry.smart_sort_order + the dominant-baseline-tilt
+    # pre-rotation estimated per doc from the lines frame (0 on this
+    # corpus's flat synthetic baselines, so the oracle — untilted
+    # reading order — still pins the result; the tilted path is
+    # pinned by tests/test_geometry.py::TestSmartSortOrder)
     from pero_ocr_spark.operators import layout
 
     return layout.region_reading_order(
-        layout.regions_table(spark, sf_dir), mode="xycut"
+        layout.regions_table(spark, sf_dir),
+        mode="xycut",
+        lines=layout.lines_table(spark, sf_dir),
     )
 
 

@@ -154,6 +154,92 @@ class TestReadingOrder:
         assert G.xy_cut_order(boxes) == [0, 1, 2]
 
 
+class TestSmartSortOrder:
+    """§2.5 O4 — faithful SmartRegionSorter semantics
+    (smart_sorter.py:177-303): >10%-overlap coupling with alternating
+    axes, decouple fallback, dominant-tilt pre-rotation."""
+
+    def test_matches_xy_cut_on_clean_layouts(self):
+        for boxes, want in [
+            ([(20, 20, 100, 120), (120, 20, 220, 120)], [0, 1]),
+            ([(0, 0, 10, 10), (20, 0, 30, 10),
+              (0, 20, 10, 30), (20, 20, 30, 30)], [0, 1, 2, 3]),
+            ([(0, 0, 100, 10), (0, 20, 45, 100), (55, 20, 100, 100)],
+             [0, 1, 2]),
+        ]:
+            assert G.smart_sort_order(boxes) == want
+
+    def test_decouple_fallback_on_interlock(self):
+        # regions overlapping >10% on BOTH axes cannot be split by
+        # coupling; decouple sorts by the axis with the larger min
+        # spread (here x: 70 vs 0) — ref smart_sorter.py:224-256
+        boxes = [(50, 50, 200, 200), (120, 50, 300, 200)]
+        assert G.smart_sort_order(boxes) == [0, 1]
+        # y spread dominates -> decouple orders by y_min; the final
+        # sibling sort is by x_min (ref :219-222 runs AFTER decouple)
+        # and is stable, so the y order survives only on x ties —
+        # exactly the reference's behavior
+        boxes = [(50, 120, 200, 300), (50, 50, 200, 200)]
+        assert G.smart_sort_order(boxes) == [1, 0]
+
+    def test_fake_intersection_param_ignores_slivers(self):
+        # a 5% y-overlap is a "fake intersection": the rows must NOT
+        # couple, so the order is row-major even though raw bboxes
+        # touch (xy_cut_order, gap-based, needs a clean gap and
+        # cannot express this tolerance)
+        boxes = [
+            (0, 0, 100, 102), (120, 0, 220, 102),   # row 1 (tall)
+            (0, 100, 100, 202), (120, 100, 220, 202),  # row 2 overlaps 2px
+        ]
+        assert G.smart_sort_order(boxes) == [0, 1, 2, 3]
+
+    def test_tilted_page_orders_row_major_after_derotation(self):
+        # THE round-4 fidelity gap: a tilted two-column grid. Raw
+        # bboxes interleave vertically (the right column sits ~52px
+        # higher after a -15 deg tilt), so the gap-based XY-cut reads
+        # column-major; the reference derotates by the dominant
+        # baseline tilt first and reads row-major.
+        tilt = -15.0
+        rows = [
+            (0.0, 0.0, 100.0, 30.0),     # A1
+            (200.0, 0.0, 300.0, 30.0),   # B1
+            (0.0, 30.0, 100.0, 60.0),    # A2
+            (200.0, 30.0, 300.0, 60.0),  # B2
+        ]
+        polys = [
+            G.rotate_points(
+                np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]), tilt
+            )
+            for x0, y0, x1, y1 in rows
+        ]
+        tilted = [
+            (p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max())
+            for p in polys
+        ]
+        # baselines follow the tilt; the sorter's own estimator
+        # (degrees(sin(dy/len)) — the reference's formula) recovers it
+        baselines = [
+            G.rotate_points(np.array([[x0, y1], [x1, y1]]), tilt)
+            for x0, y0, x1, y1 in rows
+        ]
+        rot = G.smart_baseline_rotation(baselines)
+        assert abs(rot - (-14.85)) < 0.2  # sin-variant ~= -15 for small angles
+        # the old gap-cut on raw tilted bboxes reads column-major
+        assert G.xy_cut_order(tilted) == [0, 2, 1, 3]
+        # the faithful sorter derotates the true polygons (the bbox of
+        # a tilted rect is inflated — derotating IT would over-couple)
+        # and reads row-major
+        assert G.smart_sort_order(polygons=polys, rotation=rot) == [0, 1, 2, 3]
+        # without the pre-rotation it would NOT
+        assert G.smart_sort_order(polygons=polys, rotation=0.0) != [0, 1, 2, 3]
+
+    def test_rotation_estimator_flat_lines(self):
+        assert G.smart_baseline_rotation(
+            [np.array([[0.0, 5.0], [100.0, 5.0]])]
+        ) == 0.0
+        assert G.smart_baseline_rotation([]) == 0.0
+
+
 class TestCheckPolygon:
     """§2.7 check_polygon — the numpy analog of the reference's shapely
     buffer(0) repair (layout_helpers.py:184-191)."""
