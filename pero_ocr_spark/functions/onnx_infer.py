@@ -118,10 +118,9 @@ def toy_weights() -> dict[str, np.ndarray]:
     }
 
 
-def toy_model_bytes() -> bytes:
+def mlp_model_bytes(w: dict[str, np.ndarray], name: str = "toy_mlp") -> bytes:
     """Serialize X @ W1 + B1 |> Relu |> @ W2 + B2 as an ONNX ModelProto
-    (ir_version 8, default-domain opset 13)."""
-    w = toy_weights()
+    (ir_version 8, default-domain opset 13) for any weight shapes."""
     graph = b"".join(
         [
             _ld(1, _node("MatMul", ["X", "W1"], ["h0"], "mm1")),
@@ -129,13 +128,13 @@ def toy_model_bytes() -> bytes:
             _ld(1, _node("Relu", ["h1"], ["h2"], "relu")),
             _ld(1, _node("MatMul", ["h2", "W2"], ["h3"], "mm2")),
             _ld(1, _node("Add", ["h3", "B2"], ["Y"], "add2")),
-            _str(2, "toy_mlp"),
+            _str(2, name),
             _ld(5, _tensor("W1", w["W1"])),
             _ld(5, _tensor("B1", w["B1"])),
             _ld(5, _tensor("W2", w["W2"])),
             _ld(5, _tensor("B2", w["B2"])),
-            _ld(11, _value_info("X", ["N", IN_DIM])),
-            _ld(12, _value_info("Y", ["N", OUT_DIM])),
+            _ld(11, _value_info("X", ["N", w["W1"].shape[0]])),
+            _ld(12, _value_info("Y", ["N", w["W2"].shape[1]])),
         ]
     )
     return b"".join(
@@ -146,6 +145,36 @@ def toy_model_bytes() -> bytes:
             _ld(8, _vint(2, 13)),  # opset_import {version: 13}
         ]
     )
+
+
+def toy_model_bytes() -> bytes:
+    """The checked-in 64 -> 16 relu -> 4 probe net."""
+    return mlp_model_bytes(toy_weights())
+
+
+def ctc_passthrough_weights(c: int, shift: float = 100.0) -> dict[str, np.ndarray]:
+    """An MLP whose forward pass is the identity on logits in
+    (-shift, inf): W1 = I, B1 = +shift (lifts every logit above the
+    relu cut), W2 = I, B2 = -shift. Synth logits take values in
+    {-80, 0}, both exactly representable through the shift in float32,
+    so session output == session input BIT-exactly — the oracle that
+    lets the weights-backed recognize path be verified end-to-end
+    against the synth-decode path."""
+    eye = np.eye(c, dtype=np.float32)
+    return {
+        "W1": eye,
+        "B1": np.full(c, shift, dtype=np.float32),
+        "W2": eye,
+        "B2": np.full(c, -shift, dtype=np.float32),
+    }
+
+
+def ctc_passthrough_model_bytes(c: int) -> bytes:
+    """Frame-logit passthrough net sized to the CTC charset — the
+    stand-in for real OCR weights that exercises the identical
+    crop/batch -> cached session -> logits -> decode dataflow
+    (ref pytorch_ocr_engine.py:37-74)."""
+    return mlp_model_bytes(ctc_passthrough_weights(c), name="ctc_passthrough")
 
 
 def numpy_forward(x: np.ndarray, weights: dict[str, np.ndarray] | None = None) -> np.ndarray:
@@ -193,6 +222,13 @@ def _session(model_bytes: bytes):
         )
         _SESSIONS[key] = sess
     return sess
+
+
+def session_forward(model_bytes: bytes, x: np.ndarray) -> np.ndarray:
+    """One batched forward through the cached per-worker session.
+    Raises NotImplementedError naming onnxruntime when it is absent."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    return _session(model_bytes).run(["Y"], {"X": x})[0]
 
 
 def infer_batched(df, vec_col: str = "embedding", backend: str = "ort"):

@@ -397,7 +397,50 @@ def decode_beam_lm_carry(
     )
 
 
-def recognize_lines(lines: DataFrame, partitions: int | None = None) -> DataFrame:
+def _ort_frame_pass(pdf: pd.DataFrame, model_bytes: bytes) -> pd.DataFrame:
+    """Run every frame of one Arrow batch through the weights-backed
+    ONNX net in ONE session call: densify each line's logits, stack
+    all real frames into a single [sum_T, C] float32 tensor, forward
+    through the cached per-worker session, split back per line and
+    re-encode — the decode downstream consumes the NET's output, not
+    the synth input (ref pytorch_ocr_engine.py:50-63 batch loop).
+    Raises NotImplementedError naming onnxruntime when absent."""
+    from pero_ocr_spark.functions import onnx_infer as OX
+
+    ts = pdf["t"].to_numpy()
+    c = int(pdf["c"].iloc[0])
+    frames = np.concatenate(
+        [
+            kernels.sparse_to_dense(d, i, p, int(t), c)
+            for t, d, i, p in zip(
+                ts, pdf["data"], pdf["indices"], pdf["indptr"]
+            )
+        ]
+    ).astype(np.float32)
+    y = OX.session_forward(model_bytes, frames)
+    splits = np.cumsum(ts)[:-1]
+    out = {
+        "doc_id": pdf["doc_id"],
+        "line_id": pdf["line_id"],
+        "t": pdf["t"],
+        "c": pdf["c"],
+        "data": [],
+        "indices": [],
+        "indptr": [],
+    }
+    for dense in np.split(y.astype(np.float64), splits):
+        data, indices, indptr = kernels.dense_to_sparse(dense)
+        out["data"].append(np.asarray(data, dtype=np.float32))
+        out["indices"].append(np.asarray(indices, dtype=np.int32))
+        out["indptr"].append(np.asarray(indptr, dtype=np.int32))
+    return pd.DataFrame(out)
+
+
+def recognize_lines(
+    lines: DataFrame,
+    partitions: int | None = None,
+    backend: str = "synth",
+) -> DataFrame:
     """Fused recognition fast path: synthesize logits AND greedy-decode
     inside ONE mapInPandas stage — no logits checkpoint, no shuffle of
     sparse-array columns (the store-then-decode path keeps those for
@@ -408,18 +451,36 @@ def recognize_lines(lines: DataFrame, partitions: int | None = None) -> DataFram
     length BEFORE the python stage (length(text) is the frame-count
     proxy), so each Arrow batch holds similar-T lines — minimal padding
     in the batched decoder, only small string rows cross the wire.
+
+    ``backend="onnx"`` routes every frame batch through the
+    weights-backed ONNX passthrough net (one cached session per
+    worker, one run per Arrow batch) before decoding — the full
+    weights-backed dataflow of the reference's OCR stage, gated on
+    onnxruntime (NotImplementedError naming it when absent). The
+    passthrough weights make the output provably equal to
+    ``backend="synth"``, which is the end-to-end oracle
+    (tests/test_onnx_infer.py).
     """
+    if backend not in ("synth", "onnx"):
+        raise ValueError(f"unknown backend {backend!r}")
     n = partitions or lines.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     packed = lines.repartitionByRange(
         int(n), F.length("text"), "doc_id", "line_id"
     ).sortWithinPartitions(F.length("text"))
+    model_bytes = None
+    if backend == "onnx":
+        from pero_ocr_spark.functions import onnx_infer as OX
+
+        model_bytes = OX.ctc_passthrough_model_bytes(len(CHARSET))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in _synth_batches(batches):
             if len(pdf) == 0:
                 continue
+            if model_bytes is not None:
+                pdf = _ort_frame_pass(pdf, model_bytes)
             texts, confs, scores = _decode_batch_greedy(pdf)
             yield pd.DataFrame(
                 {

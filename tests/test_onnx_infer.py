@@ -137,3 +137,58 @@ class TestSparkPlumbing:
         s1 = OX._session(OX.toy_model_bytes())
         s2 = OX._session(OX.toy_model_bytes())
         assert s1 is s2
+
+
+class TestRecognizeLinesOnnx:
+    """Round-5 directive: the weights-backed session drives the FULL
+    recognize path (length-packed batches -> frame tensor -> cached
+    session -> logits -> batched greedy decode), not just the probe
+    stage. The passthrough weights make backend='onnx' provably equal
+    to backend='synth' — skipped-or-green on onnxruntime presence."""
+
+    def test_passthrough_weights_are_exact_on_synth_logits(self):
+        # unconditional (numpy twin): synth logits live in {-80, 0};
+        # both values survive the +/-shift bit-exactly in float32
+        c = 7
+        w = OX.ctc_passthrough_weights(c)
+        x = np.full((5, c), -80.0, dtype=np.float32)
+        x[np.arange(5), np.arange(5)] = 0.0
+        assert np.array_equal(OX.numpy_forward(x, w), x)
+
+    def test_passthrough_model_structure(self):
+        m = _walk(OX.ctc_passthrough_model_bytes(7))
+        graph = _walk(m[7][0])
+        assert graph[2] == [b"ctc_passthrough"]
+        inits = {_walk(t)[8][0]: _walk(t) for t in graph[5]}
+        assert set(inits) == {b"W1", b"B1", b"W2", b"B2"}
+        assert inits[b"W1"][1] == [7, 7]
+        w1 = np.frombuffer(inits[b"W1"][9][0], dtype=np.float32)
+        assert np.array_equal(w1.reshape(7, 7), np.eye(7, dtype=np.float32))
+
+    def test_recognize_lines_onnx_gate_or_end_to_end(self, spark):
+        from pero_ocr_spark.operators import ctc
+
+        lines = spark.createDataFrame(
+            [(1, "l0", "the quick brown fox"), (1, "l1", "hello"),
+             (2, "l0", "pack my box"), (2, "l1", "a")],
+            "doc_id long, line_id string, text string",
+        )
+        if not OX.ort_available():
+            with pytest.raises(Exception, match="onnxruntime"):
+                ctc.recognize_lines(lines, backend="onnx").collect()
+            pytest.skip("onnxruntime not installed — gate verified")
+        key = lambda r: (r["doc_id"], r["line_id"])  # noqa: E731
+        got = sorted(
+            ctc.recognize_lines(lines, backend="onnx").collect(), key=key
+        )
+        ref = sorted(
+            ctc.recognize_lines(lines, backend="synth").collect(), key=key
+        )
+        assert [r["transcription"] for r in got] == [
+            r["transcription"] for r in ref
+        ]
+        for g, r in zip(got, ref):
+            assert abs(g["confidence"] - r["confidence"]) < 1e-6
+            assert abs(g["score"] - r["score"]) < 1e-6
+        # and the decode actually recovers the input text
+        assert got[0]["transcription"] == "the quick brown fox"
