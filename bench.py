@@ -62,8 +62,12 @@ def main() -> None:
     # CacheManager substitutes any semantically-equal plan fragment
     # with a persisted InMemoryRelation — the in-loop extract_spans
     # timing therefore read the cache and would overstate pages/sec.
-    # Two warm uncached runs, best-of: steady-state full-pipeline
-    # extraction, comparable with earlier rounds.
+    # MIN-OF-THREE warm uncached runs (round-5: the committed r4
+    # artifact's single headline window caught a co-tenant CPU spike —
+    # 2.74s vs 0.64-0.83s on neighbor runs — and understated pages/sec
+    # 4x; the minimum of three ~1s windows is robust to one spike and
+    # costs ~2s per invocation). All three timings are published in
+    # the JSON for variance inspection.
     from pero_ocr_spark import corpus as _corpus
 
     for _df in _corpus._EXTRACTED_CACHE.values():
@@ -71,7 +75,7 @@ def main() -> None:
     _corpus._EXTRACTED_CACHE.clear()
     fn = Q.queries()["extract_spans"]
     warms = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warms.append(round(time.perf_counter() - t0, 3))
@@ -92,6 +96,9 @@ def main() -> None:
         "spans": n_spans,
         "pages_per_sec": round(n_pages / extract_sec, 1),
         "spans_per_sec": round(n_spans / extract_sec, 1),
+        # the three warm uncached headline windows behind the min
+        "headline_rule": "min-of-3 warm uncached extract_spans",
+        "headline_timings": warms,
         # round 3+: timings include query construction (eager work in
         # sink round trips / lineage / iterative clustering was
         # previously hidden); totals are NOT comparable to r1/r2 raw
