@@ -187,3 +187,82 @@ def recall_at_k(
             "recall"
         ),
     )
+
+
+def select_embed_id(
+    lines: DataFrame,
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Writer-adaptation embedding selection (ref
+    user_scripts/select_embed_id.py:44-130): the reference's
+    multi-writer OCR net exposes one style embedding per writer; the
+    script k-means-clusters the embedding table, keeps one
+    representative id per cluster, re-recognizes a transcribed sample
+    with each representative, and adopts the id with minimal CER.
+
+    Re-expressed Spark-first:
+
+      * representatives: the shared deterministic Lloyd k-means
+        (``similarity.kmeans_assign`` — broadcast codebook, min_by
+        argmin) + min-id-per-cluster (the deterministic stand-in for
+        the reference's random cluster member; same cluster-coverage
+        semantics, reproducible);
+      * variant recognition: the net is absent from this container,
+        so each embedding id perturbs the decode through a
+        deterministic per-(id, doc, position) character-drop channel
+        with a per-id error period — the synth-logits analog of "a
+        worse-matched writer embedding misreads more characters".
+        ``decode(synth(s)) == s`` is pinned by the CTC tests, so the
+        channel composes with the real decode identity and the CER
+        arithmetic downstream is exactly the reference's;
+      * scoring: one broadcast of the ≤k representative ids onto the
+        sample, corruption + ``F.levenshtein`` fully in codegen (no
+        Python), ONE map-side-combinable aggregate per id. Every id
+        scores the SAME sample, so the denominator is constant and
+        the argmin ranks by integer error counts — no float compare
+        decides the winner.
+
+    Output: (embed_id, char_errors, char_total, cer, selected) — one
+    row per representative, `selected` marking the adopted id
+    (min errors, ties to the lowest id, exactly argmin CER).
+    """
+    from pero_ocr_spark.operators import similarity
+
+    reps = (
+        similarity.kmeans_assign(embeddings, k=k, iters=iters)
+        .groupBy("cell")
+        .agg(F.min("vec_id").alias("embed_id"))
+        .select("embed_id")
+    )
+    pair = lines.select("doc_id", "text").crossJoin(F.broadcast(reps))
+    e = F.col("embed_id")
+    period = F.lit(5) + ((e * 40503 + 7) % 2147483647) % 11
+    chars = F.split(F.col("text"), "")
+
+    def kept(ch, i):
+        # i is 0-based; the SQL twin uses 1-based generate_series
+        pos = i + 1
+        return (
+            (pos + e * 69069 + F.col("doc_id") * 31) % 2147483647
+        ) % period != 0
+
+    corrupted = F.array_join(F.filter(chars, kept), "")
+    scored = pair.select(
+        "embed_id",
+        F.levenshtein("text", corrupted).alias("lev"),
+        F.length("text").alias("n"),
+    )
+    agg = scored.groupBy("embed_id").agg(
+        F.sum("lev").cast("long").alias("char_errors"),
+        F.sum("n").cast("long").alias("char_total"),
+    )
+    w = Window.orderBy("char_errors", "embed_id")
+    return agg.select(
+        "embed_id",
+        "char_errors",
+        "char_total",
+        F.round(F.col("char_errors") / F.col("char_total"), 6).alias("cer"),
+        (F.row_number().over(w) == 1).alias("selected"),
+    )

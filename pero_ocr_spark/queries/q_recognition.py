@@ -1214,3 +1214,81 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf.parse_pdf_spans(pdf.render_pdfs(spans))
 
 
+
+
+# ---------------------------------------------------------------------------
+# Writer-adaptation embedding selection (ref user_scripts/
+# select_embed_id.py:44-130): k-means representatives over the
+# embedding table, per-representative variant recognition of a
+# transcribed sample, adopt the id with minimal CER. The variant
+# channel is the deterministic per-(id, doc, position) character-drop
+# rule documented on evaluate.select_embed_id; decode(synth(s)) == s
+# is pinned by the CTC suite, so the oracle models the channel + CER
+# arithmetic directly.
+# ---------------------------------------------------------------------------
+
+def _embed_select_oracle() -> str:
+    from pero_ocr_spark.queries._ctes import _kmeans_cte
+
+    kmeans_body = _kmeans_cte().strip()[len("WITH"):]
+    return f"""
+{_EXTRACTED_CTE}
+, {kmeans_body}
+, reps AS (SELECT min(vec_id) AS embed_id FROM a2 GROUP BY cell)
+, sample AS (
+  SELECT doc_id, ord, text FROM extracted
+  WHERE kind = 'text' AND (doc_id*69069 + 12345) % 2147483647 % 4 = 1)
+, pos AS (
+  SELECT r.embed_id, s.doc_id, s.ord, s.text,
+         CAST(unnest(generate_series(1, length(s.text))) AS BIGINT) AS i
+  FROM sample s CROSS JOIN reps r)
+-- the drop-filter rides INSIDE the aggregate as a CASE (dropped
+-- chars contribute ''): DuckDB 1.0's binder raises an internal
+-- error when a second unnest alias (spans CTE already unnests) is
+-- referenced in a downstream WHERE, but aggregate expressions bind
+-- fine
+, flagged AS (
+  SELECT embed_id, doc_id, ord, i,
+         substr(text, CAST(i AS INT), 1) AS ch,
+         ((i + embed_id*69069 + doc_id*31) % 2147483647)
+           % (5 + ((embed_id*40503 + 7) % 2147483647) % 11) AS drop_key
+  FROM pos)
+, corr AS (
+  SELECT embed_id, doc_id, ord,
+         string_agg(CASE WHEN drop_key <> 0 THEN ch ELSE '' END,
+                    '' ORDER BY i) AS corrupted
+  FROM flagged GROUP BY embed_id, doc_id, ord)
+, scored AS (
+  SELECT p.embed_id,
+         levenshtein(p.text, coalesce(c.corrupted, '')) AS lev,
+         length(p.text) AS n
+  FROM (SELECT DISTINCT embed_id, doc_id, ord, text FROM pos) p
+  LEFT JOIN corr c
+    ON p.embed_id = c.embed_id AND p.doc_id = c.doc_id AND p.ord = c.ord)
+, agg AS (
+  SELECT embed_id, CAST(sum(lev) AS BIGINT) AS char_errors,
+         CAST(sum(n) AS BIGINT) AS char_total
+  FROM scored GROUP BY embed_id)
+SELECT embed_id, char_errors, char_total,
+       round(char_errors * 1.0 / char_total, 6) AS cer,
+       row_number() OVER (ORDER BY char_errors, embed_id) = 1 AS selected
+FROM agg
+"""
+
+
+@register("ocr_select_embed_id", None)
+def q_ocr_select_embed_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pero_ocr_spark.operators import evaluate, sampling
+
+    spans = corpus.extracted_spans(spark, sf_dir)
+    sample = spans.filter(
+        (F.col("kind") == "text") & (sampling._residue(4) == 1)
+    ).select("doc_id", "ord", "text")
+    return evaluate.select_embed_id(
+        sample, _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+
+
+_REGISTRY["ocr_select_embed_id"] = (
+    _REGISTRY["ocr_select_embed_id"][0], _embed_select_oracle()
+)

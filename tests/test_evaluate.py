@@ -121,3 +121,33 @@ class TestRecall:
                evaluate.recall_at_k(approx, exact, 5).collect()}
         assert got[1].n_hits == 2 and abs(got[1].recall - 0.4) < 1e-9
         assert got[2].n_hits == 0  # exact side drives: lost query reports 0
+
+
+class TestSelectEmbedId:
+    """Writer-adaptation embedding selection (ref user_scripts/
+    select_embed_id.py): cluster representatives, per-id variant CER,
+    argmin adoption."""
+
+    def test_selects_min_cer_deterministically(self, spark):
+        lines = spark.createDataFrame(
+            [(d, o, t) for d in (1, 2) for o, t in
+             enumerate(["the quick brown fox jumps", "hello world again"])],
+            "doc_id long, ord long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(i)] * 4 + [0.0] * 60) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = evaluate.select_embed_id(lines, emb, k=3, iters=2).collect()
+        assert len(rows) == 3  # one row per cluster representative
+        # every id scored the SAME sample: constant denominator
+        assert len({r.char_total for r in rows}) == 1
+        # selected == argmin(char_errors, embed_id), exactly one
+        best = min(rows, key=lambda r: (r.char_errors, r.embed_id))
+        assert [r.embed_id for r in rows if r.selected] == [best.embed_id]
+        # cer is the exact ratio rounded
+        for r in rows:
+            assert abs(r.cer - round(r.char_errors / r.char_total, 6)) < 1e-9
+        # deterministic across runs
+        again = evaluate.select_embed_id(lines, emb, k=3, iters=2).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
