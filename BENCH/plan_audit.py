@@ -62,6 +62,10 @@ AUDIT = [
     "dedup_winnowing",
     "similarity_recall_eval",
     "lm_kneser_ney_perplexity",
+    # round-5 wave
+    "ocr_select_embed_id",
+    "embedding_top_component",
+    "similarity_ann_pq",
 ]
 
 

@@ -616,7 +616,12 @@ def top_component(
     reduces to one row); dims² never appears, so it holds at any
     corpus size and any dim where dim doubles fit one driver row.
     """
-    base = _spread(emb).select(id_col, _to_double(F.col("embedding")).alias("d"))
+    # the frame is scanned iterations+2 times (dim probe, one agg per
+    # power step, final projection) — persist the parsed doubles once
+    # so the parquet read + array cast don't repeat per iteration
+    base = _spread(
+        emb.select(id_col, _to_double(F.col("embedding")).alias("d"))
+    ).persist()
     n_dims = len(base.select("d").first()["d"])
     v = [1.0] * n_dims
     for _ in range(iterations):
