@@ -324,10 +324,13 @@ def kmeans_assign(
     spark = emb.sparkSession
     # the per-iteration distance fold re-runs over the scan
     # partitioning — spread a starved single-file local scan once so
-    # every Lloyd iteration parallelizes (no-op on a multi-split scan)
+    # every Lloyd iteration parallelizes (no-op on a multi-split scan);
+    # persist the parsed doubles: the loop scans them ~3x per iteration
+    # (argmin, means join, init collect) and the interpreted array cast
+    # dominates re-reads (classic k-means "cache the points")
     base = _spread(
         emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
-    )
+    ).persist()
     # round init centroids ENGINE-side: SQL round is half-away-from-zero
     # in both Spark and DuckDB, while Python's round is half-even — a
     # float32 multiple of 1/128 lands exactly on a 5e-7 boundary and
