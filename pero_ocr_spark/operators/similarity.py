@@ -723,48 +723,56 @@ def rank_fusion(
     )
 
 
-def _lloyd(
-    base: DataFrame, k: int, iters: int, id_col: str = "vec_id"
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Lloyd loop over a pre-sliced (id, e: array<double>) frame —
-    kmeans_assign's exact arithmetic (init = first k ids rounded to 6,
-    ties to the lowest cell, per-dim means re-rounded to 6 per step) —
-    returning BOTH the final assignment and the codebook that produced
-    it (product quantization needs the codebook for the ADC tables;
-    kmeans_assign only surfaces the assignment)."""
-    spark = base.sparkSession
+def _lloyd_multi(
+    subs: DataFrame, k: int, iters: int, id_col: str = "vec_id"
+) -> tuple[DataFrame, list[tuple[int, int, list[float]]]]:
+    """Lloyd loop over a combined (id, j, e: array<double>) frame that
+    holds EVERY subspace slice, keyed by subspace index ``j`` — all m
+    quantizers advance in one job chain instead of m concurrent
+    driver-thread chains (3 collect barriers total vs 3·m; on a real
+    cluster with m=8..64 subspaces the per-loop job-submission and
+    shuffle count would otherwise scale with m). Arithmetic per
+    subspace is kmeans_assign's exactly: init = first k ids rounded to
+    6, ties to the lowest cell, per-dim means re-rounded to 6 per
+    step. Returns the final (id, j, cell) assignment and the codebook
+    [(j, cell, centroid)] (product quantization needs the codebook for
+    the ADC tables)."""
+    spark = subs.sparkSession
     inits = (
-        base.filter(F.col(id_col) < k)
-        .orderBy(id_col)
+        subs.filter(F.col(id_col) < k)
         .select(
-            id_col,
+            "j",
+            F.col(id_col).alias("cell"),
             F.transform(F.col("e"), lambda x: F.round(x, 6)).alias("c"),
         )
         .collect()
     )
-    cent_pairs = [(int(r[id_col]), [float(v) for v in r["c"]]) for r in inits]
+    cent_pairs = sorted(
+        (int(r["j"]), int(r["cell"]), [float(v) for v in r["c"]])
+        for r in inits
+    )
     assign = None
     for it in range(iters):
         cent_df = spark.createDataFrame(
-            cent_pairs, "cell long, cent array<double>"
+            cent_pairs, "j long, cell long, cent array<double>"
         )
         dist = F.aggregate(
             F.zip_with(F.col("e"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        scored = base.crossJoin(F.broadcast(cent_df)).withColumn("d", dist)
-        assign = scored.groupBy(id_col).agg(
+        scored = subs.join(F.broadcast(cent_df), "j").withColumn("d", dist)
+        assign = scored.groupBy(id_col, "j").agg(
             F.min_by("cell", F.struct("d", "cell")).alias("cell")
         )
         if it == iters - 1:
             break
         means = (
-            assign.join(base, id_col)
-            .select("cell", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cell", "pos")
+            assign.join(subs, [id_col, "j"])
+            .select("j", "cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("j", "cell", "pos")
             .agg(F.round(F.avg("val"), 6).alias("v"))
-            .groupBy("cell")
+            .groupBy("j", "cell")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "v"))),
@@ -774,7 +782,7 @@ def _lloyd(
             .collect()
         )
         cent_pairs = sorted(
-            (int(r["cell"]), list(r["cent"])) for r in means
+            (int(r["j"]), int(r["cell"]), list(r["cent"])) for r in means
         )
     return assign, cent_pairs
 
@@ -800,15 +808,17 @@ def pq_topk(
     route, SQ8 shrinks scans, PQ compresses residual geometry); at
     10^12 vectors PQ codes are what actually fits in memory.
 
-    Plan shape: training = m independent Lloyd loops (each the k-means
-    pattern: broadcast codebook, min_by argmin, rounded means);
-    encoding = the m final assignments joined on the id (m small
-    shuffles); search = m broadcast LUT joins onto the code table —
-    the corpus side carries only (id, m codes), never the vectors.
-    Driver state: m·ksub·(dim/m) centroid doubles + the LUTs. Float
-    parity: LUT entries are python-summed then rounded to 9 (matching
-    the oracle's sequential list_sum), and the final ADC sum is a
-    FIXED-ORDER 4-term addition rounded to 6.
+    Plan shape: training = ONE combined Lloyd loop over the exploded
+    (id, subspace, slice) frame — all m quantizers advance together
+    (broadcast codebook keyed by subspace, min_by argmin, rounded
+    means; 3 collect barriers total instead of 3·m); encoding = one
+    pivot of the final (id, j, cell) assignment into the m-code row
+    (one shuffle, not m joins); search = m broadcast LUT joins onto
+    the code table — the corpus side carries only (id, m codes),
+    never the vectors. Driver state: m·ksub·(dim/m) centroid doubles
+    + the LUTs. Float parity: LUT entries are python-summed then
+    rounded to 9 (matching the oracle's sequential list_sum), and the
+    final ADC sum is a FIXED-ORDER 4-term addition rounded to 6.
     """
     base = _spread(emb.select(id_col, _to_double(F.col("embedding")).alias("e")))
     dims = len(base.select("e").first()["e"])
@@ -821,31 +831,43 @@ def pq_topk(
         int(r[id_col]): [float(v) for v in r["e"]]
         for r in base.filter(F.col(id_col).isin(query_ids)).collect()
     }
-    # the base frame is scanned by every subspace's Lloyd loop —
-    # persist it once (it is re-read 3·m times otherwise)
-    base = base.persist()
+    # one row per (vector, subspace) with the slice — every Lloyd
+    # step scans this, so persist the parsed/sliced form once
+    subs = (
+        base.select(
+            id_col,
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        F.slice("e", j * w + 1, w).alias("e"),
+                    )
+                    for j in range(m)
+                ])
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.j").alias("j"), F.col("s.e").alias("e"))
+        .persist()
+    )
 
-    def _train(j: int):
-        sub = base.select(id_col, F.slice("e", j * w + 1, w).alias("e"))
-        return _lloyd(sub, ksub, iters, id_col)
+    assign, cents = _lloyd_multi(subs, ksub, iters, id_col)
 
-    # the m quantizers are independent — train them CONCURRENTLY
-    # (driver threads submitting Spark jobs; the scheduler interleaves
-    # their stages, collapsing m sequential Lloyd loops into one)
-    from concurrent.futures import ThreadPoolExecutor
+    # pivot (id, j, cell) -> (id, k0..k{m-1}): one shuffle
+    enc = (
+        assign.groupBy(id_col)
+        .pivot("j", list(range(m)))
+        .agg(F.first("cell"))
+        .select(id_col, *[F.col(str(j)).alias(f"k{j}") for j in range(m)])
+    )
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        trained = list(pool.map(_train, range(m)))
-
-    enc = None
     luts = []  # per subspace: DataFrame(query_id, code, l)
-    for j, (assign, cents) in enumerate(trained):
-        a = assign.select(id_col, F.col("cell").alias(f"k{j}"))
-        enc = a if enc is None else enc.join(a, id_col)
+    for j in range(m):
         lut_rows = []
         for qid, qv in q_rows.items():
             qs = qv[j * w : (j + 1) * w]
-            for cell, cent in cents:
+            for cj, cell, cent in cents:
+                if cj != j:
+                    continue
                 d = 0.0
                 for i in range(w):
                     d += (qs[i] - cent[i]) * (qs[i] - cent[i])
