@@ -527,19 +527,21 @@ def retrace_regions(lines: DataFrame, concave: bool = True) -> DataFrame:
     """
 
     def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = [
-            np.array(
-                [
-                    [r.x0, r.y - r.asc],
-                    [r.x1, r.y - r.asc],
-                    [r.x1, r.y + r.desc],
-                    [r.x0, r.y + r.desc],
-                ],
-                dtype=np.float64,
-            )
-            for r in pdf.itertuples()
-        ]
-        poly = G.retrace_region(polys, concave=concave)
+        x0 = pdf["x0"].to_numpy(dtype=np.float64)
+        x1 = pdf["x1"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        ytop = y - pdf["asc"].to_numpy(dtype=np.float64)
+        ybot = y + pdf["desc"].to_numpy(dtype=np.float64)
+        quads = np.stack(
+            [
+                np.stack([x0, ytop], axis=1),
+                np.stack([x1, ytop], axis=1),
+                np.stack([x1, ybot], axis=1),
+                np.stack([x0, ybot], axis=1),
+            ],
+            axis=1,
+        )  # (n_lines, 4, 2) — same values the per-row loop built
+        poly = G.retrace_region(list(quads), concave=concave)
         return pd.DataFrame(
             {
                 "doc_id": [pdf["doc_id"].iloc[0]],
