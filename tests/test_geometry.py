@@ -294,3 +294,101 @@ class TestCheckPolygon:
         for _ in range(500):
             q = rng.uniform(0, 100, (4, 2))
             assert G.polygon_self_intersects(q) == G._self_intersects_generic(q)
+
+
+class TestPointsInPolygonVectorized:
+    """The vectorized points_in_polygon must be bit-identical to the
+    scalar point_in_polygon it replaced in retrace_region's coverage
+    check (fractional coordinates, not just the integer sandbox
+    geometry — int truncation bugs hide on integer fixtures)."""
+
+    def test_fuzz_parity_with_scalar(self):
+        rng = np.random.default_rng(11)
+        for _ in range(100):
+            n = int(rng.integers(3, 12))
+            poly = rng.uniform(0, 100, size=(n, 2))
+            pts = np.vstack(
+                [
+                    rng.uniform(-10, 110, size=(25, 2)),
+                    poly[:2],  # exactly-on-vertex probes
+                    poly.mean(axis=0)[None],  # centroid probe
+                    (poly[0] + poly[1])[None] / 2,  # on-edge midpoint
+                ]
+            )
+            vec = G.points_in_polygon(pts, poly)
+            sca = np.array(
+                [G.point_in_polygon(float(x), float(y), poly) for x, y in pts]
+            )
+            assert (vec == sca).all()
+
+    def test_degenerate_zero_length_edge(self):
+        # repeated vertex creates a zero-length edge: the scalar loop's
+        # elif branch measures distance to the point itself; the
+        # vectorized np.where(L2 > 0, ...) path must match
+        poly = np.array([[0, 0], [0, 0], [10, 0], [10, 10], [0, 10]], float)
+        pts = np.array([[0, 0], [5, 5], [11, 5], [1e-10, 1e-10]])
+        vec = G.points_in_polygon(pts, poly)
+        sca = np.array(
+            [G.point_in_polygon(float(x), float(y), poly) for x, y in pts]
+        )
+        assert (vec == sca).all()
+
+    def test_empty_points(self):
+        poly = np.array([[0, 0], [10, 0], [5, 10]], float)
+        out = G.points_in_polygon(np.zeros((0, 2)), poly)
+        assert out.shape == (0,) and out.dtype == bool
+
+
+class TestDelaunayVectorizedInvariants:
+    """The np.unique cavity-edge count and create-time CCW orientation
+    must preserve the Bowyer-Watson invariants the dict-loop version
+    guaranteed."""
+
+    def test_triangles_ccw_and_cover_hull(self):
+        rng = np.random.default_rng(5)
+        for _ in range(30):
+            n = int(rng.integers(4, 40))
+            pts = rng.uniform(0, 100, size=(n, 2))
+            tris = G.delaunay(pts)
+            if len(tris) == 0:
+                continue
+            a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+            area2 = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (
+                b[:, 1] - a[:, 1]
+            ) * (c[:, 0] - a[:, 0])
+            assert (area2 > 0).all()  # CCW at creation, kept CCW
+            # interior points of the convex hull are covered by some
+            # triangle (tiling invariant on the kept simplices)
+            interior = pts.mean(axis=0)
+            covered = False
+            for t in tris:
+                tri_poly = pts[t]
+                if G.points_in_polygon(interior[None], tri_poly)[0]:
+                    covered = True
+                    break
+            assert covered
+
+    def test_retrace_region_still_covers_inputs(self):
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            m = int(rng.integers(2, 20))
+            quads = []
+            for _ in range(m):
+                x0 = rng.uniform(0, 500)
+                w = rng.uniform(10, 200)
+                y = rng.uniform(0, 500)
+                asc = rng.uniform(5, 20)
+                desc = rng.uniform(2, 10)
+                quads.append(
+                    np.array(
+                        [
+                            [x0, y - asc],
+                            [x0 + w, y - asc],
+                            [x0 + w, y + desc],
+                            [x0, y + desc],
+                        ]
+                    )
+                )
+            poly = np.asarray(G.retrace_region(quads), dtype=np.float64)
+            allp = np.vstack(quads)
+            assert G.points_in_polygon(allp, poly).all()
