@@ -28,6 +28,25 @@ def main() -> None:
 
     spark = get_spark("pero_ocr_spark_bench", cores=int(cpus))
 
+    def _drop_extracted_cache() -> None:
+        # Spark's CacheManager substitutes any semantically-equal plan
+        # fragment with a persisted InMemoryRelation; dropping the
+        # shared extracted-spans cache makes the next extract_spans
+        # run the full uncached pipeline (the cache lazily rebuilds on
+        # its next downstream consumer, ~1-2 s charged to that query)
+        from pero_ocr_spark import corpus as _corpus
+
+        for _df in _corpus._EXTRACTED_CACHE.values():
+            _df.unpersist(blocking=True)
+        _corpus._EXTRACTED_CACHE.clear()
+
+    def _headline_window() -> float:
+        t0 = time.perf_counter()
+        Q.queries()["extract_spans"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     # warm-up: JVM + parquet footers + codegen/Arrow/shuffle init, not
     # counted — without this the FIRST query in the loop (arbitrary
     # after the registry reorder) absorbs ~4-5 s of session warm-up
@@ -36,10 +55,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # headline window 1 (suite start): nothing is persisted yet, so
+    # this warm run is uncached by construction. The four headline
+    # windows are SPREAD across the suite (start / mid-loop / 2 at
+    # end, ~8 min apart end-to-end) because round-4/5 showed co-tenant
+    # CPU spikes on this box lasting minutes: three consecutive
+    # end-of-suite windows all caught the same spike (0.955 s vs
+    # 0.59 s quiet), while a spike long enough to cover every window
+    # would have to contaminate the entire suite run.
+    warms = [_headline_window()]
+
     timings: dict[str, float] = {}
     n_pages = 0
     n_spans = 0
+    names = list(Q.queries())
+    mid_name = names[len(names) // 2]
     for name, fn in Q.queries().items():
+        if name == mid_name:
+            # headline window 2 (mid-loop), uncached; not charged to
+            # any query's timing
+            _drop_extracted_cache()
+            warms.append(_headline_window())
         # time construction + materialization: queries that do eager
         # work inside the builder (sink round trips, lineage resume,
         # observe-driven actions) are charged honestly; for lazy
@@ -57,28 +93,16 @@ def main() -> None:
             ).collect()[0]
             n_spans, n_pages = int(row["spans"]), int(row["pages"])
 
-    # headline throughput: re-time extract_spans warm WITH THE SHARED
-    # INPUT CACHE DROPPED. The builder itself is uncached, but Spark's
-    # CacheManager substitutes any semantically-equal plan fragment
-    # with a persisted InMemoryRelation — the in-loop extract_spans
-    # timing therefore read the cache and would overstate pages/sec.
-    # MIN-OF-THREE warm uncached runs (round-5: the committed r4
-    # artifact's single headline window caught a co-tenant CPU spike —
-    # 2.74s vs 0.64-0.83s on neighbor runs — and understated pages/sec
-    # 4x; the minimum of three ~1s windows is robust to one spike and
-    # costs ~2s per invocation). All three timings are published in
-    # the JSON for variance inspection.
-    from pero_ocr_spark import corpus as _corpus
-
-    for _df in _corpus._EXTRACTED_CACHE.values():
-        _df.unpersist(blocking=True)
-    _corpus._EXTRACTED_CACHE.clear()
-    fn = Q.queries()["extract_spans"]
-    warms = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warms.append(round(time.perf_counter() - t0, 3))
+    # headline windows 3+4 (suite end), uncached — see window-1 comment
+    # for why the four windows are spread across the suite. The
+    # in-loop extract_spans timing read the shared cache (CacheManager
+    # substitution) and would overstate pages/sec; the minimum of the
+    # four spread windows is the honest warm uncached figure, robust
+    # to any co-tenant spike shorter than the whole suite run. All
+    # four timings are published in the JSON for variance inspection.
+    _drop_extracted_cache()
+    warms.append(_headline_window())
+    warms.append(_headline_window())
     extract_sec = min(warms) or 1e-9
     # the in-loop row was cache-substituted; publish the honest figure
     timings["extract_spans"] = extract_sec
@@ -96,8 +120,12 @@ def main() -> None:
         "spans": n_spans,
         "pages_per_sec": round(n_pages / extract_sec, 1),
         "spans_per_sec": round(n_spans / extract_sec, 1),
-        # the three warm uncached headline windows behind the min
-        "headline_rule": "min-of-3 warm uncached extract_spans",
+        # the four warm uncached headline windows behind the min,
+        # spread across the suite (start / mid-loop / 2 at end)
+        "headline_rule": (
+            "min-of-4 warm uncached extract_spans, windows spread "
+            "across the suite (start/mid/end)"
+        ),
         "headline_timings": warms,
         # round 3+: timings include query construction (eager work in
         # sink round trips / lineage / iterative clustering was
