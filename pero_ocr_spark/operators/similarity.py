@@ -919,3 +919,115 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+BIN_WORD_BITS = 32
+
+
+def binary_word_sql(col: str, word: int, lo: int, hi: int) -> str:
+    """Spark SQL expression for sign-pattern word ``word``: bit ``i-lo``
+    set iff dimension ``i`` (0-based, ``lo <= i < hi``) is positive.
+
+    32 bits per BIGINT word, not 64: DuckDB raises Out-of-Range on
+    ``(1::BIGINT) << 63`` (signed overflow), so the portable packing
+    keeps every shift <= 31 and every word non-negative — the oracle
+    runs the IDENTICAL arithmetic. OR-fold, so there is no carry and
+    no overflow in either engine."""
+    return (
+        f"aggregate(transform(sequence({lo}, {hi - 1}), "
+        f"i -> CASE WHEN cast(element_at({col}, i + 1) AS double) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), CAST(i - {lo} AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
+
+
+def binary_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    cands: int = 40,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Binary (1-bit sign) quantization ANN with exact rerank — the
+    fourth leg of the quantization suite (IVF routes cells, SQ8
+    shrinks scans, PQ compresses geometry, BINARY collapses a vector
+    to dim/8 bytes of sign pattern; Charikar's SRP hash degenerated to
+    the identity hyperplanes).
+
+    A 64-dim float vector becomes two BIGINT words (16 bytes vs 256),
+    and the candidate scan ranks by Hamming distance — ``bit_count(
+    xor(word, word))`` summed in fixed word order, all integer, so
+    cross-engine exact. The top ``cands`` per query by (hamming asc,
+    id asc) are then reranked by exact cosine over the full vectors.
+
+    Plan shape at 10^12 vectors: the corpus side of the scan carries
+    ONLY (id, code words) — the full vector never shuffles; the tiny
+    query code set broadcasts; the rerank fetches full vectors for
+    just cands x |queries| rows through one equi-join back to the
+    embedding table. Everything is codegen array/bit arithmetic — no
+    UDF, no Python."""
+    base = with_norm(emb)
+    dims = len(base.select("embedding").first()["embedding"])
+    n_words = (dims + BIN_WORD_BITS - 1) // BIN_WORD_BITS
+    code = F.array(*[
+        F.expr(binary_word_sql(
+            "embedding", w, w * BIN_WORD_BITS,
+            min((w + 1) * BIN_WORD_BITS, dims),
+        ))
+        for w in range(n_words)
+    ])
+    coded = base.withColumn("code", code)
+    queries = coded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code").alias("q_code"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # Hamming scan over codes only — fixed-order integer word sum
+    ham = F.aggregate(
+        F.zip_with(
+            "q_code", "c_code",
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        coded.select(
+            F.col(id_col).alias("neighbor_id"), F.col("code").alias("c_code")
+        )
+        .crossJoin(F.broadcast(queries.select("query_id", "q_code")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", ham)
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= cands)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    cvec = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    joined = cand.join(cvec, "neighbor_id").join(
+        F.broadcast(queries.select("query_id", "q_emb", "q_nrm")), "query_id"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.withColumn(
+            "cosine",
+            cosine_col(
+                F.col("q_emb"), F.col("q_nrm"), F.col("c_emb"), F.col("c_nrm")
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )

@@ -542,3 +542,71 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), _QUERY_IDS, m=4, ksub=16,
         iters=3, k=5,
     )
+
+
+def _binary_oracle(dims: int = 64, cands: int = 40, k: int = 5) -> str:
+    """DuckDB mirror of operators.similarity.binary_topk: identical
+    32-bit sign-pattern words (shift <= 31 — DuckDB raises on
+    ``1::BIGINT << 63``), identical fixed-order integer Hamming sum,
+    identical (hamming, id) candidate cut and (cosine desc, id) rerank.
+    dims is 64 across every testdata SF (the Spark side derives it at
+    runtime); `|`/`<<`/xor fully parenthesized — DuckDB parses the
+    bitwise operators at equal precedence."""
+    from pero_ocr_spark.operators.similarity import BIN_WORD_BITS
+
+    n_words = (dims + BIN_WORD_BITS - 1) // BIN_WORD_BITS
+    words = []
+    for w in range(n_words):
+        lo, hi = w * BIN_WORD_BITS, min((w + 1) * BIN_WORD_BITS, dims)
+        words.append(
+            f"list_reduce(list_transform(generate_series({lo + 1}, {hi}), "
+            f"i -> (CASE WHEN emb[i] > 0 THEN ((1::BIGINT) << (i - {lo + 1})) "
+            f"ELSE (0::BIGINT) END)), (a, b) -> (a | b)) AS code_{w}"
+        )
+    ham = " + ".join(
+        f"CAST(bit_count(xor(q.code_{w}, n.code_{w})) AS BIGINT)"
+        for w in range(n_words)
+    )
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+{_COS_E_CTE}
+, c AS (
+  SELECT vec_id, emb, nrm, {", ".join(words)} FROM e),
+h AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {ham} AS hamming
+  FROM c q JOIN c n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})),
+cand AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS cr
+  FROM h),
+r AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         round(list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm), 6) AS cosine
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e n ON n.vec_id = cand.neighbor_id
+  WHERE cand.cr <= {cands})
+SELECT query_id, neighbor_id, hamming, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM r)
+WHERE rn <= {k}
+"""
+
+
+@register("similarity_ann_binary", _binary_oracle())
+def q_similarity_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary (1-bit sign) quantization + Hamming candidate scan + exact
+    # cosine rerank — the fourth quantization leg (IVF routes, SQ8
+    # shrinks, PQ compresses, BINARY collapses to dim/8 bytes); the
+    # corpus scan shuffles two BIGINT words per vector, never the
+    # floats, and the rerank equi-joins full vectors for only
+    # cands x |queries| candidate rows
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.binary_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5, cands=40,
+    )

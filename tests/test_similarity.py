@@ -174,3 +174,66 @@ def test_hard_negative_topk_label_and_dup_gate(spark):
     assert 2 not in got, got   # dup gate holds
     assert got[0] == 3, got    # hardest valid negative first
     assert (out["cosine"] < 0.98).all()
+
+
+class TestBinaryTopk:
+    def test_code_matches_numpy_sign_packing(self, spark, sf_dir):
+        import numpy as np
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+        from pyspark.sql import functions as F
+
+        dims = 64
+        words = [
+            F.expr(similarity.binary_word_sql(
+                "embedding", w, w * 32, min((w + 1) * 32, dims)))
+            for w in range(2)
+        ]
+        rows = emb.select("vec_id", "embedding", *[
+            wd.alias(f"w{i}") for i, wd in enumerate(words)
+        ]).collect()
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            for w in range(2):
+                bits = (v[w * 32:(w + 1) * 32] > 0).astype(np.int64)
+                expect = int((bits << np.arange(len(bits))).sum())
+                assert r[f"w{w}"] == expect, (r["vec_id"], w)
+
+    def test_recall_vs_exact_and_ordering(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qids = list(range(10))
+        brute = similarity.cosine_topk(emb, qids, k=3).collect()
+        binq = similarity.binary_topk(emb, qids, k=3, cands=40).collect()
+        top1_brute = {r["query_id"]: r["neighbor_id"]
+                      for r in brute if r["rank"] == 1}
+        top1_bin = {r["query_id"]: r["neighbor_id"]
+                    for r in binq if r["rank"] == 1}
+        # 64 sign bits preserve cosine neighborhoods well; with a
+        # 40-candidate rerank the exact top-1 should survive for most
+        # queries (recall property, not an oracle).
+        hits = sum(1 for q in top1_brute if top1_bin.get(q) == top1_brute[q])
+        assert hits >= (len(top1_brute) * 2) // 3, (top1_brute, top1_bin)
+        # rank is dense 1..k per query and cosine non-increasing
+        from collections import defaultdict
+
+        per_q = defaultdict(list)
+        for r in binq:
+            per_q[r["query_id"]].append(r)
+        for q, rs in per_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            cos = [r["cosine"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rs)
+
+    def test_toy_rerank_and_hamming_values(self, spark):
+        emb = _emb(spark)
+        out = similarity.binary_topk(emb, [0], k=4, cands=10).collect()
+        # cands=10 covers the whole toy corpus, so the exact-cosine
+        # rerank must reproduce the brute-force order exactly
+        ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked == [1, 4, 2, 3]
+        # sign patterns: v0=0b0001, v1=0b0011, v2=0b0010, v3=0b0000,
+        # v4=0b0011 → hamming vs v0: 1, 2, 1, 1
+        ham = {r["neighbor_id"]: r["hamming"] for r in out}
+        assert ham == {1: 1, 2: 2, 3: 1, 4: 1}
