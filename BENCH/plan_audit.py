@@ -66,6 +66,8 @@ AUDIT = [
     "ocr_select_embed_id",
     "embedding_top_component",
     "similarity_ann_pq",
+    "similarity_ann_binary",
+    "events_holt_winters",
 ]
 
 

@@ -586,3 +586,163 @@ def cusum_alarms(
             & (F.element_at(fold, 2) > F.lit(h) * F.col("mad"))
         ).alias("alarm"),
     )
+
+
+def holt_winters(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    period: int = 24,
+) -> DataFrame:
+    """Per-event-type Holt-Winters additive seasonal smoothing over
+    the hourly-bucketed value series — the third rung of the smoothing
+    family (:func:`ewma_level` → :func:`holt_linear` → here), adding a
+    daily seasonal profile (period = 24 hour-of-day phases):
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t)    + (1−γ)·s_{t−m}
+
+    Cross-engine float discipline, layered:
+
+    * Series values are hourly SUMS — a float sum's partial-aggregate
+      order differs between engines, so each event contributes an
+      integer 1e-4 tick (``floor(value·10000 + 0.5)``) and the bucket
+      sum is exact BIGINT arithmetic (the rolling-window technique);
+      ``x_t = ticks/10000.0`` is then the identical double everywhere.
+    * The classic two-season init (l₀ = mean of season 1, b₀ = mean
+      season-over-season step, s_p = phase-p mean deviation from l₀
+      over the first two seasons, 0 for phases unseen there — the
+      series has gaps, so phase comes from the bucket's wall-clock
+      hour, not the array index) is computed ENTIRELY in tick space:
+      integer sums are order-independent, and each seed is a single
+      division of exact integers — identical doubles by construction.
+    * The coupled recurrence has no window form; it is a FOLD from
+      t = 2m+1 with a flat (m+2)-element DOUBLE-array accumulator
+      ``[l, b, s_0..s_{m-1}]`` (flat list, not a struct — DuckDB 1.0
+      ``list_reduce`` leaks updated struct fields between field
+      expressions), so the float op sequence matches the serial
+      oracle exactly; rounding only on output.
+
+    Scale: one map-side-combinable (type, hour) agg is the only corpus
+    shuffle; per-key fold state is m+2 doubles and the array is
+    bounded by hours in the retention window, not by events."""
+    m = period
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+        ).alias("tick")
+    )
+    arr = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("hb", "tick"))).alias("obs")
+        )
+        .select(
+            "event_type",
+            F.transform("obs", lambda s: s["tick"]).alias("tk"),
+            F.transform(
+                "obs", lambda s: F.hour(s["hb"]).cast("int")
+            ).alias("ph"),
+        )
+        .filter(F.size("tk") > 2 * m)
+        # hoist every slice into a named column: element_at/aggregate
+        # over an INLINE slice re-evaluates the slice per element
+        .select(
+            "event_type", "tk", "ph",
+            F.slice("tk", 1, m).alias("tk1"),
+            F.slice("tk", m + 1, m).alias("tk2"),
+            F.slice("tk", 1, 2 * m).alias("tk2m"),
+            F.slice("ph", 1, 2 * m).alias("ph2m"),
+            F.slice("tk", 2 * m + 1, F.size("tk") - 2 * m).alias("tkr"),
+            F.slice("ph", 2 * m + 1, F.size("ph") - 2 * m).alias("phr"),
+        )
+    )
+
+    def lsum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    s1, s2 = lsum(F.col("tk1")), lsum(F.col("tk2"))
+    l0 = s1.cast("double") / F.lit(10000.0 * m)
+    b0 = (s2 - s1).cast("double") / F.lit(10000.0 * m * m)
+
+    def phase_sum(p):
+        return F.aggregate(
+            F.zip_with(
+                "tk2m", "ph2m",
+                lambda t, q: F.when(q == p, t).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        )
+
+    def phase_cnt(p):
+        return F.aggregate(
+            F.transform(
+                "ph2m", lambda q: F.when(q == p, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        )
+
+    seeds = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda p: F.when(phase_cnt(p) == 0, F.lit(0.0)).otherwise(
+            phase_sum(p).cast("double")
+            / (phase_cnt(p).cast("double") * F.lit(10000.0))
+            - l0
+        ),
+    )
+    xs = F.zip_with(
+        "tkr", "phr",
+        lambda t, q: F.array(t.cast("double") / F.lit(10000.0), q.cast("double")),
+    )
+    staged = arr.select(
+        "event_type", "tk", "ph",
+        xs.alias("xs"),
+        F.concat(F.array(l0, b0), seeds).alias("acc0"),
+    )
+
+    def step(acc, x):
+        x1 = F.element_at(x, 1)
+        pidx = F.element_at(x, 2).cast("int") + 3
+        s_old = F.element_at(acc, pidx)
+        l_prev, b_prev = F.element_at(acc, 1), F.element_at(acc, 2)
+        l_new = (
+            F.lit(alpha) * (x1 - s_old)
+            + F.lit(1.0 - alpha) * (l_prev + b_prev)
+        )
+        b_new = F.lit(beta) * (l_new - l_prev) + F.lit(1.0 - beta) * b_prev
+        s_new = F.lit(gamma) * (x1 - l_new) + F.lit(1.0 - gamma) * s_old
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(m + 2)),
+            lambda j: F.when(j == 1, l_new)
+            .when(j == 2, b_new)
+            .when(j == pidx, s_new)
+            .otherwise(F.element_at(acc, j)),
+        )
+
+    folded = staged.select(
+        "event_type", "tk", "ph",
+        F.aggregate(F.col("xs"), F.col("acc0"), step).alias("st"),
+    )
+    st = F.col("st")
+    p_next = (F.element_at("ph", -1) + 1) % F.lit(m)
+    s_next = F.element_at(st, p_next + 3)
+    seas = F.slice(st, 3, m)
+    return folded.select(
+        F.col("event_type").alias("group_key"),
+        F.size("tk").cast("long").alias("n_obs"),
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(s_next, 6).alias("seasonal_next"),
+        F.round(
+            F.element_at(st, 1) + F.element_at(st, 2) + s_next, 6
+        ).alias("forecast"),
+        F.round(F.array_max(seas) - F.array_min(seas), 6).alias(
+            "seasonal_amplitude"
+        ),
+    )

@@ -576,3 +576,83 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import timeseries
 
     return timeseries.cusum_alarms(_t(spark, sf_dir, "events"))
+
+
+def _holt_winters_oracle(m: int = 24) -> str:
+    """DuckDB mirror of operators.timeseries.holt_winters: identical
+    tick-space seeds (integer sums — order-independent, one exact
+    division each), identical fold expression tree (L duplicated
+    textually inside B and S exactly as the Spark Column tree
+    duplicates it), flat list accumulator (DuckDB 1.0 list_reduce
+    leaks updated STRUCT fields between field expressions)."""
+    m2 = 2 * m
+    acc_len = m + 2
+    sidx = "acc[CAST(x[2] AS INT) + 3]"
+    L = f"(0.3 * (x[1] - {sidx}) + 0.7 * (acc[1] + acc[2]))"
+    B = f"(0.05 * ({L} - acc[1]) + 0.95 * acc[2])"
+    S = f"(0.2 * (x[1] - {L}) + 0.8 * {sidx})"
+    nxt = f"((ph[len(ph)] + 1) % {m}) + 3"
+    return f"""
+WITH hb AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb,
+         SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS tick
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT event_type,
+         list(tick ORDER BY hb) AS tk,
+         list(CAST(extract(hour FROM hb) AS INT) ORDER BY hb) AS ph
+  FROM hb GROUP BY 1),
+f AS (SELECT * FROM a WHERE len(tk) > {m2}),
+sd AS (
+  SELECT event_type, tk, ph, tk[1:{m2}] AS tk2m, ph[1:{m2}] AS ph2m,
+         CAST(list_sum(tk[1:{m}]) AS DOUBLE) / (10000.0 * {m}) AS l0,
+         CAST(list_sum(tk[{m + 1}:{m2}]) - list_sum(tk[1:{m}]) AS DOUBLE)
+           / (10000.0 * {m} * {m}) AS b0
+  FROM f),
+sc AS (
+  SELECT event_type, tk, ph, l0, b0,
+         list_transform(generate_series(0, {m - 1}), p ->
+           CASE WHEN list_sum(list_transform(ph2m,
+                       q -> CASE WHEN q = p THEN 1 ELSE 0 END)) = 0
+                THEN 0.0
+                ELSE CAST(list_sum(list_transform(generate_series(1, {m2}),
+                         i -> CASE WHEN ph2m[i] = p THEN tk2m[i]
+                              ELSE 0 END)) AS DOUBLE)
+                     / (CAST(list_sum(list_transform(ph2m,
+                           q -> CASE WHEN q = p THEN 1 ELSE 0 END))
+                         AS DOUBLE) * 10000.0)
+                     - l0 END) AS seeds
+  FROM sd),
+fl AS (
+  SELECT event_type, tk, ph,
+         list_reduce(
+           [[l0, b0] || seeds] ||
+           list_transform(generate_series({m2 + 1}, len(tk)),
+             i -> [CAST(tk[i] AS DOUBLE) / 10000.0, CAST(ph[i] AS DOUBLE)]),
+           (acc, x) -> list_transform(generate_series(1, {acc_len}), j ->
+             CASE WHEN j = 1 THEN {L}
+                  WHEN j = 2 THEN {B}
+                  WHEN j = (CAST(x[2] AS INT) + 3) THEN {S}
+                  ELSE acc[j] END)) AS st
+  FROM sc)
+SELECT event_type AS group_key, CAST(len(tk) AS BIGINT) AS n_obs,
+       round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[{nxt}], 6) AS seasonal_next,
+       round(st[1] + st[2] + st[{nxt}], 6) AS forecast,
+       round(list_max(st[3:{acc_len}]) - list_min(st[3:{acc_len}]), 6)
+         AS seasonal_amplitude
+FROM fl
+"""
+
+
+@register("events_holt_winters", _holt_winters_oracle())
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt-Winters additive seasonal smoothing (level + trend + 24
+    # hour-of-day seasonals) over hourly-bucketed per-type series:
+    # bucket sums ride exact 1e-4 integer ticks, the two-season seed
+    # is all integer-sum arithmetic, and the coupled recurrence is a
+    # FOLD with a flat 26-double accumulator — float op sequence
+    # identical to the serial oracle BY CONSTRUCTION
+    from pero_ocr_spark.operators import timeseries
+
+    return timeseries.holt_winters(_t(spark, sf_dir, "events"))

@@ -320,3 +320,76 @@ def test_cusum_matches_serial_scan_and_flags_level_shift(spark):
         assert got[u].cusum_max == round(s_max, 6)
         assert got[u].alarm == alarm
     assert got[1].alarm and not got[2].alarm and not got[3].alarm
+
+
+def _serial_hw(values, phases, m=24, a=0.3, b_=0.05, g=0.2):
+    """Serial replica of holt_winters' exact arithmetic: tick-space
+    seeds, then the fold with python floats (same op order)."""
+    import math
+
+    tk = [math.floor(v * 10000.0 + 0.5) for v in values]
+    xs = [t / 10000.0 for t in tk]
+    s1, s2 = sum(tk[:m]), sum(tk[m:2 * m])
+    lv = s1 / (10000.0 * m)
+    b = (s2 - s1) / (10000.0 * m * m)
+    s = []
+    for p in range(m):
+        idx = [i for i in range(2 * m) if phases[i] == p]
+        if not idx:
+            s.append(0.0)
+        else:
+            s.append(sum(tk[i] for i in idx) / (len(idx) * 10000.0) - lv)
+    for i in range(2 * m, len(xs)):
+        p = phases[i]
+        ln = a * (xs[i] - s[p]) + (1 - a) * (lv + b)
+        bn = b_ * (ln - lv) + (1 - b_) * b
+        sn = g * (xs[i] - ln) + (1 - g) * s[p]
+        lv, b, s[p] = ln, bn, sn
+    return lv, b, s
+
+
+def test_holt_winters_matches_serial_replica(spark):
+    from pero_ocr_spark.operators.timeseries import holt_winters
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # type A: 80 hourly buckets with gaps (skip t%13==5 past the
+    # 2-season seed window) and one DOUBLE-event hour (tick summing)
+    hours_a = [t for t in range(80) if not (t > 48 and t % 13 == 5)]
+    vals_a, phases_a = [], []
+    for t in hours_a:
+        v = 50.0 + (t * 7 % 13) + (t % 24) * 0.25
+        ts = base + dt.timedelta(hours=t)
+        if t == 60:
+            rows.append(("a", ts, v - 20.0))
+            rows.append(("a", ts + dt.timedelta(minutes=30), 20.0))
+        else:
+            rows.append(("a", ts, v))
+        vals_a.append(v)
+        phases_a.append(ts.hour)
+    # type B: constant series — trend, seasonals, amplitude all 0
+    for t in range(60):
+        rows.append(("b", base + dt.timedelta(hours=t), 42.5))
+    # type C: too short for the 2-season seed — excluded
+    for t in range(30):
+        rows.append(("c", base + dt.timedelta(hours=t), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    got = {r.group_key: r for r in holt_winters(df).collect()}
+    assert set(got) == {"a", "b"}
+
+    lv, b, s = _serial_hw(vals_a, phases_a)
+    nxt = (phases_a[-1] + 1) % 24
+    ra = got["a"]
+    assert ra.n_obs == len(vals_a)
+    assert ra.level == round(lv, 6)
+    assert ra.trend == round(b, 6)
+    assert ra.seasonal_next == round(s[nxt], 6)
+    assert ra.forecast == round(lv + b + s[nxt], 6)
+    assert ra.seasonal_amplitude == round(max(s) - min(s), 6)
+
+    rb = got["b"]
+    assert rb.level == 42.5 and rb.trend == 0.0
+    assert rb.seasonal_next == 0.0 and rb.seasonal_amplitude == 0.0
+    assert rb.forecast == 42.5
