@@ -68,6 +68,7 @@ AUDIT = [
     "similarity_ann_pq",
     "similarity_ann_binary",
     "events_holt_winters",
+    "dedup_prefix_filter",
 ]
 
 

@@ -1218,3 +1218,79 @@ def winnowing_pairs(
             ).alias("fp_jaccard"),
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, n: int = 3, num: int = 4, den: int = 5
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ num/den via prefix filtering (the
+    All-Pairs / PPJoin candidate scheme, Bayardo et al. WWW'07) — the
+    third engine for the same question: the inverted-index self-join
+    (:func:`ngram_jaccard_pairs`) joins on EVERY token, MinHash+LSH
+    prunes but is probabilistic; prefix filtering prunes AND stays
+    exact. Under any one consistent global token order, a pair with
+    Jaccard ≥ t shares at least ⌈t·|d|⌉ tokens with each member d, so
+    all of its common tokens cannot hide in a suffix of length
+    ⌈t·|d|⌉ − 1 — indexing only each document's first
+    |d| − ⌈t·|d|⌉ + 1 tokens (20% at t = 0.8) cannot miss a true
+    pair. The order is (document frequency asc, token): the indexed
+    prefixes hold each document's RAREST tokens, so the candidate
+    join's posting lists are the short ones — the frequent tokens
+    that blow up the naive self-join are exactly the ones the prefix
+    excludes.
+
+    The threshold is carried as the rational num/den and every
+    pruning bound is integer arithmetic (⌈t·n⌉ = (num·n + den − 1)
+    div den; the length filter num·max ≤ den·min) — float ceil() of
+    0.8·n is off-by-one at multiples of 5, which would break the
+    no-false-negative guarantee. Candidates then verify through the
+    same exact set-intersection as the LSH path (cost ∝ candidates),
+    and the final filter applies the rounded-jaccard rule shared with
+    the other two engines.
+
+    Scale shape: one token-df aggregation (map-side combinable), one
+    df attach join, one per-doc sort (bounded by document length),
+    and a candidate equi-join over ~(1−t) of the posting volume with
+    its heaviest lists removed by construction. Nothing is
+    probabilistic and nothing is all-pairs."""
+    sh = shingles(docs, n)
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
+    )
+    nsz = F.size("toks")
+    min_overlap = F.floor(
+        (F.lit(num) * nsz + F.lit(den - 1)) / F.lit(den)
+    ).cast("int")
+    posting = per_doc.select(
+        "doc_id",
+        nsz.cast("long").alias("nd"),
+        F.explode(
+            F.slice(
+                F.transform("toks", lambda s: s["shingle"]),
+                1,
+                nsz - min_overlap + 1,
+            )
+        ).alias("token"),
+    )
+    a = posting.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("nd").alias("la")
+    )
+    b = posting.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("nd").alias("lb")
+    )
+    cands = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.lit(den) * F.col("la") >= F.lit(num) * F.col("lb"))
+            & (F.lit(den) * F.col("lb") >= F.lit(num) * F.col("la"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_pairs(sh, cands).filter(
+        F.col("jaccard") >= F.lit(num) / F.lit(den)
+    )

@@ -771,3 +771,15 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         _t(spark, sf_dir, "documents"), n=3, min_containment=0.5
     )
+
+
+@register("dedup_prefix_filter", _JACCARD_ORACLE)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All-Pairs prefix filtering (Bayardo et al. WWW'07): EXACT
+    # jaccard >= 0.8 pairs from an index holding only each document's
+    # rarest ~20% of tokens (df-ascending global order) — prunes like
+    # LSH, guarantees like the inverted index; shares the exact-pairs
+    # oracle with the other two engines because all three MUST agree
+    from pero_ocr_spark.operators import dedup
+
+    return dedup.prefix_filter_pairs(_t(spark, sf_dir, "documents"))

@@ -268,3 +268,40 @@ def test_mask_contaminated_spans_islands_and_direction(spark):
             ), (pos, g)
     assert (out["n_tokens"]
             == out["span_end"] - out["span_start"]).all()
+
+
+class TestPrefixFilter:
+    def test_exactly_matches_brute_force_engine(self, spark, sf_dir):
+        from pero_ocr_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        brute = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.prefix_filter_pairs(docs).collect()
+        }
+        # prefix filtering is EXACT: same pairs, same jaccards — not
+        # a recall property like the LSH engine
+        assert pref == brute and len(brute) > 0
+
+    def test_prefix_index_smaller_and_ceil_integer_exact(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from pero_ocr_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = dedup.shingles(docs, 3)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        full = sum(r.n for r in sizes)
+        # integer ceil: pi = n - ((4n+4) div 5) + 1 — exact for every
+        # n by construction, no dependence on how 0.8*n happens to
+        # round (the operator's no-false-negative proof needs a TRUE
+        # ceiling, so it never computes one through a float product)
+        pref = sum(r.n - ((4 * r.n + 4) // 5) + 1 for r in sizes)
+        assert all(
+            r.n - ((4 * r.n + 4) // 5) + 1 >= 1 for r in sizes
+        )
+        # the indexed volume is ~(1-t) of the full posting volume
+        assert pref < 0.35 * full
