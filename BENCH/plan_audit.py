@@ -69,6 +69,7 @@ AUDIT = [
     "similarity_ann_binary",
     "events_holt_winters",
     "dedup_prefix_filter",
+    "error_bleu_corpus",
 ]
 
 

@@ -93,6 +93,122 @@ def power_mean_quality(
     )
 
 
+def corpus_bleu(
+    docs: DataFrame,
+    hyp_col: str = "hyp_toks",
+    ref_col: str = "ref_toks",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-document BLEU (Papineni et al., ACL 2002) between a
+    hypothesis and a reference token sequence — the sequence-level
+    companion to :func:`cer_summary`'s character-level CER and the
+    word-level comparisons of ``compare_page_xml_texts.py:30-56``:
+    where CER charges every edit, BLEU credits surviving n-gram
+    structure, so reordering and dropped-word errors separate from
+    substitution noise.
+
+    Input: one row per document with two ``array<string>`` token
+    columns. Output: doc_id, hyp_len, ref_len, clip1..clipN (exact
+    clipped n-gram match counts, BIGINT) and ``bleu`` — geometric mean
+    of the n-gram precisions with the brevity penalty, 6-dp rounded.
+
+    Shuffle shape: one explode per side emits (doc, n, gram) rows —
+    at most ``2 * max_n * tokens`` per document, counted with
+    map-side partial aggregation; the clip sum min(hyp_count,
+    ref_count) is a second doc-keyed aggregate; the only join is
+    doc-level frame ↔ doc-level frame on doc_id. Nothing is
+    broadcast, nothing is quadratic in document length, and no key is
+    hotter than the longest single document — the same bound the
+    extraction pipeline already lives with.
+
+    Exactness discipline: every count is integer-exact; the total
+    n-gram count per level is ``max(hyp_len - n + 1, 0)`` (derived,
+    not summed, so no float enters until the final expression); the
+    four log terms are rounded to 9 dp before a fixed-order sum
+    (((t1+t2)+t3)+t4), the brevity-penalty exponent min(0, 1 - r/h)
+    is a single IEEE division, and only the final exp is rounded to
+    6 dp — the identical op sequence a serial oracle performs.
+    """
+    ks = list(range(1, max_n + 1))
+
+    def grams(col, n):
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(col) - n),
+                lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sides = None
+    for side, col in (("h", hyp_col), ("r", ref_col)):
+        arr = F.array(
+            *[
+                F.struct(F.lit(n).alias("n"), grams(F.col(col), n).alias("g"))
+                for n in ks
+            ]
+        )
+        part = docs.select(
+            "doc_id", F.lit(side).alias("side"), F.explode(arr).alias("ng")
+        ).select(
+            "doc_id", "side", F.col("ng.n").alias("n"), F.explode("ng.g").alias("gram")
+        )
+        sides = part if sides is None else sides.unionByName(part)
+
+    gcounts = sides.groupBy("doc_id", "n", "gram").agg(
+        F.sum(F.when(F.col("side") == "h", 1).otherwise(0)).alias("hc"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+    )
+    clips = (
+        gcounts.filter(F.col("hc") > 0)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == k, F.least("hc", "rc")).otherwise(0))
+                .cast("long")
+                .alias(f"clip{k}")
+                for k in ks
+            ]
+        )
+    )
+    lengths = docs.select(
+        "doc_id",
+        F.size(hyp_col).cast("long").alias("hyp_len"),
+        F.size(ref_col).cast("long").alias("ref_len"),
+    )
+    # docs whose hypothesis is empty emit no gram rows — left join,
+    # clips coalesce to 0 and the bleu guard sends them to 0.0
+    joined = lengths.join(clips, "doc_id", "left").select(
+        "doc_id",
+        "hyp_len",
+        "ref_len",
+        *[
+            F.coalesce(F.col(f"clip{k}"), F.lit(0)).cast("long").alias(f"clip{k}")
+            for k in ks
+        ],
+    )
+
+    hl = F.col("hyp_len").cast("double")
+    logsum = None
+    for k in ks:
+        term = F.round(F.log(F.col(f"clip{k}").cast("double") / (hl - (k - 1))), 9)
+        logsum = term if logsum is None else logsum + term
+    guard = F.col("hyp_len") >= max_n
+    for k in ks:
+        guard = guard & (F.col(f"clip{k}") > 0)
+    bleu = F.when(
+        guard,
+        F.round(
+            F.exp(
+                F.least(F.lit(0.0), F.lit(1.0) - F.col("ref_len").cast("double") / hl)
+                + F.lit(1.0 / max_n) * logsum
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("bleu", bleu)
+
+
 def hyp_ref_compare(hyp: DataFrame, ref: DataFrame) -> DataFrame:
     """J5: full-outer join of hypothesis and reference line sets by id,
     flagging lines missing on either side

@@ -137,7 +137,7 @@ _DRIVER_CHECKED = frozenset({
 _CHECK_FIRST = (
     "ocr_select_embed_id",  # NEW in round 5 — closes the last missing row
     "similarity_ann_binary", "events_holt_winters",  # NEW late round 5
-    "dedup_prefix_filter",  # NEW late round 5
+    "dedup_prefix_filter", "error_bleu_corpus",  # NEW late round 5
     "sketch_hll_shingles", "sketch_cms_heavy_hitters",
     "sketch_kmv_snapshot_overlap", "sketch_histogram_quantiles",
     "events_stream_hll_users", "web_hits", "web_triangles", "web_components",

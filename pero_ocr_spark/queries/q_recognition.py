@@ -450,6 +450,100 @@ def q_hyp_ref_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return errors.hyp_ref_compare(hyp, ref)
 
 
+@register(
+    "error_bleu_corpus",
+    _TEXT_LINES_SQL
+    + """
+, btoks AS (
+  SELECT doc_id,
+         coalesce(list(CASE WHEN ord % 5 = 2 THEN replace(text, 'a', 'x')
+                            ELSE text END ORDER BY ord)
+                  FILTER (WHERE ord % 13 <> 6), []) AS hyp_toks,
+         list(text ORDER BY ord) AS ref_toks
+  FROM extracted WHERE kind = 'text' GROUP BY doc_id
+)
+, grams AS (
+  SELECT doc_id, side, nv.n AS n,
+         unnest([array_to_string(list_slice(toks, i, i + nv.n - 1), ' ')
+                 for i in generate_series(1, len(toks) - nv.n + 1)]) AS gram
+  FROM (SELECT doc_id, 'h' AS side, hyp_toks AS toks FROM btoks
+        UNION ALL SELECT doc_id, 'r', ref_toks FROM btoks)
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) nv
+)
+, gcounts AS (
+  SELECT doc_id, n, gram,
+         sum(CASE WHEN side = 'h' THEN 1 ELSE 0 END) AS hc,
+         sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+  FROM grams GROUP BY 1, 2, 3
+)
+, bclips AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n = 1 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip1,
+         CAST(sum(CASE WHEN n = 2 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip2,
+         CAST(sum(CASE WHEN n = 3 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip3,
+         CAST(sum(CASE WHEN n = 4 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip4
+  FROM gcounts WHERE hc > 0 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(hyp_toks) AS BIGINT) AS hyp_len,
+       CAST(len(ref_toks) AS BIGINT) AS ref_len,
+       coalesce(clip1, 0) AS clip1, coalesce(clip2, 0) AS clip2,
+       coalesce(clip3, 0) AS clip3, coalesce(clip4, 0) AS clip4,
+       CASE WHEN len(hyp_toks) >= 4 AND coalesce(clip1, 0) > 0
+              AND coalesce(clip2, 0) > 0 AND coalesce(clip3, 0) > 0
+              AND coalesce(clip4, 0) > 0
+            THEN round(exp(
+                   least(0.0, 1.0 - CAST(len(ref_toks) AS DOUBLE) / len(hyp_toks))
+                   + 0.25 * (((round(ln(clip1 * 1.0 / len(hyp_toks)), 9)
+                               + round(ln(clip2 * 1.0 / (len(hyp_toks) - 1)), 9))
+                              + round(ln(clip3 * 1.0 / (len(hyp_toks) - 2)), 9))
+                             + round(ln(clip4 * 1.0 / (len(hyp_toks) - 3)), 9))), 6)
+            ELSE 0.0 END AS bleu
+FROM btoks b LEFT JOIN bclips USING (doc_id)
+""",
+)
+def q_error_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus BLEU per document: hypothesis = the reading-ordered text
+    # spans through a deterministic channel (every 13th span dropped —
+    # exercising the brevity penalty — and every 5th a→x-corrupted —
+    # breaking n-grams without flattening them; 43% of corpus words
+    # contain 'a', so corrupting every word would zero all 4-gram
+    # precisions and make the metric degenerate). The oracle replays
+    # the channel, the clipped n-gram counts, and the 9-dp-rounded
+    # fixed-order log sum in SQL.
+    from pero_ocr_spark.operators import errors
+
+    spans = corpus.extracted_spans(spark, sf_dir).filter(F.col("kind") == "text")
+    docs = spans.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("ord") % 13 != 6,
+                        F.struct(
+                            F.col("ord"),
+                            F.when(
+                                F.col("ord") % 5 == 2,
+                                F.translate("text", "a", "x"),
+                            )
+                            .otherwise(F.col("text"))
+                            .alias("w"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s["w"],
+        ).alias("hyp_toks"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ord"), F.col("text").alias("w")))
+            ),
+            lambda s: s["w"],
+        ).alias("ref_toks"),
+    )
+    return errors.corpus_bleu(docs)
+
+
 # ---------------------------------------------------------------------------
 # J4 — merge_ocr_results over two engine outputs (union + argmax by
 # confidence with deterministic tiebreak, merge_ocr_results.py:50-75).
