@@ -1004,3 +1004,138 @@ def heaps_fit(docs: DataFrame) -> DataFrame:
             F.exp((F.col("sy") - beta * F.col("sx")) / nn), 6
         ).alias("k"),
     )
+
+
+def word_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) — one row per adjacent word triple, with
+    multiplicity. Two chained ``zip_with`` over slices (the in-row
+    O(n) shape :func:`word_bigrams` uses; the element_at-in-transform
+    O(n²) trap is documented at :func:`char_bigrams`)."""
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    n = F.size(F.col("ws"))
+    g12 = F.zip_with(
+        F.slice(F.col("ws"), 1, n - 2),
+        F.slice(F.col("ws"), 2, n - 2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    g = F.zip_with(
+        g12,
+        F.slice(F.col("ws"), 3, n - 2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    return d.select("doc_id", F.explode_outer(g).alias("g")).select(
+        "doc_id", "g.w1", "g.w2", "g.w3"
+    )
+
+
+def stupid_backoff_scores(docs: DataFrame, alpha: float = 0.4) -> DataFrame:
+    """Per-doc trigram LM score under *stupid backoff* (Brants et al.,
+    EMNLP 2007 "Large Language Models in Machine Translation") — the
+    count-based scheme built FOR distributed training at web scale:
+    no discount mass to renormalize, so every model table is a plain
+    count aggregation and scoring is pure joins:
+
+        S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if trigram seen
+                    = α · c(w2 w3)/c(w2)              elif bigram seen
+                    = α² · (c(w3)+1)/(N+V)            else
+
+    (Brants' S is a score, not a probability — hence "stupid"; the
+    unigram floor here is add-one so an out-of-vocabulary word scores
+    finitely and deterministically instead of −inf.) The model trains
+    on the even-doc_id half and scores the odd half, so all three
+    backoff branches actually fire on held-out text.
+
+    Completes the LM-filter family: add-one char bigram
+    (:func:`lm_perplexity_scores`, CCNet shape) → interpolated
+    Kneser-Ney (:func:`kneser_ney_perplexity`, quality smoothing) →
+    stupid backoff (THIS — the variant that scales to 10^12 tokens
+    because the M-step is a count).
+
+    Scale shape: the trigram count table is corpus-vocabulary sized
+    and hash-joins the held-out trigram stream on its natural key
+    (never broadcast); the bigram table is materialized once
+    (localCheckpoint) and feeds BOTH the context join (w1,w2) and the
+    backoff join (w2,w3); the unigram table and the 1-row totals
+    broadcast. Float parity with the serial oracle: exact integer
+    counts flow through one identically-parenthesized double CASE,
+    per-term log10 rounded to 9 dp and summed as DECIMAL (the KN
+    technique), so distributed addition order cannot flip an ulp.
+    """
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    uni = (
+        train.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .localCheckpoint(eager=False)
+    )
+    totals = uni.agg(
+        F.sum("n1").alias("n_tokens"), F.count(F.lit(1)).alias("vsize")
+    )
+    big = (
+        word_bigrams(train)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint(eager=False)
+    )
+    tri = word_trigrams(train).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("n3")
+    )
+    stream = word_trigrams(held)
+    a = F.lit(float(alpha))
+    score = (
+        F.when(F.col("n3").isNotNull(), F.col("n3") / F.col("n2_ctx"))
+        .when(
+            F.col("n2_back").isNotNull(), a * F.col("n2_back") / F.col("c_w2")
+        )
+        .otherwise(
+            a * a * (F.coalesce(F.col("c_w3"), F.lit(0)) + F.lit(1))
+            / (F.col("n_tokens") + F.col("vsize"))
+        )
+    )
+    terms = (
+        stream.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select("w1", "w2", F.col("n2").alias("n2_ctx")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("n2").alias("n2_back"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("n1").alias("c_w2"))
+            ),
+            "w2",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w3"), F.col("n1").alias("c_w3"))
+            ),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(F.log10(score), 9).cast("decimal(24,9)").alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_log10_score"),
+    )

@@ -515,3 +515,45 @@ def _finalize_zorder_oracle() -> None:
 
 
 _finalize_zorder_oracle()
+
+
+@register(
+    "corpus_bucketed_join",
+    _EXTRACTED_CTE
+    + """
+SELECT e.doc_id, d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN e.kind = 'media' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_media,
+       CAST(sum(length(coalesce(e.text, ''))) AS BIGINT) AS sum_text_len
+FROM extracted e
+JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY 1, 2, 3
+""",
+)
+def q_corpus_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Storage-partitioned (bucketed) co-located join: extracted spans
+    # and document metadata are both written bucketed+sorted on doc_id
+    # (Spark bucketBy == Iceberg bucket(N, key) transform), then the
+    # recurring fact-fact enrich join + per-doc rollup runs as a
+    # SortMergeJoin with ZERO Exchange nodes — at 10^12 docs neither
+    # side broadcasts and neither side ever shuffles again after the
+    # one clustered write at ingest. Plan shape pinned by
+    # tests/test_colocate.py.
+    import os
+
+    from pero_ocr_spark.operators import colocate
+
+    base = _scratch("bucketed_join")
+    pid = os.getpid()
+    spans_t = colocate.write_bucketed(
+        corpus.extracted_spans(spark, sf_dir),
+        f"spans_bkt_{pid}",
+        os.path.join(base, "spans"),
+    )
+    docs_t = colocate.write_bucketed(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        f"docs_bkt_{pid}",
+        os.path.join(base, "docs"),
+    )
+    return colocate.colocated_span_enrich(spans_t, docs_t)

@@ -674,3 +674,63 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.ngram_novelty(_t(spark, sf_dir, "documents"), n=5)
+
+
+_BACKOFF_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tr AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM ws, LATERAL unnest(generate_series(1, len(w) - 2)) t(i)
+  WHERE len(w) >= 3),
+bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM ws, LATERAL unnest(generate_series(1, len(w) - 1)) t(i)
+  WHERE doc_id % 2 = 0 AND len(w) >= 2),
+c1 AS (
+  SELECT wd, count(*) AS n1
+  FROM (SELECT unnest(string_split(text, ' ')) AS wd
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY 1),
+tot AS (SELECT sum(n1) AS n_tokens, count(*) AS vsize FROM c1),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+c3 AS (SELECT w1, w2, w3, count(*) AS n3
+       FROM tr WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+terms AS (
+  SELECT h.doc_id,
+         round(log10(CASE
+           WHEN t3.n3 IS NOT NULL THEN t3.n3 / t2a.n2
+           WHEN t2b.n2 IS NOT NULL
+             THEN CAST(0.4 AS DOUBLE) * t2b.n2 / u2.n1
+           ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                * (coalesce(u3.n1, 0) + 1)
+                / (tot.n_tokens + tot.vsize)
+         END), 9) AS lp
+  FROM (SELECT * FROM tr WHERE doc_id % 2 = 1) h
+  LEFT JOIN c3 t3 ON t3.w1 = h.w1 AND t3.w2 = h.w2 AND t3.w3 = h.w3
+  LEFT JOIN c2 t2a ON t2a.w1 = h.w1 AND t2a.w2 = h.w2
+  LEFT JOIN c2 t2b ON t2b.w1 = h.w2 AND t2b.w2 = h.w3
+  LEFT JOIN c1 u2 ON u2.wd = h.w2
+  LEFT JOIN c1 u3 ON u3.wd = h.w3
+  CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(CAST(lp AS DECIMAL(24,9))) AS DOUBLE) / count(*), 6)
+         AS avg_log10_score
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("lm_stupid_backoff", _BACKOFF_ORACLE)
+def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trigram stupid backoff (Brants et al. EMNLP 2007) trained on the
+    # even-doc half, scoring the odd half — the count-only LM built for
+    # distributed web-scale training (no normalization pass). The
+    # trigram table hash-joins the held-out stream on its natural key;
+    # the bigram table materializes once and feeds both the context and
+    # the backoff join; unigrams + totals broadcast. All three backoff
+    # branches fire on the held-out split.
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.stupid_backoff_scores(
+        _t(spark, sf_dir, "documents"), alpha=0.4
+    )
