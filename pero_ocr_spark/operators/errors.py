@@ -225,3 +225,132 @@ def hyp_ref_compare(hyp: DataFrame, ref: DataFrame) -> DataFrame:
             F.levenshtein("hyp", "ref"),
         ).alias("dist"),
     )
+
+
+def corpus_chrf(
+    docs: DataFrame,
+    hyp_col: str = "hyp_str",
+    ref_col: str = "ref_str",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-document chrF (Popović, WMT 2015) between hypothesis and
+    reference CHARACTER sequences — the tokenization-free companion to
+    :func:`corpus_bleu`: where BLEU credits surviving word n-grams
+    (and so charges a one-character OCR slip as a lost word), chrF
+    scores character n-gram overlap, the standard metric for
+    morphology-rich text and exactly the right grain for OCR output.
+
+        chrP = (1/N) Σ_n  clip_n / hyp_grams_n
+        chrR = (1/N) Σ_n  clip_n / ref_grams_n
+        chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR)      (β = 2)
+
+    with clip_n = Σ_g min(hyp_count_g, ref_count_g) over char n-grams
+    g of order n = 1..max_n; an order with no grams on a side
+    contributes a 0 term (not skipped), so N is constant and the
+    arithmetic is closed-form from the counts.
+
+    Shuffle shape (identical to :func:`corpus_bleu`): one in-row gram
+    explode per side → ≤ 2·max_n·chars rows per doc, reduced by a
+    map-side-combinable (doc, n, gram) count agg; clips are a second
+    doc-keyed agg; the single join is doc-frame ↔ doc-frame. No
+    broadcast, nothing quadratic, hottest key = longest document.
+
+    Exactness: counts integer-exact; gram totals DERIVED from string
+    length (max(len − n + 1, 0)); each precision/recall term is one
+    IEEE division rounded to 9 dp, summed in fixed order; the final
+    F-ratio is one identically-parenthesized expression rounded to
+    6 dp — a serial oracle reproduces it bit-for-bit.
+    """
+    ks = list(range(1, max_n + 1))
+
+    # substring with a COLUMN start index: SQL expr is the clean route
+    # (pyspark's F.substring takes literal ints only)
+    def grams_expr(colname, n):
+        return (
+            f"CASE WHEN length({colname}) >= {n} THEN "
+            f"transform(sequence(1, length({colname}) - {n - 1}), "
+            f"i -> substring({colname}, i, {n})) "
+            f"ELSE array() END"
+        )
+
+    sides = None
+    for side, col in (("h", hyp_col), ("r", ref_col)):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.expr(grams_expr(col, n)).alias("g"),
+                )
+                for n in ks
+            ]
+        )
+        part = docs.select(
+            "doc_id", F.lit(side).alias("side"), F.explode(arr).alias("ng")
+        ).select(
+            "doc_id",
+            "side",
+            F.col("ng.n").alias("n"),
+            F.explode("ng.g").alias("gram"),
+        )
+        sides = part if sides is None else sides.unionByName(part)
+
+    gcounts = sides.groupBy("doc_id", "n", "gram").agg(
+        F.sum(F.when(F.col("side") == "h", 1).otherwise(0)).alias("hc"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+    )
+    clips = (
+        gcounts.filter((F.col("hc") > 0) & (F.col("rc") > 0))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == k, F.least("hc", "rc")).otherwise(0))
+                .cast("long")
+                .alias(f"clip{k}")
+                for k in ks
+            ]
+        )
+    )
+    lengths = docs.select(
+        "doc_id",
+        F.length(hyp_col).cast("long").alias("hyp_len"),
+        F.length(ref_col).cast("long").alias("ref_len"),
+    )
+    joined = lengths.join(clips, "doc_id", "left").select(
+        "doc_id",
+        "hyp_len",
+        "ref_len",
+        *[
+            F.coalesce(F.col(f"clip{k}"), F.lit(0)).cast("long").alias(f"clip{k}")
+            for k in ks
+        ],
+    )
+
+    def avg_terms(len_col):
+        s = None
+        for k in ks:
+            tot = F.greatest(F.col(len_col) - (k - 1), F.lit(0)).cast("double")
+            term = F.when(
+                tot > 0,
+                F.round(F.col(f"clip{k}").cast("double") / tot, 9),
+            ).otherwise(F.lit(0.0))
+            s = term if s is None else s + term
+        return s / F.lit(float(max_n))
+
+    p = avg_terms("hyp_len")
+    r = avg_terms("ref_len")
+    b2 = beta * beta
+    chrf = F.when(
+        (F.lit(b2) * p + r) > 0,
+        F.round(
+            (F.lit(1.0 + b2) * p * r) / (F.lit(b2) * p + r), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "hyp_len",
+        "ref_len",
+        F.round(p, 6).alias("chrp"),
+        F.round(r, 6).alias("chrr"),
+        chrf.alias("chrf"),
+    )

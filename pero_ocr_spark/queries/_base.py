@@ -136,6 +136,7 @@ _DRIVER_CHECKED = frozenset({
 # so this ordering decides which get one in round 5.
 _CHECK_FIRST = (
     "corpus_bucketed_join", "lm_stupid_backoff",  # NEW round 5 session 2
+    "events_stream_left_outer", "error_chrf_corpus",  # NEW round 5 session 2
     "ocr_select_embed_id",  # NEW in round 5 — closes the last missing row
     "similarity_ann_binary", "events_holt_winters",  # NEW late round 5
     "dedup_prefix_filter", "error_bleu_corpus",  # NEW late round 5

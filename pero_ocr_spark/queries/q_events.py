@@ -656,3 +656,39 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import timeseries
 
     return timeseries.holt_winters(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_stream_left_outer",
+    """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS c_user, ts AS cts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c))
+              - INTERVAL 12 HOUR - INTERVAL 6 HOUR - INTERVAL 1 HOUR
+              AS cutoff),
+vv AS (SELECT v.user_id, v.vts FROM v, wm WHERE v.vts <= wm.cutoff),
+j AS (
+  SELECT vv.user_id, vv.vts, c.cts
+  FROM vv LEFT JOIN c
+    ON c.c_user = vv.user_id
+   AND c.cts >= vv.vts AND c.cts <= vv.vts + INTERVAL 6 HOUR)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM j GROUP BY 1
+""",
+)
+def q_events_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream LEFT OUTER interval join: views that never
+    # converted are emitted with nulls BY watermark-driven state
+    # eviction — the abandonment/funnel-drop query as a stream. The
+    # reportable window is cut at global_watermark - lag - margin (all
+    # computable from the data), which is exactly what makes the
+    # result deterministic and the batch LEFT JOIN the oracle.
+    from pero_ocr_spark.streaming import events as ev
+
+    return ev.view_click_left_outer_streaming(spark, sf_dir)

@@ -1386,3 +1386,110 @@ def q_ocr_select_embed_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["ocr_select_embed_id"] = (
     _REGISTRY["ocr_select_embed_id"][0], _embed_select_oracle()
 )
+
+
+_CHRF_ORACLE = (
+    _EXTRACTED_CTE
+    + """
+, cstr AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list(CASE WHEN ord % 5 = 2 THEN replace(text, 'a', 'x')
+                     ELSE text END ORDER BY ord)
+           FILTER (WHERE ord % 13 <> 6), ''), '') AS hyp_str,
+         array_to_string(list(text ORDER BY ord), '') AS ref_str
+  FROM extracted WHERE kind = 'text' GROUP BY doc_id)
+, grams AS (
+  SELECT doc_id, side, nv.n AS n,
+         unnest([substr(s, i, nv.n)
+                 for i in generate_series(1, len(s) - nv.n + 1)]) AS gram
+  FROM (SELECT doc_id, 'h' AS side, hyp_str AS s FROM cstr
+        UNION ALL SELECT doc_id, 'r', ref_str FROM cstr)
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) nv)
+, gcounts AS (
+  SELECT doc_id, n, gram,
+         sum(CASE WHEN side = 'h' THEN 1 ELSE 0 END) AS hc,
+         sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS rc
+  FROM grams GROUP BY 1, 2, 3)
+, cclips AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN n = 1 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip1,
+         CAST(sum(CASE WHEN n = 2 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip2,
+         CAST(sum(CASE WHEN n = 3 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip3,
+         CAST(sum(CASE WHEN n = 4 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip4,
+         CAST(sum(CASE WHEN n = 5 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip5,
+         CAST(sum(CASE WHEN n = 6 THEN least(hc, rc) ELSE 0 END) AS BIGINT) AS clip6
+  FROM gcounts WHERE hc > 0 AND rc > 0 GROUP BY doc_id)
+, pr AS (
+  SELECT c.doc_id,
+         CAST(len(hyp_str) AS BIGINT) AS hyp_len,
+         CAST(len(ref_str) AS BIGINT) AS ref_len,
+         (CASE WHEN len(hyp_str) >= 1 THEN round(CAST(coalesce(clip1, 0) AS DOUBLE) / len(hyp_str), 9) ELSE 0.0 END
+        + CASE WHEN len(hyp_str) >= 2 THEN round(CAST(coalesce(clip2, 0) AS DOUBLE) / (len(hyp_str) - 1), 9) ELSE 0.0 END
+        + CASE WHEN len(hyp_str) >= 3 THEN round(CAST(coalesce(clip3, 0) AS DOUBLE) / (len(hyp_str) - 2), 9) ELSE 0.0 END
+        + CASE WHEN len(hyp_str) >= 4 THEN round(CAST(coalesce(clip4, 0) AS DOUBLE) / (len(hyp_str) - 3), 9) ELSE 0.0 END
+        + CASE WHEN len(hyp_str) >= 5 THEN round(CAST(coalesce(clip5, 0) AS DOUBLE) / (len(hyp_str) - 4), 9) ELSE 0.0 END
+        + CASE WHEN len(hyp_str) >= 6 THEN round(CAST(coalesce(clip6, 0) AS DOUBLE) / (len(hyp_str) - 5), 9) ELSE 0.0 END
+         ) / 6.0 AS p,
+         (CASE WHEN len(ref_str) >= 1 THEN round(CAST(coalesce(clip1, 0) AS DOUBLE) / len(ref_str), 9) ELSE 0.0 END
+        + CASE WHEN len(ref_str) >= 2 THEN round(CAST(coalesce(clip2, 0) AS DOUBLE) / (len(ref_str) - 1), 9) ELSE 0.0 END
+        + CASE WHEN len(ref_str) >= 3 THEN round(CAST(coalesce(clip3, 0) AS DOUBLE) / (len(ref_str) - 2), 9) ELSE 0.0 END
+        + CASE WHEN len(ref_str) >= 4 THEN round(CAST(coalesce(clip4, 0) AS DOUBLE) / (len(ref_str) - 3), 9) ELSE 0.0 END
+        + CASE WHEN len(ref_str) >= 5 THEN round(CAST(coalesce(clip5, 0) AS DOUBLE) / (len(ref_str) - 4), 9) ELSE 0.0 END
+        + CASE WHEN len(ref_str) >= 6 THEN round(CAST(coalesce(clip6, 0) AS DOUBLE) / (len(ref_str) - 5), 9) ELSE 0.0 END
+         ) / 6.0 AS r
+  FROM cstr c LEFT JOIN cclips USING (doc_id))
+SELECT doc_id, hyp_len, ref_len,
+       round(p, 6) AS chrp, round(r, 6) AS chrr,
+       CASE WHEN CAST(4.0 AS DOUBLE) * p + r > 0
+            THEN round((CAST(5.0 AS DOUBLE) * p * r)
+                       / (CAST(4.0 AS DOUBLE) * p + r), 6)
+            ELSE 0.0 END AS chrf
+FROM pr
+"""
+)
+
+
+@register("error_chrf_corpus", _CHRF_ORACLE)
+def q_error_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # chrF (Popović 2015) per document over the SAME corruption channel
+    # as error_bleu_corpus, but on whitespace-free character sequences:
+    # the tokenization-free sequence metric, the right grain for OCR
+    # (a one-char slip costs one gram family, not a whole word).
+    from pero_ocr_spark.operators import errors
+
+    spans = corpus.extracted_spans(spark, sf_dir).filter(F.col("kind") == "text")
+    docs = spans.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("ord") % 13 != 6,
+                            F.struct(
+                                F.col("ord"),
+                                F.when(
+                                    F.col("ord") % 5 == 2,
+                                    F.translate("text", "a", "x"),
+                                )
+                                .otherwise(F.col("text"))
+                                .alias("w"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["w"],
+            ),
+            "",
+        ).alias("hyp_str"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ord"), F.col("text").alias("w")))
+                ),
+                lambda s: s["w"],
+            ),
+            "",
+        ).alias("ref_str"),
+    )
+    return errors.corpus_chrf(docs)

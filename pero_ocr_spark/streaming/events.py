@@ -482,3 +482,121 @@ def view_click_attribution_streaming(
             ),
         )
     )
+
+
+def view_click_left_outer_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    max_lag_hours: int = 6,
+    watermark: str = "12 hours",
+    state_partitions: int | None = 8,
+    safety_margin: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermarks — the
+    semantics :func:`view_click_attribution_streaming` cannot show:
+    a view with NO click inside the lag window must still be emitted
+    (with nulls), and Structured Streaming can only do that when the
+    global watermark proves no future click can ever match — i.e. the
+    null row is produced BY state eviction, not by the join predicate.
+    This is the funnel-drop / abandonment query (views that never
+    converted) as a stream.
+
+    Determinism at stream end: a view still inside the eviction
+    horizon when the input is exhausted never gets its null row (its
+    fate is genuinely unknown — a matching click could still arrive).
+    So the query reports only views with
+    ``view_ts <= global_watermark - lag - safety_margin``, where the
+    global watermark is min(max ts per side) - watermark delay — a
+    value computable from the batch data, which is what makes the
+    result oracle-able: the DuckDB oracle is the batch LEFT JOIN under
+    the identical cutoff. The margin keeps the cutoff strictly inside
+    the evicted region so engine-boundary (<= vs <) behavior at the
+    exact eviction tick can never flip a row.
+
+    Scale: state is bounded exactly as the inner join (a view older
+    than watermark + lag is evicted; the eviction EMITS here instead
+    of discarding); the no-data micro-batch after the last file is
+    what flushes the final evictions — Spark runs it because
+    ``noDataMicroBatches`` is on by default.
+
+    Output: (user_id, n_views, n_matched, n_orphans) per user over
+    the reportable window.
+    """
+    def side(event_type: str, alias_ts: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(_stream_dir(sf_dir))
+            .where(F.col("event_type") == event_type)
+            .select(
+                "user_id", F.col("ts").cast("timestamp").alias(alias_ts)
+            )
+            .withWatermark(alias_ts, watermark)
+        )
+
+    views = side("view", "view_ts")
+    clicks = side("click", "click_ts").withColumnRenamed("user_id", "c_user")
+    pairs = views.join(
+        clicks,
+        F.expr(
+            f"""user_id = c_user
+                AND click_ts >= view_ts
+                AND click_ts <= view_ts + INTERVAL {max_lag_hours} HOURS"""
+        ),
+        "leftOuter",
+    )
+    name = f"louter_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the deterministic reporting cutoff, from the BATCH data (same
+    # arithmetic the oracle runs): global watermark = min of the two
+    # sides' (max ts - delay); subtract lag + margin
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    wm = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .groupBy("event_type")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("mx"))
+        .agg(
+            F.min(
+                F.col("mx")
+                - F.expr(f"INTERVAL {watermark}")
+            ).alias("gwm")
+        )
+        .select(
+            (
+                F.col("gwm")
+                - F.expr(f"INTERVAL {max_lag_hours} HOURS")
+                - F.expr(f"INTERVAL {safety_margin}")
+            ).alias("cutoff")
+        )
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("view_ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(
+                F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+            ).alias("n_matched"),
+            F.sum(
+                F.when(F.col("click_ts").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+    )
