@@ -70,6 +70,10 @@ AUDIT = [
     "events_holt_winters",
     "dedup_prefix_filter",
     "error_bleu_corpus",
+    # round-5 session-2 wave
+    "corpus_bucketed_join",
+    "lm_stupid_backoff",
+    "error_chrf_corpus",
 ]
 
 
