@@ -575,6 +575,305 @@ def ensemble_extract(
     )
 
 
+# ------------------------------------------------------------------
+# Table extraction (structured data → markdown linearization)
+# ------------------------------------------------------------------
+
+TABLE_SCHEMA = (
+    "doc_id long, table_id int, row_id int, col_id int, "
+    "is_header boolean, text string"
+)
+
+
+class _TableParser(HTMLParser):
+    """Streaming ``<table>`` walk → grid-complete cell list.
+
+    Produces one entry per GRID POSITION (not per source cell):
+    ``rowspan``/``colspan`` anchors carry the cell text at their
+    top-left position and pad the covered positions with empty cells,
+    using the standard occupancy algorithm (per-column "claimed for N
+    more rows" counters). Ragged rows are padded to the table's final
+    width in :meth:`finish`, so every emitted table is rectangular —
+    which is what makes the downstream markdown assembly a pure
+    column-expression pass. Nested tables get their own ``table_id``
+    (document order of ``<table>`` open tags); their text does not
+    leak into the outer cell. Malformed markup degrades the way
+    browsers degrade: unclosed ``td``/``tr`` are flushed by the next
+    opener or the table end, stray end tags are ignored.
+
+    Reference analog: pero-ocr linearizes 2-D page structure into a
+    1-D reading order (``core/layout.py`` reading-order export); for
+    web corpora the same role is played by table→markdown
+    linearization so the span model stays text-native.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # finished tables: list of list-of-rows; row = [(is_header, text)]
+        self.tables: list[list[list[tuple[bool, str]]]] = []
+        self._stack: list[dict] = []  # open-table contexts
+        self._n_seen = 0
+
+    # -- per-table context helpers ---------------------------------
+    def _ctx(self):
+        return self._stack[-1] if self._stack else None
+
+    def _close_cell(self, ctx) -> None:
+        if ctx["cell"] is None:
+            return
+        is_header, words, rowspan, colspan = ctx["cell"]
+        row = ctx["rows"][-1]
+        col = len(row)
+        while col < len(ctx["claim"]) and ctx["claim"][col] > 0:
+            row.append((False, ""))  # position covered by a rowspan above
+            col += 1
+        text = " ".join(words)
+        for j in range(max(1, colspan)):
+            row.append((is_header, text if j == 0 else ""))
+            pos = col + j
+            if rowspan > 1:
+                while len(ctx["claim"]) <= pos:
+                    ctx["claim"].append(0)
+                # claim counts rows covered INCLUDING the anchor's own
+                # row; _close_row decrements once per finished row, so
+                # the column stays claimed for the next rowspan-1 rows.
+                ctx["claim"][pos] = rowspan
+        ctx["cell"] = None
+
+    def _close_row(self, ctx) -> None:
+        self._close_cell(ctx)
+        if ctx["in_row"]:
+            # trailing positions claimed by rowspans still pad this row
+            row = ctx["rows"][-1]
+            col = len(row)
+            while col < len(ctx["claim"]) and ctx["claim"][col] > 0:
+                row.append((False, ""))
+                col += 1
+            ctx["claim"] = [max(0, c - 1) for c in ctx["claim"]]
+            ctx["in_row"] = False
+
+    # -- HTMLParser hooks -------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._stack.append(
+                {"id": self._n_seen, "rows": [], "claim": [],
+                 "cell": None, "in_row": False}
+            )
+            self._n_seen += 1
+            return
+        ctx = self._ctx()
+        if ctx is None:
+            return
+        if tag == "tr":
+            self._close_row(ctx)
+            ctx["rows"].append([])
+            ctx["in_row"] = True
+        elif tag in ("td", "th"):
+            if not ctx["in_row"]:  # cell outside <tr>: browsers imply one
+                ctx["rows"].append([])
+                ctx["in_row"] = True
+            self._close_cell(ctx)
+            a = dict(attrs)
+
+            def _span(key):
+                try:
+                    return max(1, int(a.get(key) or 1))
+                except ValueError:
+                    return 1
+
+            ctx["cell"] = (tag == "th", [], _span("rowspan"), _span("colspan"))
+
+    def handle_endtag(self, tag: str) -> None:
+        ctx = self._ctx()
+        if ctx is None:
+            return
+        if tag == "table":
+            self._close_row(ctx)
+            self._stack.pop()
+            self._emit(ctx)
+        elif tag == "tr":
+            self._close_row(ctx)
+        elif tag in ("td", "th"):
+            self._close_cell(ctx)
+
+    def handle_data(self, data: str) -> None:
+        ctx = self._ctx()
+        if ctx is not None and ctx["cell"] is not None:
+            ctx["cell"][1].extend(data.split())
+
+    def _emit(self, ctx) -> None:
+        rows = [r for r in ctx["rows"] if r]
+        if not rows:
+            return
+        width = max(len(r) for r in rows)
+        for r in rows:
+            r.extend([(False, "")] * (width - len(r)))
+        # keep document order even with nested tables (inner closes first)
+        self.tables.append((ctx["id"], rows))
+
+    def finish(self) -> list[tuple[int, list[list[tuple[bool, str]]]]]:
+        self.close()
+        while self._stack:  # unclosed <table>
+            ctx = self._stack.pop()
+            self._close_row(ctx)
+            self._emit(ctx)
+        self.tables.sort(key=lambda t: t[0])
+        # re-densify ids: empty tables emitted nothing
+        return [(i, rows) for i, (_, rows) in enumerate(self.tables)]
+
+
+def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → one row per table GRID position.
+
+    Same narrow ``mapInPandas`` shape as :func:`parse_html_blocks`:
+    column pruning pushes to the scan, no shuffle, the HTML never
+    leaves the Python stage. Emits a rectangular grid per table
+    (rowspan/colspan already expanded), so every downstream consumer
+    is pure Catalyst.
+    """
+    from pero_ocr_spark.operators import spread_scan
+
+    pruned = spread_scan(df.select("doc_id", html_col))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "table_id": [], "row_id": [], "col_id": [],
+                "is_header": [], "text": [],
+            }
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                parser = _TableParser()
+                parser.feed(html)
+                for tid, rows in parser.finish():
+                    for ri, row in enumerate(rows):
+                        for ci, (hdr, text) in enumerate(row):
+                            out["doc_id"].append(doc_id)
+                            out["table_id"].append(tid)
+                            out["row_id"].append(ri)
+                            out["col_id"].append(ci)
+                            out["is_header"].append(hdr)
+                            out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(gen, schema=TABLE_SCHEMA)
+
+
+def tables_to_markdown(cells: DataFrame) -> DataFrame:
+    """Grid cells → (doc_id, table_id, n_rows, n_cols, markdown).
+
+    GitHub-flavored-markdown linearization: if row 0 is entirely
+    header cells it becomes the header line, otherwise an empty header
+    of the right width is synthesized (GFM requires one); a ``---``
+    separator; then the data rows. Pipe characters in cell text are
+    escaped. Pure Catalyst: ONE hash shuffle on (doc_id, table_id)
+    with map-side partial aggregation — rows are assembled inside the
+    same aggregation via sorted struct collection, so at 10^12 docs
+    the operator is one exchange wide and output rows are
+    table-bounded (far smaller than the cell input).
+    """
+    esc = F.replace(F.col("text"), F.lit("|"), F.lit("\\|"))
+    row_line = (
+        cells.groupBy("doc_id", "table_id", "row_id")
+        .agg(
+            F.concat(
+                F.lit("| "),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("col_id"), esc.alias("t")))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " | ",
+                ),
+                F.lit(" |"),
+            ).alias("line"),
+            F.bool_and("is_header").alias("all_header"),
+            (F.max("col_id") + 1).alias("width"),
+        )
+    )
+    rows = F.array_sort(
+        F.collect_list(F.struct("row_id", "line", "all_header"))
+    )
+    per_table = row_line.groupBy("doc_id", "table_id").agg(
+        rows.alias("rows"), F.max("width").alias("n_cols")
+    )
+    head_is_hdr = F.element_at("rows", 1)["all_header"]
+    sep = F.concat(
+        F.lit("| "),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.col("n_cols")), lambda _: F.lit("---")),
+            " | ",
+        ),
+        F.lit(" |"),
+    )
+    empty_header = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.col("n_cols")), lambda _: F.lit("  ")),
+            "|",
+        ),
+        F.lit("|"),
+    )
+    body_rows = F.when(head_is_hdr, F.slice("rows", 2, F.size("rows") - 1)).otherwise(
+        F.col("rows")
+    )
+    header = F.when(head_is_hdr, F.element_at("rows", 1)["line"]).otherwise(
+        empty_header
+    )
+    body = F.array_join(F.transform(body_rows, lambda s: s["line"]), "\n")
+    return per_table.select(
+        "doc_id",
+        "table_id",
+        F.size("rows").alias("n_rows"),
+        "n_cols",
+        F.concat(
+            header, F.lit("\n"), sep,
+            F.when(F.length(body) > 0, F.concat(F.lit("\n"), body)).otherwise(
+                F.lit("")
+            ),
+        ).alias("markdown"),
+    )
+
+
+def synthesize_html_tables(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (doc_id, html) with one data table.
+
+    Deterministic substrate for the table extractor: a header row
+    (``name value note``) plus ``len(words)//6`` data rows of three
+    2-word cells, wrapped in the standard page shell so the parser
+    must skip non-table furniture. Pure column expressions → the
+    markdown output has a closed-form SQL oracle.
+    """
+    words = F.split(F.col("text"), " ")
+    nd = F.floor(F.size(words) / 6).cast("int")
+    idx = F.sequence(F.lit(0), nd - 1)
+
+    def cell(r, c):
+        return F.concat(
+            F.lit("<td>"),
+            F.array_join(F.slice(words, r * 6 + c * 2 + 1, 2), " "),
+            F.lit("</td>"),
+        )
+
+    def row(r):
+        return F.concat(
+            F.lit("<tr>"), cell(r, F.lit(0)), cell(r, F.lit(1)),
+            cell(r, F.lit(2)), F.lit("</tr>"),
+        )
+
+    html = F.concat(
+        F.lit(_HEAD),
+        F.lit(_NAV),
+        F.lit("<table><tr><th>name</th><th>value</th><th>note</th></tr>"),
+        F.when(nd > 0, F.array_join(F.transform(idx, row), "")).otherwise(F.lit("")),
+        F.lit("</table>"),
+        F.lit(_FOOTER),
+        F.lit(_TAIL),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
 def synthesize_html_interleaved(docs: DataFrame) -> DataFrame:
     """Like :func:`synthesize_html`, but with an ``<img>`` after every
     odd-indexed paragraph (``src="img://{doc_id}/{i}"``) — the

@@ -1335,3 +1335,47 @@ def q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return linkgraph.host_graph(docs, n_docs=docs.count())
+
+
+@register(
+    "html_table_markdown",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+k AS (SELECT doc_id, ws, CAST(len(ws)//6 AS INT) AS nd FROM w),
+r AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, nd - 1)) AS INT) AS ri, ws
+  FROM k WHERE nd > 0
+),
+line AS (
+  SELECT doc_id, ri,
+         '| ' || array_to_string(list_slice(ws, ri*6+1, ri*6+2), ' ') ||
+         ' | ' || array_to_string(list_slice(ws, ri*6+3, ri*6+4), ' ') ||
+         ' | ' || array_to_string(list_slice(ws, ri*6+5, ri*6+6), ' ') ||
+         ' |' AS t
+  FROM r
+),
+body AS (
+  SELECT doc_id, string_agg(t, chr(10) ORDER BY ri) AS bt,
+         count(*) AS ndr
+  FROM line GROUP BY doc_id
+)
+SELECT k.doc_id, 0 AS table_id,
+       CAST(1 + coalesce(b.ndr, 0) AS INT) AS n_rows,
+       3 AS n_cols,
+       '| name | value | note |' || chr(10) || '| --- | --- | --- |' ||
+       CASE WHEN b.bt IS NULL THEN '' ELSE chr(10) || b.bt END AS markdown
+FROM k LEFT JOIN body b USING (doc_id)
+""",
+)
+def q_html_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # structured-data extraction: synthesized table page -> grid-
+    # complete cell parse (one narrow mapInPandas; rowspan/colspan
+    # expanded in-stage) -> pure-Catalyst GFM markdown assembly (one
+    # (doc_id, table_id) shuffle with map-side partial agg)
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    return H.tables_to_markdown(
+        H.parse_html_tables(H.synthesize_html_tables(docs))
+    )

@@ -404,3 +404,106 @@ def test_ensemble_template_vetoes_correlated_perpage_votes(spark):
     assert not any("cookies" in t for t in texts)       # veto won
     assert any(t.startswith("meaningful") for t in texts)
     assert any(t.startswith("ps") for t in texts)       # neighbour rescue
+
+
+# ------------------------------------------------------------- tables
+
+def _tables(markup: str):
+    p = H._TableParser()
+    p.feed(markup)
+    return p.finish()
+
+
+def test_table_parser_simple_grid_with_header():
+    out = _tables(
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table>"
+    )
+    assert out == [
+        (0, [[(True, "a"), (True, "b")], [(False, "1"), (False, "2")]])
+    ]
+
+
+def test_table_parser_expands_rowspan_and_colspan():
+    out = _tables(
+        '<table><tr><td rowspan="2">A</td><td colspan="2">B</td></tr>'
+        "<tr><td>c</td><td>d</td></tr>"
+        "<tr><td>e</td><td>f</td><td>g</td></tr></table>"
+    )
+    assert out[0][1] == [
+        [(False, "A"), (False, "B"), (False, "")],
+        [(False, ""), (False, "c"), (False, "d")],
+        [(False, "e"), (False, "f"), (False, "g")],
+    ]
+
+
+def test_table_parser_rowspan_colspan_combo():
+    out = _tables(
+        '<table><tr><td rowspan="3" colspan="2">big</td><td>x</td></tr>'
+        "<tr><td>y</td></tr><tr><td>z</td></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    )
+    assert out[0][1] == [
+        [(False, "big"), (False, ""), (False, "x")],
+        [(False, ""), (False, ""), (False, "y")],
+        [(False, ""), (False, ""), (False, "z")],
+        [(False, "1"), (False, "2"), (False, "3")],
+    ]
+
+
+def test_table_parser_nested_tables_and_order():
+    out = _tables(
+        "<table><tr><td>outer <table><tr><td>inner</td></tr></table>"
+        "</td><td>x</td></tr></table>"
+    )
+    assert out == [
+        (0, [[(False, "outer"), (False, "x")]]),
+        (1, [[(False, "inner")]]),
+    ]
+
+
+def test_table_parser_tolerates_malformed_and_pads_ragged():
+    # unclosed td/tr/table
+    assert _tables("<table><tr><td>p<td>q<tr><td>r")[0][1] == [
+        [(False, "p"), (False, "q")],
+        [(False, "r"), (False, "")],
+    ]
+    # ragged rows pad to table width
+    assert _tables(
+        "<table><tr><td>1</td><td>2</td><td>3</td></tr>"
+        "<tr><td>only</td></tr></table>"
+    )[0][1] == [
+        [(False, "1"), (False, "2"), (False, "3")],
+        [(False, "only"), (False, ""), (False, "")],
+    ]
+    # bogus span attributes fall back to 1
+    assert _tables(
+        '<table><tr><td colspan="zap" rowspan="">x</td><td>y</td></tr></table>'
+    )[0][1] == [[(False, "x"), (False, "y")]]
+    assert _tables("<p>no tables here</p>") == []
+
+
+def test_tables_to_markdown_spark(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "<table><tr><th>k</th><th>v</th></tr>"
+                "<tr><td>a|b</td><td>c</td></tr></table>",
+            ),
+            (2, "<table><tr><td>h</td><td>i</td></tr></table>"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in H.tables_to_markdown(H.parse_html_tables(pages)).collect()
+    }
+    # header row + pipe escaping
+    assert got[1]["markdown"] == (
+        "| k | v |\n| --- | --- |\n| a\\|b | c |"
+    )
+    assert (got[1]["n_rows"], got[1]["n_cols"]) == (2, 2)
+    # no header row: empty GFM header synthesized
+    assert got[2]["markdown"] == "|  |  |\n| --- | --- |\n| h | i |"
+    assert (got[2]["n_rows"], got[2]["n_cols"]) == (1, 2)
