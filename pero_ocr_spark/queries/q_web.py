@@ -1379,3 +1379,72 @@ def q_html_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.tables_to_markdown(
         H.parse_html_tables(H.synthesize_html_tables(docs))
     )
+
+
+@register(
+    "html_render_markdown",
+    """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+par0 AS (
+  SELECT doc_id, ws,
+         CAST(unnest(generate_series(0, (len(ws)-1)//12)) AS INT) AS pi
+  FROM w
+),
+par AS (
+  SELECT doc_id, pi,
+         CASE WHEN pi % 3 = 2
+                   AND len(list_slice(ws, pi*12+1, pi*12+12)) = 12
+              THEN '[' || array_to_string(list_slice(ws, pi*12+1, pi*12+2), ' ')
+                   || '](#r) '
+                   || array_to_string(list_slice(ws, pi*12+3, pi*12+12), ' ')
+              ELSE array_to_string(list_slice(ws, pi*12+1, pi*12+12), ' ')
+         END
+         || CASE WHEN pi % 2 = 1
+                 THEN chr(10) || chr(10) || '![](img://' || doc_id || '/' || pi || ')'
+                 ELSE '' END AS blk
+  FROM par0
+),
+pb AS (
+  SELECT doc_id, string_agg(blk, chr(10) || chr(10) ORDER BY pi) AS paras
+  FROM par GROUP BY doc_id
+),
+tr AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, CAST(len(ws)//6 AS INT) - 1)) AS INT) AS ri,
+         ws
+  FROM w WHERE len(ws)//6 > 0
+),
+tl AS (
+  SELECT doc_id, ri,
+         '| ' || array_to_string(list_slice(ws, ri*6+1, ri*6+2), ' ') ||
+         ' | ' || array_to_string(list_slice(ws, ri*6+3, ri*6+4), ' ') ||
+         ' | ' || array_to_string(list_slice(ws, ri*6+5, ri*6+6), ' ') ||
+         ' |' AS t
+  FROM tr
+),
+tb AS (
+  SELECT doc_id, string_agg(t, chr(10) ORDER BY ri) AS bt
+  FROM tl GROUP BY doc_id
+)
+SELECT w.doc_id,
+       '# ' || w.source || ' report' || chr(10) || chr(10) || pb.paras
+       || chr(10) || chr(10)
+       || '- ' || ws[1] || chr(10) || '- ' || ws[2] || chr(10) || '- ' || ws[3]
+       || chr(10) || chr(10)
+       || '| name | value | note |' || chr(10) || '| --- | --- | --- |'
+       || CASE WHEN tb.bt IS NULL THEN '' ELSE chr(10) || tb.bt END AS markdown
+FROM w JOIN pb USING (doc_id) LEFT JOIN tb USING (doc_id)
+""",
+)
+def q_html_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full-page markdown rendering (the LLM-ingest document format):
+    # ONE shuffle-free mapInPandas pass renders headings, inline
+    # links, images, lists, blockquotes, and tables (grid parser ->
+    # GFM) with furniture subtrees dropped; embarrassingly parallel
+    # at any corpus size
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    return H.html_to_markdown(H.synthesize_html_rich(docs))

@@ -507,3 +507,60 @@ def test_tables_to_markdown_spark(spark):
     # no header row: empty GFM header synthesized
     assert got[2]["markdown"] == "|  |  |\n| --- | --- |\n| h | i |"
     assert (got[2]["n_rows"], got[2]["n_cols"]) == (1, 2)
+
+
+# ---------------------------------------------------- markdown rendering
+
+def _md(markup: str, **kw) -> str:
+    p = H._MarkdownParser(**kw)
+    p.feed(markup)
+    return p.finish()
+
+
+def test_markdown_renders_headings_links_lists_quotes_code():
+    out = _md(
+        "<h1>Title here</h1><p>one two</p>"
+        "<p>pre <a href='#r'>anchor text</a> post</p>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<ol><li>first</li><li>second</li></ol>"
+        "<blockquote>quoted words</blockquote>"
+        "<pre>code here</pre>"
+    )
+    assert out == (
+        "# Title here\n\none two\n\npre [anchor text](#r) post\n\n"
+        "- alpha\n- beta\n\n1. first\n2. second\n\n"
+        "> quoted words\n\n```\ncode here\n```"
+    )
+
+
+def test_markdown_nested_list_indents():
+    out = _md("<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>")
+    assert out == "- a\n  - a1\n  - a2\n- b"
+
+
+def test_markdown_drops_furniture_by_default():
+    page = "<nav>menu here</nav><p>body text</p><footer>bye now</footer>"
+    assert _md(page) == "body text"
+    assert _md(page, drop_furniture=False) == "menu here\n\nbody text\n\nbye now"
+
+
+def test_markdown_image_is_own_block_and_malformed_degrades():
+    assert _md('<p>before</p><img src="img://1/0"><p>after words</p>') == (
+        "before\n\n![](img://1/0)\n\nafter words"
+    )
+    # unclosed heading, paragraph, and link
+    assert _md("<h2>head<p>para words<a href='x'>link words") == (
+        "## head\n\npara words [link words](x)"
+    )
+
+
+def test_markdown_table_block_matches_distributed_renderer(spark):
+    markup = (
+        '<table><tr><th>k</th><th>v</th></tr>'
+        '<tr><td rowspan="2">a|b</td><td>c</td></tr>'
+        "<tr><td>d</td></tr></table>"
+    )
+    inline = _md(markup)
+    pages = spark.createDataFrame([(1, markup)], "doc_id long, html string")
+    dist = H.tables_to_markdown(H.parse_html_tables(pages)).collect()[0]
+    assert inline == dist["markdown"]
