@@ -772,33 +772,43 @@ def tables_to_markdown(cells: DataFrame) -> DataFrame:
     table-bounded (far smaller than the cell input).
     """
     esc = F.replace(F.col("text"), F.lit("|"), F.lit("\\|"))
-    row_line = (
-        cells.groupBy("doc_id", "table_id", "row_id")
-        .agg(
-            F.concat(
-                F.lit("| "),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("col_id"), esc.alias("t")))
-                        ),
-                        lambda s: s["t"],
-                    ),
-                    " | ",
+    # ONE aggregation does everything: the corpus-sized cell stream is
+    # exchanged exactly once (a per-row grouping before per-table
+    # grouping would ship the same bytes through a second exchange).
+    # Rows are re-derived in-row from the sorted cell array; the
+    # per-row filter() over it is O(rows·cells) on a page-bounded
+    # table, and `cells` is a bound aggregation output, not an inline
+    # array builder, so HOF lambdas don't re-evaluate it per element.
+    per_table = cells.groupBy("doc_id", "table_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("row_id", "col_id", F.col("is_header").alias("h"),
+                         esc.alias("t"))
+            )
+        ).alias("cells"),
+        (F.max("row_id") + 1).alias("n_rows"),
+        (F.max("col_id") + 1).alias("n_cols"),
+    )
+
+    def line(r):
+        return F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("cells"), lambda c: c["row_id"] == r),
+                    lambda c: c["t"],
                 ),
-                F.lit(" |"),
-            ).alias("line"),
-            F.bool_and("is_header").alias("all_header"),
-            (F.max("col_id") + 1).alias("width"),
+                " | ",
+            ),
+            F.lit(" |"),
         )
+
+    lines = F.transform(
+        F.sequence(F.lit(0), F.col("n_rows") - 1), lambda r: line(r)
     )
-    rows = F.array_sort(
-        F.collect_list(F.struct("row_id", "line", "all_header"))
+    head_is_hdr = F.forall(
+        F.filter(F.col("cells"), lambda c: c["row_id"] == 0), lambda c: c["h"]
     )
-    per_table = row_line.groupBy("doc_id", "table_id").agg(
-        rows.alias("rows"), F.max("width").alias("n_cols")
-    )
-    head_is_hdr = F.element_at("rows", 1)["all_header"]
     sep = F.concat(
         F.lit("| "),
         F.array_join(
@@ -815,17 +825,23 @@ def tables_to_markdown(cells: DataFrame) -> DataFrame:
         ),
         F.lit("|"),
     )
-    body_rows = F.when(head_is_hdr, F.slice("rows", 2, F.size("rows") - 1)).otherwise(
-        F.col("rows")
+    staged = per_table.select(
+        "doc_id", "table_id", "n_rows", "n_cols",
+        lines.alias("lines"), head_is_hdr.alias("head_hdr"),
     )
-    header = F.when(head_is_hdr, F.element_at("rows", 1)["line"]).otherwise(
+    body = F.array_join(
+        F.when(F.col("head_hdr"),
+               F.slice("lines", 2, F.col("n_rows") - 1))
+        .otherwise(F.col("lines")),
+        "\n",
+    )
+    header = F.when(F.col("head_hdr"), F.element_at("lines", 1)).otherwise(
         empty_header
     )
-    body = F.array_join(F.transform(body_rows, lambda s: s["line"]), "\n")
-    return per_table.select(
+    return staged.select(
         "doc_id",
         "table_id",
-        F.size("rows").alias("n_rows"),
+        "n_rows",
         "n_cols",
         F.concat(
             header, F.lit("\n"), sep,
