@@ -557,3 +557,41 @@ def q_corpus_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "docs"),
     )
     return colocate.colocated_span_enrich(spans_t, docs_t)
+
+
+@register(
+    "icetable_incremental_view",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+""",
+)
+def q_icetable_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental materialized-view maintenance off the snapshot
+    # table's changelog: the corpus lands in three append batches;
+    # after each, the per-source rollup refreshes by reading ONLY the
+    # (from, to] delta files (IceTable.incremental) and MERGEing the
+    # delta aggregate into the persisted view (merge_rollup) — never
+    # rescanning the base table. The final view must equal the
+    # full-recompute oracle exactly; at 100 TB this is the difference
+    # between O(ingest batch) and O(corpus) per refresh.
+    from pero_ocr_spark.sources.icetable import IceTable, merge_rollup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = _scratch("icetable_incview")
+    base = IceTable(root + "/base", stats_cols=("doc_id",))
+    view = IceTable(root + "/view", stats_cols=("source",))
+    seen = 0
+    for r in range(3):
+        base.commit(docs.filter(F.col("doc_id") % 3 == r).coalesce(2))
+        head = base.current_version()
+        delta = base.incremental(spark, seen, head)
+        delta_agg = delta.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+        merge_rollup(spark, view, delta_agg, "source")
+        seen = head
+    return view.read(spark).select("source", "n_docs", "n_tokens")

@@ -1070,3 +1070,46 @@ class IceTable:
                     removed += 1
             os.unlink(_snap_path(self.root, v))
         return removed
+
+
+def merge_rollup(
+    spark: SparkSession, view: "IceTable", delta_agg: DataFrame, key: str
+) -> int:
+    """Incremental materialized-view maintenance: fold an aggregated
+    changelog delta into a persisted rollup table.
+
+    ``delta_agg`` is (key, additive numeric columns...) computed from a
+    changelog read (:meth:`IceTable.incremental`) — NOT from the full
+    base table. Keys present in the delta get ``new total = old +
+    delta`` and are MERGEd in (copy-on-write upsert, O(files whose key
+    range overlaps)); keys absent from the delta are never read,
+    joined, or rewritten. The first refresh simply commits the delta
+    aggregate as the view's initial snapshot.
+
+    This is the 100 TB refresh shape: per ingest batch the maintenance
+    cost is O(delta rows + view keys touched), while recomputing the
+    rollup from the base table would rescan the whole corpus every
+    batch. Because both the base commit and the view upsert are atomic
+    snapshot commits, a crashed refresh leaves the view at its previous
+    consistent version — the caller re-runs the SAME (from_version,
+    to_version] window and the fold is idempotent per window.
+
+    The join of delta keys against the previous view is a plain
+    equi-join (the view may be corpus-key-sized — per-host rollups at
+    10^7 hosts are not broadcastable); Spark picks broadcast while the
+    view is provably small from its own manifest row counts.
+
+    Returns the committed view version.
+    """
+    if view.current_version() == 0:
+        return view.commit(delta_agg)
+    num_cols = [c for c in delta_agg.columns if c != key]
+    prev = view.read(spark)
+    refreshed = delta_agg.alias("d").join(prev.alias("p"), key, "left").select(
+        key,
+        *[
+            (F.coalesce(F.col(f"p.{c}"), F.lit(0)) + F.col(f"d.{c}")).alias(c)
+            for c in num_cols
+        ],
+    )
+    return view.upsert(refreshed, key=key)

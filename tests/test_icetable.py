@@ -678,3 +678,60 @@ class TestValueListPlanning:
         assert all("values" not in f or not f["values"]
                    for f in t._live_entries())
         assert t.files(isin={"doc_id": [5]}) == t.files()
+
+
+def test_merge_rollup_incremental_view(spark, tmp_path):
+    from pero_ocr_spark.sources.icetable import IceTable, merge_rollup
+
+    rows = [(i, f"w{i} " * (i % 4 + 1), f"s{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    base = IceTable(str(tmp_path / "base"), stats_cols=("doc_id",))
+    view = IceTable(str(tmp_path / "view"), stats_cols=("source",))
+
+    def agg(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+
+    seen = 0
+    for r in range(3):
+        base.commit(docs.filter(F.col("doc_id") % 3 == r).coalesce(1))
+        head = base.current_version()
+        delta = base.incremental(spark, seen, head)
+        merge_rollup(spark, view, agg(delta), "source")
+        seen = head
+        # after every refresh the view equals a full recompute so far
+        want = {
+            (r2["source"], r2["n_docs"], r2["n_tokens"])
+            for r2 in agg(
+                docs.filter((F.col("doc_id") % 3) <= r)
+            ).collect()
+        }
+        got = {
+            (r2["source"], r2["n_docs"], r2["n_tokens"])
+            for r2 in view.read(spark).collect()
+        }
+        assert got == want, f"round {r}"
+    # each refresh read only that round's delta files, never the table
+    assert [len(base.snapshot(v)["manifest"]) for v in (1, 2, 3)] == [1, 1, 1]
+
+
+def test_merge_rollup_leaves_untouched_keys_alone(spark, tmp_path):
+    from pero_ocr_spark.sources.icetable import IceTable, merge_rollup
+
+    view = IceTable(str(tmp_path / "v"), stats_cols=("k",))
+    first = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "k string, n long, tok long"
+    )
+    merge_rollup(spark, view, first, "k")
+    # delta touches only 'b' and introduces 'c'; 'a' must survive as-is
+    delta = spark.createDataFrame(
+        [("b", 3, 30), ("c", 5, 50)], "k string, n long, tok long"
+    )
+    merge_rollup(spark, view, delta, "k")
+    got = {(r["k"], r["n"], r["tok"]) for r in view.read(spark).collect()}
+    assert got == {("a", 1, 10), ("b", 5, 50), ("c", 5, 50)}
