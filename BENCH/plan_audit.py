@@ -74,6 +74,9 @@ AUDIT = [
     "corpus_bucketed_join",
     "lm_stupid_backoff",
     "error_chrf_corpus",
+    # round-5 session-3 wave
+    "html_table_markdown",
+    "html_render_markdown",
 ]
 
 
