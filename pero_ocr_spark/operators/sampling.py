@@ -709,3 +709,71 @@ def doremi_mixture(
             ).alias("weight"),
         )
     )
+
+
+def fim_transform(docs: DataFrame, fim_pct: int = 50) -> DataFrame:
+    """FIM (fill-in-the-middle) document transform, PSM layout
+    (Bavarian et al. 2022): for a deterministic ``fim_pct``% of
+    documents, two LCG-derived cut points 0 ≤ a ≤ b ≤ n split the
+    token sequence into prefix/middle/suffix and the document is
+    re-serialized as
+
+        <fim_prefix> P <fim_suffix> S <fim_middle> M
+
+    so the model learns to infill conditioned on both sides; the rest
+    pass through verbatim (the FIM-rate mixture of the paper). Cut
+    points come from the same portable LCG family as every sampler in
+    the engine — pure integer arithmetic on (doc_id, constants), no
+    RNG state, bit-identical in ANSI SQL and at ANY partitioning, so
+    every epoch regenerates the same corpus and resume is trivial.
+
+    Plan shape: zero shuffles, zero Python — one narrow codegen
+    projection (split → two slices → filtered join). Empty segments
+    drop their slot instead of leaving double separators, so
+    degenerate cuts (a=0, b=n, a=b) still serialize canonically.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    r = F.pmod(F.col("doc_id") * 69_069 + 12_345, F.lit(HASH_P)) % 100
+    a = (
+        F.pmod(F.col("doc_id") * 1_103_515_245 + 99_991, F.lit(HASH_P))
+        % (n + 1)
+    ).cast("int")
+    b = (
+        a
+        + F.pmod(F.col("doc_id") * 69_069 + 54_321, F.lit(HASH_P))
+        % (n - a + 1)
+    ).cast("int")
+    staged = docs.select(
+        "doc_id", "text", words.alias("ws"), n.alias("n"),
+        (r < fim_pct).alias("fim_applied"), a.alias("a"), b.alias("b"),
+    )
+    parts = F.array(
+        F.lit("<fim_prefix>"),
+        F.array_join(F.slice("ws", 1, F.col("a")), " "),
+        F.lit("<fim_suffix>"),
+        F.array_join(
+            F.slice("ws", F.col("b") + 1, F.col("n") - F.col("b")), " "
+        ),
+        F.lit("<fim_middle>"),
+        F.array_join(
+            F.slice("ws", F.col("a") + 1, F.col("b") - F.col("a")), " "
+        ),
+    )
+    fim_text = F.array_join(F.filter(parts, lambda x: x != ""), " ")
+    return staged.select(
+        "doc_id",
+        "fim_applied",
+        F.when(F.col("fim_applied"), fim_text).otherwise(F.col("text")).alias(
+            "transformed"
+        ),
+        F.when(F.col("fim_applied"), F.col("a")).otherwise(F.col("n")).alias(
+            "n_prefix"
+        ),
+        F.when(F.col("fim_applied"), F.col("b") - F.col("a"))
+        .otherwise(F.lit(0))
+        .alias("n_middle"),
+        F.when(F.col("fim_applied"), F.col("n") - F.col("b"))
+        .otherwise(F.lit(0))
+        .alias("n_suffix"),
+    )

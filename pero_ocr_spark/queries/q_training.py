@@ -807,3 +807,47 @@ def q_training_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.span_corruption(
         _t(spark, sf_dir, "documents"), mask_pct=15
     )
+
+
+@register(
+    "training_fim_transform",
+    """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS INT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text, ws, n,
+         ((doc_id*69069 + 12345) % 2147483647) % 100 AS r,
+         CAST(((doc_id*1103515245 + 99991) % 2147483647) % (n + 1) AS INT) AS a
+  FROM w
+),
+d AS (
+  SELECT *, CAST(a + ((doc_id*69069 + 54321) % 2147483647) % (n - a + 1)
+                 AS INT) AS b
+  FROM c
+)
+SELECT doc_id, r < 50 AS fim_applied,
+       CASE WHEN r < 50 THEN array_to_string(list_filter([
+              '<fim_prefix>',
+              array_to_string(list_slice(ws, 1, a), ' '),
+              '<fim_suffix>',
+              array_to_string(list_slice(ws, b + 1, n), ' '),
+              '<fim_middle>',
+              array_to_string(list_slice(ws, a + 1, b), ' ')
+            ], x -> x <> ''), ' ')
+            ELSE text END AS transformed,
+       CASE WHEN r < 50 THEN a ELSE n END AS n_prefix,
+       CASE WHEN r < 50 THEN b - a ELSE 0 END AS n_middle,
+       CASE WHEN r < 50 THEN n - b ELSE 0 END AS n_suffix
+FROM d
+""",
+)
+def q_training_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FIM (fill-in-the-middle) PSM re-serialization at a 50% FIM rate:
+    # LCG cut points, zero shuffles, zero Python — one narrow codegen
+    # projection; identical arithmetic in the SQL oracle
+    from pero_ocr_spark.operators import sampling
+
+    return sampling.fim_transform(_t(spark, sf_dir, "documents"))

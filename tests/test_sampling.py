@@ -168,3 +168,52 @@ class TestDoremiMixture:
         assert got["hard"].weight > got["mid"].weight > got["easy"].weight
         assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
         assert got["hard"].excess == 4.0 and got["easy"].excess == 0.0
+
+
+def test_fim_transform_reconstruction_and_mixture(spark):
+    from pero_ocr_spark.operators.sampling import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = fim_transform(docs).collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_fim = 0
+    for r in out:
+        words = originals[r["doc_id"]].split()
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(words)
+        if not r["fim_applied"]:
+            assert r["transformed"] == originals[r["doc_id"]]
+            assert (r["n_middle"], r["n_suffix"]) == (0, 0)
+            continue
+        n_fim += 1
+        t = r["transformed"]
+        # sentinels present exactly once, in PSM order
+        assert t.index("<fim_prefix>") < t.index("<fim_suffix>") < t.index("<fim_middle>")
+        # reconstruct the original from the three segments
+        body = t.replace("<fim_prefix>", "\x00").replace(
+            "<fim_suffix>", "\x00"
+        ).replace("<fim_middle>", "\x00")
+        segs = [s.split() for s in body.split("\x00")[1:]]
+        pre, suf, mid = segs
+        assert pre + mid + suf == words
+        assert (len(pre), len(mid), len(suf)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"]
+        )
+    # the 50% mixture actually fires both ways
+    assert 0 < n_fim < len(out)
+
+
+def test_fim_transform_partitioning_invariant(spark):
+    from pero_ocr_spark.operators.sampling import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r["transformed"]
+           for r in fim_transform(docs.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["transformed"]
+            for r in fim_transform(docs.repartition(7)).collect()}
+    assert one == many
