@@ -1139,3 +1139,87 @@ def stupid_backoff_scores(docs: DataFrame, alpha: float = 0.4) -> DataFrame:
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_log10_score"),
     )
+
+
+def nb_quality_classifier(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in
+    one distributed pass — the trainable tier of the quality-filter
+    stack (heuristic gate → hashed linear scorer → THIS: a classifier
+    whose weights come from the corpus itself, the CCNet/fastText
+    bootstrap where a cheap model learns to imitate an expensive gate
+    and generalizes it).
+
+    ``labels`` is (doc_id, label boolean). Even doc_ids train; odd
+    doc_ids are scored held-out. Training IS aggregation: one
+    map-side-combinable (token) count pass yields per-class token
+    counts; Laplace-1 smoothing; class scalars (token totals, vocab
+    size, doc priors) are a bounded collect (5 numbers). Scoring
+    explodes held-out docs to tokens, joins the vocab LLR table (hash
+    join on token — broadcastable while the vocab is, never required
+    to be), and sums per doc: ONE doc_id shuffle. Tokens unseen in
+    training hit the smoothing floor of both classes via the left
+    join's coalesce(0).
+
+    Cross-engine exactness: each token's log-likelihood ratio is
+    quantized to 6 dp AT THE TERM and summed as DECIMAL(28,6) with the
+    6-dp prior — the score IS the exact decimal sum, no second
+    rounding. A coarser per-term grain than the engine's usual 9 dp is
+    deliberate: JVM ``Math.log`` and libm may disagree by an ulp, and
+    a 9-dp term round flipped on this corpus (then landed a doc sum on
+    a 6-dp half boundary). At 6 dp the flip margin is 1000× wider —
+    measured ≥ 1.5e-9 absolute distance from every half boundary over
+    all distinct (cp, cn) term inputs at sf0.001/0.01/0.1, vs ~1e-15
+    transcendental disagreement.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    lab_tr = labels.filter(F.col("doc_id") % 2 == 0)
+    tr = tok.join(lab_tr, "doc_id")
+    cnt = tr.groupBy("t").agg(
+        F.sum(F.col("label").cast("long")).alias("cp"),
+        F.sum((~F.col("label")).cast("long")).alias("cn"),
+    )
+    np_, nn_, v_ = cnt.agg(
+        F.sum("cp"), F.sum("cn"), F.count(F.lit(1))
+    ).first()
+    dp, dn = lab_tr.agg(
+        F.sum(F.col("label").cast("long")),
+        F.sum((~F.col("label")).cast("long")),
+    ).first()
+    if not (dp and dn):
+        raise ValueError(
+            "nb_quality_classifier needs both classes in the training "
+            f"half (got {dp} positive / {dn} negative docs)"
+        )
+    import math
+
+    prior = round(math.log(dp / dn), 6)
+    llr = F.round(
+        F.log((F.coalesce(F.col("cp"), F.lit(0)) + 1.0) / F.lit(float(np_ + v_)))
+        - F.log(
+            (F.coalesce(F.col("cn"), F.lit(0)) + 1.0) / F.lit(float(nn_ + v_))
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    ho = tok.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        ho.join(cnt, "t", "left")
+        .select("doc_id", llr.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            # the score IS the exact decimal sum — no final rounding
+            # step, so there is no second boundary to disagree on
+            (F.sum("lp") + F.lit(prior).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("nb_score")
+        )
+    )
+    out = scored.join(labels, "doc_id")
+    return out.select(
+        "doc_id",
+        "nb_score",
+        (F.col("nb_score") > 0).alias("predicted"),
+        "label",
+        ((F.col("nb_score") > 0) == F.col("label")).alias("correct"),
+    )

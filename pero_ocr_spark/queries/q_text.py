@@ -734,3 +734,62 @@ def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.stupid_backoff_scores(
         _t(spark, sf_dir, "documents"), alpha=0.4
     )
+
+
+@register(
+    "quality_classifier_nb",
+    _EVAL_SCORED_CTE + """,
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tr AS (
+  SELECT k.doc_id, k.t, s.label
+  FROM tok k JOIN scored s USING (doc_id) WHERE k.doc_id % 2 = 0
+),
+cnt AS (
+  SELECT t,
+         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS cn
+  FROM tr GROUP BY t
+),
+sc AS (
+  SELECT CAST(sum(cp) AS DOUBLE) + count(*) AS zp,
+         CAST(sum(cn) AS DOUBLE) + count(*) AS zn
+  FROM cnt
+),
+pr AS (
+  SELECT round(ln(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN NOT label THEN 1 ELSE 0 END)), 6) AS prior
+  FROM scored WHERE doc_id % 2 = 0
+),
+ho AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 1),
+term AS (
+  SELECT ho.doc_id,
+         CAST(round(ln((coalesce(cnt.cp, 0) + 1.0) / sc.zp)
+                    - ln((coalesce(cnt.cn, 0) + 1.0) / sc.zn), 6)
+              AS DECIMAL(28,6)) AS lp
+  FROM ho LEFT JOIN cnt USING (t), sc
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(lp) + (SELECT CAST(prior AS DECIMAL(28,6)) FROM pr)
+              AS DOUBLE) AS nb_score
+  FROM term GROUP BY doc_id
+)
+SELECT a.doc_id, a.nb_score, a.nb_score > 0 AS predicted, s.label,
+       (a.nb_score > 0) = s.label AS correct
+FROM agg a JOIN scored s USING (doc_id)
+""",
+)
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trainable quality tier: multinomial NB trained on the even half
+    # against the heuristic gate (the CCNet/fastText bootstrap), odd
+    # half scored held-out; training is ONE token-count agg, scoring
+    # ONE doc_id shuffle; 9-dp DECIMAL term sums for ulp-exact parity
+    from pero_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = textstats.quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.75).alias("label")
+    )
+    return textstats.nb_quality_classifier(docs, labels)

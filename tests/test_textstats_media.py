@@ -151,3 +151,44 @@ class TestCorpusDrift:
         )
         m = textstats.corpus_drift(mild, snapshot).collect()[0]
         assert m.kl_div < r.kl_div and m.tv_dist < r.tv_dist
+
+
+def test_nb_quality_classifier_learns_discriminative_tokens(spark):
+    from pero_ocr_spark.operators.textstats import nb_quality_classifier
+
+    # even ids train: positive docs say 'good', negative say 'bad';
+    # odd ids are scored held-out with the same vocabulary
+    rows = []
+    for i in range(40):
+        pos = (i // 2) % 2 == 0
+        word = "good" if pos else "bad"
+        rows.append((i, f"{word} filler{i % 3} common", pos))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, p) for i, _, p in rows], "doc_id long, label boolean"
+    )
+    out = {r["doc_id"]: r for r in nb_quality_classifier(docs, labels).collect()}
+    # only held-out (odd) docs are scored
+    assert set(out) == {i for i in range(40) if i % 2 == 1}
+    for i, r in out.items():
+        assert r["predicted"] == r["label"], i
+        assert r["correct"]
+        # the discriminative token dominates the score's sign
+        assert (r["nb_score"] > 0) == (((i // 2) % 2) == 0)
+
+
+def test_nb_quality_classifier_requires_both_classes(spark):
+    import pytest as _pytest
+
+    from pero_ocr_spark.operators.textstats import nb_quality_classifier
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(6)], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, True) for i in range(6)], "doc_id long, label boolean"
+    )
+    with _pytest.raises(ValueError, match="both classes"):
+        nb_quality_classifier(docs, labels)
