@@ -77,6 +77,8 @@ AUDIT = [
     # round-5 session-3 wave
     "html_table_markdown",
     "html_render_markdown",
+    "training_fim_transform",
+    "quality_classifier_nb",
 ]
 
 
