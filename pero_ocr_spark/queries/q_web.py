@@ -1448,3 +1448,33 @@ def q_html_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return H.html_to_markdown(H.synthesize_html_rich(docs))
+
+
+@register(
+    "jsonl_ingest",
+    """
+WITH ok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM documents
+  WHERE ((doc_id*69069 + 12345) % 2147483647) % 97 <> 13
+),
+par AS (
+  SELECT doc_id, source, ws,
+         CAST(unnest(generate_series(0, (len(ws)-1)//12)) AS INT) AS pi
+  FROM ok
+)
+SELECT doc_id, source, pi AS ord,
+       array_to_string(list_slice(ws, pi*12+1, pi*12+12), ' ') AS span_text
+FROM par
+""",
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSONL interchange ingest: deterministic records (every 97th LCG
+    # residue torn mid-line) -> from_json with an EXPLICIT schema
+    # (never inference at 100 TB), PERMISSIVE quarantine of corrupt
+    # lines, nested span explode AFTER validation — one narrow codegen
+    # pass, zero shuffles, zero Python
+    from pero_ocr_spark.sources import jsonl as J
+
+    docs = _t(spark, sf_dir, "documents")
+    return J.jsonl_spans(J.synthesize_jsonl(docs))
