@@ -1478,3 +1478,46 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return J.jsonl_spans(J.synthesize_jsonl(docs))
+
+
+@register(
+    "crawl_sitemap_discovery",
+    """
+WITH u AS (
+  SELECT doc_id,
+         source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         printf('2024-01-%02d', CAST(doc_id % 28 + 1 AS INT)) AS lastmod,
+         CASE WHEN doc_id % 10 = 0 THEN 0.9 ELSE 0.5 END AS priority,
+         printf('2024-01-%02d', CAST((doc_id*31) % 28 + 1 AS INT)) AS fetched_at,
+         ((doc_id*69069 + 12345) % 2147483647) % 10 AS r
+  FROM documents
+)
+SELECT host, url, lastmod, priority,
+       CASE WHEN r = 7 THEN 'new'
+            WHEN lastmod > fetched_at THEN 'changed'
+            ELSE 'fresh' END AS status
+FROM u
+""",
+)
+def q_crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sitemap-driven recrawl: per-host urlset XML synthesized and
+    # REALLY parsed (ElementTree, namespace-aware, one narrow python
+    # stage), entries joined once against the crawl ledger -> the
+    # O(new+changed) fetch queue instead of O(known URLs)
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    entries = W.parse_sitemaps(W.synth_sitemaps(docs))
+    seen = docs.filter(
+        F.pmod(F.col("doc_id") * 69_069 + 12_345, F.lit(2147483647)) % 10 != 7
+    ).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.format_string(
+            "2024-01-%02d", ((F.col("doc_id") * 31) % 28 + 1).cast("int")
+        ).alias("fetched_at"),
+    )
+    return W.sitemap_recrawl_verdicts(entries, seen)

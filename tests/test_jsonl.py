@@ -43,3 +43,47 @@ def test_jsonl_rejects_wrong_shape_valid_json(spark):
     valid, quarantine = J.parse_jsonl(lines)
     assert valid.count() == 1
     assert quarantine.count() == 2
+
+
+# ------------------------------------------------------- sitemap parse
+
+def test_parse_sitemaps_tolerates_missing_optional_elements(spark):
+    from pero_ocr_spark.sources import warc as W
+
+    NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    xml = (
+        f'<?xml version="1.0"?><urlset {NS}>'
+        "<url><loc>https://h/a</loc><lastmod>2024-01-02</lastmod>"
+        "<priority>0.9</priority></url>"
+        "<url><loc>https://h/b</loc></url>"  # no lastmod/priority
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = {r["url"]: r for r in W.parse_sitemaps(df).collect()}
+    assert rows["https://h/a"]["lastmod"] == "2024-01-02"
+    assert rows["https://h/a"]["priority"] == 0.9
+    assert rows["https://h/b"]["lastmod"] is None
+    assert rows["https://h/b"]["priority"] is None
+
+
+def test_sitemap_roundtrip_and_verdicts(spark):
+    from pero_ocr_spark.sources import warc as W
+
+    docs = spark.createDataFrame(
+        [(i, "t", f"s{i % 2}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    entries = W.parse_sitemaps(W.synth_sitemaps(docs))
+    assert entries.count() == 30
+    # ledger: everything fetched on day 15 except doc 3 (never seen)
+    seen = spark.createDataFrame(
+        [(f"https://s{i % 2}.example.com/doc/{i}", "2024-01-15")
+         for i in range(30) if i != 3],
+        "url string, fetched_at string",
+    )
+    v = {r["url"].rsplit("/", 1)[1]: r["status"]
+         for r in W.sitemap_recrawl_verdicts(entries, seen).collect()}
+    assert v["3"] == "new"
+    # doc 20 -> lastmod day 21 > 15 -> changed; doc 10 -> day 11 -> fresh
+    assert v["20"] == "changed"
+    assert v["10"] == "fresh"
