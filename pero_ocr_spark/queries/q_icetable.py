@@ -595,3 +595,31 @@ def q_icetable_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_rollup(spark, view, delta_agg, "source")
         seen = head
     return view.read(spark).select("source", "n_docs", "n_tokens")
+
+
+@register(
+    "icetable_changelog_cdc",
+    """
+SELECT doc_id, source, 'insert' AS _change_type,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS _commit_version
+FROM documents
+UNION ALL
+SELECT doc_id, source, 'delete', 3 FROM documents WHERE doc_id % 7 = 3
+""",
+)
+def q_icetable_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed CDC stream off the snapshot table: two append commits, one
+    # merge-on-read DELETE, then changelog(0, 3) emits every insert
+    # with its commit version plus the deleted rows' PRE-DELETE images
+    # reconstructed from the position-delete files (bytes ~ files
+    # touched, never table size)
+    from pero_ocr_spark.sources.icetable import IceTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    table = IceTable(_scratch("icetable_cdc"), stats_cols=("doc_id",))
+    table.commit(docs.filter(F.col("doc_id") % 2 == 0).coalesce(2))
+    table.commit(docs.filter(F.col("doc_id") % 2 == 1).coalesce(2))
+    table.delete_where_mor(spark, "doc_id % 7 = 3")
+    return table.changelog(spark, 0, 3).select(
+        "doc_id", "source", "_change_type", "_commit_version"
+    )

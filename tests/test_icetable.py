@@ -735,3 +735,41 @@ def test_merge_rollup_leaves_untouched_keys_alone(spark, tmp_path):
     merge_rollup(spark, view, delta, "k")
     got = {(r["k"], r["n"], r["tok"]) for r in view.read(spark).collect()}
     assert got == {("a", 1, 10), ("b", 5, 50), ("c", 5, 50)}
+
+
+def test_changelog_cdc_inserts_and_mor_deletes(spark, tmp_path):
+    t = IceTable(str(tmp_path / "cdc"), stats_cols=("doc_id",))
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    t.commit(docs.filter(F.col("doc_id") < 10).coalesce(1))     # v1
+    t.commit(docs.filter(F.col("doc_id") >= 10).coalesce(1))    # v2
+    t.delete_where_mor(spark, "doc_id % 5 = 2")                 # v3
+    cl = t.changelog(spark, 0, 3).collect()
+    ins = {(r["doc_id"], r["_commit_version"]) for r in cl
+           if r["_change_type"] == "insert"}
+    dels = {(r["doc_id"], r["_commit_version"], r["text"]) for r in cl
+            if r["_change_type"] == "delete"}
+    assert ins == {(i, 1 if i < 10 else 2) for i in range(20)}
+    # deleted rows carry their PRE-delete images at the delete version
+    assert dels == {(i, 3, f"t{i}") for i in range(20) if i % 5 == 2}
+    # a window that skips the appends sees only the deletes
+    only_del = t.changelog(spark, 2, 3).collect()
+    assert {r["_change_type"] for r in only_del} == {"delete"}
+    # empty window -> typed empty frame
+    assert t.changelog(spark, 3, 3).count() == 0
+
+
+def test_changelog_refuses_overwrite_snapshots(spark, tmp_path):
+    t = IceTable(str(tmp_path / "cdc2"), stats_cols=("doc_id",))
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    t.commit(docs.coalesce(1))
+    t.upsert(
+        spark.createDataFrame([(1, "rev")], "doc_id long, text string"),
+        key="doc_id",
+    )  # overwrite snapshot
+    with pytest.raises(ValueError, match="changelog reads span"):
+        t.changelog(spark, 0, t.current_version())
