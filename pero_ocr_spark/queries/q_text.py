@@ -793,3 +793,41 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("quality") >= 0.75).alias("label")
     )
     return textstats.nb_quality_classifier(docs, labels)
+
+
+@register(
+    "text_fix_mojibake",
+    """
+SELECT doc_id,
+       text || ' café naïve №' || CAST(doc_id % 7 AS VARCHAR) AS text_fixed,
+       ((doc_id*69069 + 12345) % 2147483647) % 100 < 33 AS was_mojibake
+FROM documents
+""",
+)
+def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding repair at the ingest edge: ~a third of the corpus
+    # arrives UTF-8-read-as-latin-1 (deterministic residue); detection
+    # (marker scan) + exact inverse transcode run ENTIRELY in codegen
+    # (JVM charset builtins) — the oracle states the fixpoint: every
+    # doc ends clean, corrupted ones flagged
+    from pero_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.concat(
+        F.col("text"), F.lit(" café naïve №"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    # NOT mod 3: both LCG constants divide by 3 (the documented
+    # degenerate-residue trap) — mod 100 keeps the mixing honest
+    corrupted = F.pmod(
+        F.col("doc_id") * 69_069 + 12_345, F.lit(2147483647)
+    ) % 100 < 33
+    wire = docs.select(
+        "doc_id",
+        F.when(
+            corrupted, F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+        ).otherwise(clean).alias("text"),
+    )
+    return textstats.fix_mojibake(wire).select(
+        "doc_id", "text_fixed", "was_mojibake"
+    )

@@ -192,3 +192,29 @@ def test_nb_quality_classifier_requires_both_classes(spark):
     )
     with _pytest.raises(ValueError, match="both classes"):
         nb_quality_classifier(docs, labels)
+
+
+def test_fix_mojibake_repairs_and_passes_through(spark):
+    from pero_ocr_spark.operators.textstats import fix_mojibake
+
+    clean = "naïve café – déjà №9"
+    moji = clean.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(1, moji), (2, clean), (3, "plain ascii words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    assert out[1]["was_mojibake"] and out[1]["text_fixed"] == clean
+    # legitimate accents are NOT flagged and pass through byte-identical
+    assert not out[2]["was_mojibake"] and out[2]["text_fixed"] == clean
+    assert not out[3]["was_mojibake"] and out[3]["text_fixed"] == "plain ascii words"
+
+
+def test_fix_mojibake_cyrillic_markers(spark):
+    from pero_ocr_spark.operators.textstats import fix_mojibake
+
+    clean = "привет мир"
+    moji = clean.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(1, moji)], "doc_id long, text string")
+    r = fix_mojibake(df).collect()[0]
+    assert r["was_mojibake"] and r["text_fixed"] == clean
