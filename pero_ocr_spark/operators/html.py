@@ -1216,3 +1216,112 @@ def synthesize_html_interleaved(docs: DataFrame) -> DataFrame:
         F.lit(_TAIL),
     )
     return docs.select("doc_id", html.alias("html"))
+
+
+# ------------------------------------------------------------------
+# Page metadata extraction (OpenGraph + JSON-LD)
+# ------------------------------------------------------------------
+
+META_SCHEMA = (
+    "doc_id long, og_title string, og_type string, article_date string, "
+    "ld_json string"
+)
+
+
+class _MetaParser(HTMLParser):
+    """Head-metadata walk: collects ``<meta property|name content>``
+    pairs and the first ``<script type="application/ld+json">`` body.
+    Runs over the whole document (real pages scatter meta tags), but
+    touches only tag attributes + the one script body — text nodes
+    outside the JSON-LD block are ignored."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: dict[str, str] = {}
+        self.ld_json: str | None = None
+        self._in_ld = False
+        self._ld_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "meta":
+            key = a.get("property") or a.get("name")
+            if key and a.get("content") is not None and key not in self.meta:
+                self.meta[key] = a["content"]
+        elif tag == "script" and a.get("type") == "application/ld+json":
+            if self.ld_json is None:
+                self._in_ld = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.ld_json = "".join(self._ld_parts)
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ld:
+            self._ld_parts.append(data)
+
+
+def extract_page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → typed page metadata: OpenGraph title/type, the
+    article publish date (og `article:published_time` falling back to
+    `date`), and the raw JSON-LD payload for downstream Catalyst
+    ``from_json`` (schema-pinned, like every JSON parse in the
+    engine). One narrow mapInPandas pass, one output row per page —
+    no shuffle, no amplification."""
+    from pero_ocr_spark.operators import spread_scan
+
+    pruned = spread_scan(df.select("doc_id", html_col))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "og_title": [], "og_type": [],
+                "article_date": [], "ld_json": [],
+            }
+            for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                p = _MetaParser()
+                p.feed(html)
+                out["doc_id"].append(doc_id)
+                out["og_title"].append(p.meta.get("og:title"))
+                out["og_type"].append(p.meta.get("og:type"))
+                out["article_date"].append(
+                    p.meta.get("article:published_time") or p.meta.get("date")
+                )
+                out["ld_json"].append(p.ld_json)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(gen, schema=META_SCHEMA)
+
+
+def synthesize_html_meta(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, source) → (doc_id, html): the standard
+    page shell with an OpenGraph head block and a schema.org JSON-LD
+    article record (author + wordCount), the deterministic substrate
+    for metadata extraction. Pure column expressions."""
+    words = F.split(F.col("text"), " ")
+    date = F.format_string(
+        "2024-01-%02d", (F.col("doc_id") % 28 + 1).cast("int")
+    )
+    ld = F.to_json(
+        F.struct(
+            F.lit("Article").alias("@type"),
+            F.concat(F.col("source"), F.lit(" desk")).alias("author"),
+            F.size(words).alias("wordCount"),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.lit('<meta property="og:title" content="'),
+        F.col("source"), F.lit(" report "), F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.lit('<meta property="og:type" content="article">'),
+        F.lit('<meta property="article:published_time" content="'),
+        date, F.lit('">'),
+        F.lit('<script type="application/ld+json">'), ld, F.lit("</script>"),
+        F.lit("</head><body>"),
+        F.lit(_NAV),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit(_FOOTER), F.lit(_TAIL),
+    )
+    return docs.select("doc_id", html.alias("html"))

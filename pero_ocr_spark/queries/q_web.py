@@ -1521,3 +1521,33 @@ def q_crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fetched_at"),
     )
     return W.sitemap_recrawl_verdicts(entries, seen)
+
+
+@register(
+    "html_extract_metadata",
+    """
+SELECT doc_id,
+       source || ' report ' || CAST(doc_id AS VARCHAR) AS og_title,
+       'article' AS og_type,
+       printf('2024-01-%02d', CAST(doc_id % 28 + 1 AS INT)) AS article_date,
+       source || ' desk' AS author,
+       CAST(len(string_split(text, ' ')) AS INT) AS word_count
+FROM documents
+""",
+)
+def q_html_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # page-metadata tier (trafilatura analog): OpenGraph tags + the
+    # JSON-LD article record extracted in ONE narrow parser pass, the
+    # JSON payload decoded by schema-pinned Catalyst from_json — the
+    # typed (title, date, author) columns that drive corpus dating
+    # and provenance filters
+    from pero_ocr_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = H.extract_page_metadata(H.synthesize_html_meta(docs))
+    ld = F.from_json(F.col("ld_json"), "author string, wordCount int")
+    return meta.select(
+        "doc_id", "og_title", "og_type", "article_date",
+        ld["author"].alias("author"),
+        ld["wordCount"].alias("word_count"),
+    )

@@ -564,3 +564,35 @@ def test_markdown_table_block_matches_distributed_renderer(spark):
     pages = spark.createDataFrame([(1, markup)], "doc_id long, html string")
     dist = H.tables_to_markdown(H.parse_html_tables(pages)).collect()[0]
     assert inline == dist["markdown"]
+
+
+# ----------------------------------------------------- page metadata
+
+def test_meta_parser_collects_og_and_ld_json():
+    p = H._MetaParser()
+    p.feed(
+        '<html><head><meta property="og:title" content="My Title">'
+        '<meta name="date" content="2023-05-01">'
+        '<meta property="og:title" content="SECOND IGNORED">'
+        '<script type="application/ld+json">{"@type": "Article"}</script>'
+        '<script type="application/ld+json">{"second": true}</script>'
+        "</head><body><p>x</p></body></html>"
+    )
+    assert p.meta["og:title"] == "My Title"  # first wins
+    assert p.meta["date"] == "2023-05-01"
+    assert p.ld_json == '{"@type": "Article"}'  # first block only
+
+
+def test_extract_page_metadata_fallback_and_nulls(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<head><meta name="date" content="2020-01-01"></head>'),
+            (2, "<p>no metadata at all</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in H.extract_page_metadata(pages).collect()}
+    # article:published_time missing -> falls back to name="date"
+    assert out[1]["article_date"] == "2020-01-01"
+    assert out[1]["og_title"] is None
+    assert out[2]["article_date"] is None and out[2]["ld_json"] is None
