@@ -300,7 +300,8 @@ def ivf_topk(
 
 
 def kmeans_assign(
-    emb: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id"
+    emb: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id",
+    with_dist: bool = False,
 ) -> DataFrame:
     """Lloyd k-means over the embedding column — the trained coarse
     quantizer ``ivf_topk`` documents swapping in, and the clustering
@@ -357,7 +358,11 @@ def kmeans_assign(
         )
         scored = base.crossJoin(F.broadcast(cent_df)).withColumn("d", dist)
         assign = scored.groupBy(id_col).agg(
-            F.min_by("cell", F.struct("d", "cell")).alias("cell")
+            F.min_by("cell", F.struct("d", "cell")).alias("cell"),
+            # the argmin's own distance, for the outlier tier; the
+            # in-row fold adds dims IN ORDER, so the 6-dp round is the
+            # same bits as the serial oracle's list_sum by construction
+            F.round(F.min("d"), 6).alias("dist"),
         )
         if it == iters - 1:
             break  # the final assignment IS the result; no means needed
@@ -378,6 +383,10 @@ def kmeans_assign(
         # emptied cells simply drop out; surviving cells KEEP their ids
         cent_pairs = sorted(
             (int(r["cell"]), list(r["cent"])) for r in means
+        )
+    if with_dist:
+        return assign.select(
+            F.col(id_col), F.col("cell").cast("long").alias("cell"), "dist"
         )
     return assign.select(
         F.col(id_col), F.col("cell").cast("long").alias("cell")
@@ -1030,4 +1039,49 @@ def binary_topk(
         .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+    )
+
+
+def kmeans_outlier_scores(
+    emb: DataFrame, k: int = 8, iters: int = 3, z_thresh: float = 1.5
+) -> DataFrame:
+    """Embedding-space outlier scoring — the curation complement of
+    SemDeDup: where near-dups are the points too CLOSE to their
+    semantic cluster's members, noise/mislabeled/off-distribution docs
+    are the points too FAR from their own centroid. Emits per vector
+    (cell, dist, z, is_outlier) with z the within-cell standard score
+    of the squared L2 distance to the assigned centroid.
+
+    Cross-engine exactness: dist is the k-means fold's 6-dp round
+    (bit-stable, see kmeans_assign); the per-cell moments sum EXACT
+    decimals (d as DECIMAL(18,6), d² as its exact decimal square), so
+    mean/variance come from order-independent sums; the only float ops
+    after that — divide, subtract, sqrt — are IEEE-correctly-rounded,
+    so both engines compute the identical double before the final 6-dp
+    z round. Zero-variance cells disable the rule (z = 0) instead of
+    dividing by zero.
+
+    Scale shape: the k-means loop's cost dominates; the outlier pass
+    adds ONE map-side-combinable per-cell aggregate (3 numbers per
+    cell) broadcast back onto the assignment — nothing corpus-sized
+    moves.
+    """
+    assign = kmeans_assign(emb, k=k, iters=iters, with_dist=True)
+    d6 = F.col("dist").cast("decimal(18,6)")
+    stats = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6).alias("s1"),
+        F.sum(d6 * d6).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (s2 - s1 * s1 / n) / n
+    mean = s1 / n
+    z = F.when(
+        var > 0, F.round((F.col("dist") - mean) / F.sqrt(var), 6)
+    ).otherwise(F.lit(0.0))
+    return assign.join(F.broadcast(stats), "cell").select(
+        "vec_id", "cell", "dist", z.alias("z"),
+        (z > z_thresh).alias("is_outlier"),
     )

@@ -610,3 +610,50 @@ def q_similarity_ann_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.binary_topk(
         _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5, cands=40,
     )
+
+
+@register(
+    "embedding_outlier_scores",
+    _kmeans_cte() + """,
+fd AS (
+  SELECT a.vec_id, a.cell,
+         round(list_sum(list_transform(generate_series(1, 64),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i]))), 6) AS dist
+  FROM a2 a JOIN e USING (vec_id) JOIN c2 c ON c.cell = a.cell),
+st AS (
+  SELECT cell, count(*) AS n,
+         sum(CAST(dist AS DECIMAL(18,6))) AS s1,
+         sum(CAST(dist AS DECIMAL(18,6)) * CAST(dist AS DECIMAL(18,6))) AS s2
+  FROM fd GROUP BY cell)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell, f.dist,
+       CASE WHEN (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) > 0
+            THEN round((f.dist - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+            ELSE 0.0 END AS z,
+       CASE WHEN (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) > 0
+            THEN round((f.dist - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+                 > 1.5
+            ELSE FALSE END AS is_outlier
+FROM fd f JOIN st USING (cell)
+""",
+)
+def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curation complement of SemDeDup: within-cell z-score of the
+    # squared L2 to the assigned k-means centroid; moments sum exact
+    # decimals, the remaining divide/sqrt are IEEE-correctly-rounded,
+    # zero-variance cells disable the rule
+    from pero_ocr_spark.operators import similarity
+
+    return similarity.kmeans_outlier_scores(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    )

@@ -237,3 +237,39 @@ class TestBinaryTopk:
         # v4=0b0011 → hamming vs v0: 1, 2, 1, 1
         ham = {r["neighbor_id"]: r["hamming"] for r in out}
         assert ham == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_kmeans_outlier_scores_flags_planted_outlier(spark):
+    from pero_ocr_spark.operators.similarity import kmeans_outlier_scores
+
+    # two tight clusters + one planted far point in cluster 0's basin
+    rows = []
+    for i in range(12):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01] * 4))
+    rows.append((99, [3.0] * 4))  # far from both, lands in one cell
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           kmeans_outlier_scores(emb, k=2, iters=2).collect()}
+    assert out[99]["is_outlier"]
+    # the planted point is the strongest outlier by a clear margin
+    others = [r["z"] for r in out.values() if r["vec_id"] != 99]
+    assert out[99]["z"] > max(others)
+    assert sum(r["is_outlier"] for r in out.values()) <= 2
+    # z is a standard score: within-cell mean ~0 by construction
+    import statistics
+    for cell in {r["cell"] for r in out.values()}:
+        zs = [r["z"] for r in out.values() if r["cell"] == cell]
+        if len(zs) > 1:
+            assert abs(statistics.mean(zs)) < 0.2
+
+
+def test_kmeans_outlier_scores_constant_cell_disables_rule(spark):
+    from pero_ocr_spark.operators.similarity import kmeans_outlier_scores
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 2) * 8] * 4) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_outlier_scores(emb, k=2, iters=2).collect()
+    assert all(r["z"] == 0.0 and not r["is_outlier"] for r in out)
