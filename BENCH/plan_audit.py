@@ -79,6 +79,13 @@ AUDIT = [
     "html_render_markdown",
     "training_fim_transform",
     "quality_classifier_nb",
+    "jsonl_ingest",
+    "crawl_sitemap_discovery",
+    "text_fix_mojibake",
+    "html_extract_metadata",
+    "embedding_outlier_scores",
+    "icetable_incremental_view",
+    "icetable_changelog_cdc",
 ]
 
 
