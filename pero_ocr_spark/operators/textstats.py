@@ -1258,3 +1258,111 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(detected, repaired).otherwise(col).alias("text_fixed"),
         detected.alias("was_mojibake"),
     )
+
+
+def textrank_summary(
+    docs: DataFrame, sent_words: int = 12, damping: float = 0.85,
+    iters: int = 2,
+) -> DataFrame:
+    """Extractive summarization by TextRank (Mihalcea & Tarau 2004)
+    computed ENTIRELY IN-ROW: the per-document sentence graph (12-word
+    chunks as sentences, edge weight = distinct shared words), its
+    degree normalization, and ``iters`` damped power-iteration steps
+    are all higher-order-function expressions over one row — a graph
+    algorithm with ZERO shuffles at any corpus size, because the graph
+    never leaves the document (contrast `web_pagerank`, whose graph IS
+    corpus-sized and must iterate shuffles).
+
+    Cross-engine exactness: no transcendentals — the rank arithmetic
+    is add/mul/div folded in ascending-index order on both engines
+    (Spark ``aggregate``, DuckDB ``list_reduce`` with a prepended
+    zero), so the doubles are bit-identical by construction; scores
+    round to 6 dp only at the output. Ties argmax to the lowest
+    sentence index via first-occurrence ``array_position``.
+
+    Every intermediate (sents, matrix, degrees, ranks) is hoisted into
+    a bound projection column — an INLINE array builder referenced
+    from a nested lambda re-evaluates per element (the documented
+    O(n²)-per-row re-inlining trap; here it would be O(m⁴)).
+
+    Emits (doc_id, n_sents, top_ord, top_score, summary).
+    """
+    k = sent_words
+    s0 = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "doc_id", "ws",
+        (F.floor((F.size("ws") - 1) / k) + 1).cast("int").alias("m"),
+    )
+    idx = F.sequence(F.lit(1), F.col("m"))
+    s1 = s0.select(
+        "doc_id", "ws", "m",
+        F.transform(
+            idx,
+            lambda i: F.array_distinct(F.slice("ws", (i - 1) * k + 1, k)),
+        ).alias("sents"),
+    )
+    s2 = s1.select(
+        "doc_id", "ws", "m",
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.when(i == j, F.lit(0.0)).otherwise(
+                    F.size(
+                        F.array_intersect(
+                            F.element_at("sents", i), F.element_at("sents", j)
+                        )
+                    ).cast("double")
+                ),
+            ),
+        ).alias("w"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    s3 = s2.select(
+        "doc_id", "ws", "m", "w",
+        F.transform(idx, lambda j: fold(F.element_at("w", j))).alias("deg"),
+    )
+    m = F.col("m")
+    rank = s3.select(
+        "doc_id", "ws", "m", "w", "deg",
+        F.transform(idx, lambda _: F.lit(1.0) / m).alias("r"),
+    )
+    for _ in range(iters):
+        step = F.transform(
+            idx,
+            lambda i: F.lit(1 - damping) / m
+            + F.lit(damping)
+            * fold(
+                F.transform(
+                    idx,
+                    lambda j: F.when(
+                        F.element_at("deg", j) > 0,
+                        (
+                            F.element_at(F.element_at("w", j), i)
+                            / F.element_at("deg", j)
+                        )
+                        * F.element_at("r", j),
+                    ).otherwise(F.lit(0.0)),
+                )
+            ),
+        )
+        rank = rank.select(
+            "doc_id", "ws", "m", "w", "deg", step.alias("r")
+        )
+    final = rank.select(
+        "doc_id", "ws", "m",
+        F.transform("r", lambda x: F.round(x, 6)).alias("r"),
+    ).select(
+        "doc_id", "ws", "m", "r",
+        F.array_position("r", F.array_max("r")).cast("int").alias("pos"),
+    )
+    return final.select(
+        "doc_id",
+        F.col("m").alias("n_sents"),
+        (F.col("pos") - 1).alias("top_ord"),
+        F.element_at("r", F.col("pos")).alias("top_score"),
+        F.array_join(
+            F.slice("ws", (F.col("pos") - 1) * k + 1, k), " "
+        ).alias("summary"),
+    )

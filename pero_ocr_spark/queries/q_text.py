@@ -831,3 +831,81 @@ def q_text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fix_mojibake(wire).select(
         "doc_id", "text_fixed", "was_mojibake"
     )
+
+
+@register(
+    "text_textrank_summary",
+    """
+WITH w0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST((len(string_split(text, ' ')) - 1)//12 + 1 AS INT) AS m
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, ws, m,
+         list_transform(generate_series(1, m),
+           i -> list_distinct(list_slice(ws, (i-1)*12 + 1, (i-1)*12 + 12)))
+           AS sents
+  FROM w0
+),
+s2 AS (
+  SELECT doc_id, ws, m,
+         list_transform(generate_series(1, m), i ->
+           list_transform(generate_series(1, m), j ->
+             CASE WHEN i = j THEN 0.0
+                  ELSE CAST(len(list_intersect(sents[i], sents[j]))
+                            AS DOUBLE) END)) AS w
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, ws, m, w,
+         list_transform(generate_series(1, m),
+           j -> list_reduce(list_prepend(0.0, w[j]), (a, b) -> a + b))
+           AS deg
+  FROM s2
+),
+r1 AS (
+  SELECT doc_id, ws, m, w, deg,
+         list_transform(generate_series(1, m), i ->
+           0.15/m + 0.85 * list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, m), j ->
+               CASE WHEN deg[j] > 0
+                    THEN (w[j][i] / deg[j]) * (1.0/m)
+                    ELSE 0.0 END)), (a, b) -> a + b)) AS r
+  FROM s3
+),
+r2 AS (
+  SELECT doc_id, ws, m, w, deg,
+         list_transform(generate_series(1, m), i ->
+           0.15/m + 0.85 * list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, m), j ->
+               CASE WHEN deg[j] > 0
+                    THEN (w[j][i] / deg[j]) * r[j]
+                    ELSE 0.0 END)), (a, b) -> a + b)) AS r
+  FROM r1
+),
+fin AS (
+  SELECT doc_id, ws, m,
+         list_transform(r, x -> round(x, 6)) AS r
+  FROM r2
+),
+pos AS (
+  SELECT doc_id, ws, m, r,
+         CAST(list_position(r, list_max(r)) AS INT) AS p
+  FROM fin
+)
+SELECT doc_id, m AS n_sents, p - 1 AS top_ord, r[p] AS top_score,
+       array_to_string(list_slice(ws, (p-1)*12 + 1, (p-1)*12 + 12), ' ')
+         AS summary
+FROM pos
+""",
+)
+def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # extractive summarization with the sentence graph, degrees, and
+    # two damped power-iteration steps ALL in-row (HOF expressions):
+    # a graph algorithm with zero shuffles at any corpus size; rank
+    # doubles are bit-identical cross-engine (no transcendentals,
+    # identical fold order), rounded only at output
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.textrank_summary(_t(spark, sf_dir, "documents"))

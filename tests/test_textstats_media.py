@@ -218,3 +218,37 @@ def test_fix_mojibake_cyrillic_markers(spark):
     df = spark.createDataFrame([(1, moji)], "doc_id long, text string")
     r = fix_mojibake(df).collect()[0]
     assert r["was_mojibake"] and r["text_fixed"] == clean
+
+
+def test_textrank_summary_picks_the_hub_sentence(spark):
+    from pero_ocr_spark.operators.textstats import textrank_summary
+
+    # sentence 1 shares words with both 0 and 2; 0 and 2 share nothing
+    # -> the hub (middle chunk) must win the rank
+    s0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    s1 = "alpha beta gamma delta nu xi omicron pi rho sigma tau upsilon"
+    s2 = "nu xi omicron pi phi chi psi omega one two three four"
+    df = spark.createDataFrame(
+        [(1, f"{s0} {s1} {s2}")], "doc_id long, text string"
+    )
+    r = textrank_summary(df).collect()[0]
+    assert (r["n_sents"], r["top_ord"]) == (3, 1)
+    assert r["summary"] == s1
+    assert r["top_score"] > 1 / 3  # above the uniform prior
+
+
+def test_textrank_summary_degenerate_docs(spark):
+    from pero_ocr_spark.operators.textstats import textrank_summary
+
+    df = spark.createDataFrame(
+        [
+            (1, "only one short sentence here"),           # m = 1
+            (2, " ".join(f"u{i}" for i in range(24))),     # disjoint chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textrank_summary(df).collect()}
+    assert out[1]["n_sents"] == 1 and out[1]["top_ord"] == 0
+    assert out[1]["summary"] == "only one short sentence here"
+    # no shared words: uniform ranks, tie goes to the first sentence
+    assert out[2]["n_sents"] == 2 and out[2]["top_ord"] == 0
