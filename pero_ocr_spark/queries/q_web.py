@@ -1551,3 +1551,43 @@ def q_html_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ld["author"].alias("author"),
         ld["wordCount"].alias("word_count"),
     )
+
+
+@register(
+    "crawl_robots_eval",
+    """
+WITH u AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         CASE WHEN doc_id % 10 = 0
+              THEN '/doc/open/' || CAST(doc_id AS VARCHAR)
+              ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5 AS g
+  FROM documents)
+SELECT doc_id, host, path,
+       CASE WHEN g = 0 THEN doc_id % 10 = 0
+            WHEN g = 2 THEN NOT (path LIKE '%2')
+            ELSE TRUE END AS allowed
+FROM u
+""",
+)
+def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL robots.txt format: raw bodies parsed (RFC 9309-lite groups,
+    # comments, wildcard + end-anchor patterns precompiled to regexes)
+    # and applied with Google semantics — longest match wins, allow
+    # beats disallow on ties, agent-specific group preempts '*';
+    # upgrades the pre-parsed rule-table row to file-format fidelity
+    from pero_ocr_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = W.parse_robots_txt(W.synth_robots_txt(docs))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.lit("/doc/open/"), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+        ).alias("path"),
+    )
+    return W.robots_verdicts(urls, rules)

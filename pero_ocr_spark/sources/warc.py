@@ -28,7 +28,7 @@ task boundary (WARC's design property).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -572,3 +572,143 @@ def sitemap_recrawl_verdicts(
     )
     return j.select("host", "url", "lastmod", "priority",
                     status.alias("status"))
+
+
+# ------------------------------------------------- robots.txt (raw format)
+
+def synth_robots_txt(docs: DataFrame) -> DataFrame:
+    """Deterministic RAW robots.txt bodies per host (upgrades the
+    pre-parsed rule table of :func:`synth_robots` to the real file
+    format): hosts ≡0 (mod 5) block ``/doc/`` but carve out
+    ``/doc/open/`` (exercises longest-match-allow-wins), ≡2 block
+    ``*2$``-pattern doc pages (wildcard + end anchor), ≡1 publish only
+    a ``badbot`` group (no ``*`` group → everything allowed for us),
+    the rest publish an empty file. Comments, blank lines, and a
+    Crawl-delay are sprinkled in so the parser earns its keep."""
+    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("long")
+    g = src_idx % 5
+    body = (
+        F.when(g == 0, F.lit(
+            "# corpus robots\nUser-agent: *\nCrawl-delay: 2\n"
+            "Disallow: /doc/\nAllow: /doc/open/\n"
+        ))
+        .when(g == 2, F.lit("User-agent: *\nDisallow: /doc/*2$\n"))
+        .when(g == 1, F.lit("User-agent: badbot\nDisallow: /\n"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        body.alias("body"),
+    ).distinct()
+
+
+_ROBOTS_RULE_SCHEMA = (
+    "host string, agent string, is_allow boolean, pattern string, "
+    "pattern_re string, plen int"
+)
+
+
+def parse_robots_txt(robots: DataFrame) -> DataFrame:
+    """(host, body) → one row per (agent, allow|disallow, pattern)
+    with the pattern pre-compiled to a regex (``*`` → ``.*``, trailing
+    ``$`` stays an anchor, everything else escaped) and its length for
+    longest-match ranking. RFC 9309-lite group semantics: consecutive
+    ``User-agent`` lines open ONE group whose rules apply to all of
+    them; comments and blank lines ignored; unknown directives
+    (Crawl-delay, Sitemap) skipped; empty patterns emit no rule. One
+    narrow mapInPandas pass over the host-bounded robots table."""
+    import re as _re
+    from collections.abc import Iterator
+
+    def pattern_re(p: str) -> str:
+        anchored = p.endswith("$")
+        if anchored:
+            p = p[:-1]
+        return (
+            "^" + ".*".join(_re.escape(seg) for seg in p.split("*"))
+            + ("$" if anchored else "")
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "host": [], "agent": [], "is_allow": [], "pattern": [],
+                "pattern_re": [], "plen": [],
+            }
+            for host_val, body in zip(pdf["host"], pdf["body"]):
+                agents: list[str] = []
+                in_group_rules = False
+                for raw in (body or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        if in_group_rules:
+                            agents = []
+                            in_group_rules = False
+                        agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        in_group_rules = True
+                        if not val:
+                            continue  # empty pattern matches nothing
+                        for a in agents:
+                            out["host"].append(host_val)
+                            out["agent"].append(a)
+                            out["is_allow"].append(key == "allow")
+                            out["pattern"].append(val)
+                            out["pattern_re"].append(pattern_re(val))
+                            out["plen"].append(len(val))
+                    # anything else (crawl-delay, sitemap, ...) skipped
+            yield pd.DataFrame(out)
+
+    return robots.select("host", "body").mapInPandas(
+        gen, schema=_ROBOTS_RULE_SCHEMA
+    )
+
+
+def robots_verdicts(
+    urls: DataFrame, rules: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """(doc_id, host, path) × parsed rules → per-URL fetch verdict
+    with Google/RFC 9309 matching: the group is the requested agent's
+    if the host publishes one, else ``*``; among matching rules the
+    LONGEST pattern wins and allow beats disallow on ties; no group or
+    no match → allowed.
+
+    Scale shape: rule-group selection is an aggregation of the
+    host-bounded rules table (~10 rows/host at 10^7 hosts —
+    broadcastable); the URL side joins it once and multiplies only by
+    rules-per-host before ONE doc-keyed argmax. The per-row regex
+    match costs a compiled-pattern cache hit per rule, not a Python
+    call."""
+    has_specific = F.max((F.col("agent") == agent).cast("int")).over(
+        Window.partitionBy("host")
+    )
+    sel = (
+        rules.withColumn("_hs", has_specific)
+        .filter(
+            ((F.col("_hs") == 1) & (F.col("agent") == agent))
+            | ((F.col("_hs") == 0) & (F.col("agent") == "*"))
+        )
+        .drop("_hs")
+    )
+    j = urls.join(F.broadcast(sel), "host", "left")
+    score = F.when(
+        F.col("pattern_re").isNotNull()
+        & F.expr("path rlike pattern_re"),
+        F.col("plen"),
+    ).otherwise(F.lit(-1))
+    agg = j.groupBy("doc_id", "host", "path").agg(
+        F.max(score).alias("_best"),
+        F.max_by(F.col("is_allow"), F.struct(score.alias("s"), F.col("is_allow"))).alias(
+            "_allow"
+        ),
+    )
+    return agg.select(
+        "doc_id", "host", "path",
+        F.when(F.col("_best") >= 0, F.col("_allow"))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+    )

@@ -87,3 +87,64 @@ def test_sitemap_roundtrip_and_verdicts(spark):
     # doc 20 -> lastmod day 21 > 15 -> changed; doc 10 -> day 11 -> fresh
     assert v["20"] == "changed"
     assert v["10"] == "fresh"
+
+
+# ------------------------------------------------ robots.txt raw format
+
+def _rules(spark, body):
+    from pero_ocr_spark.sources import warc as W
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    return W.parse_robots_txt(df)
+
+
+def test_robots_parser_groups_comments_and_patterns(spark):
+    rules = _rules(
+        spark,
+        "# hello\nUser-agent: googlebot\nUser-agent: bingbot\n"
+        "Disallow: /private/\nAllow: /private/ok$\n\n"
+        "User-agent: *\nCrawl-delay: 5\nDisallow:\nDisallow: /tmp/*x\n",
+    ).collect()
+    got = {(r["agent"], r["is_allow"], r["pattern"], r["pattern_re"]) for r in rules}
+    # consecutive user-agent lines share ONE group's rules
+    assert ("googlebot", False, "/private/", "^/private/") in got
+    assert ("bingbot", False, "/private/", "^/private/") in got
+    assert ("googlebot", True, "/private/ok$", "^/private/ok$") in got
+    # '*' group: crawl-delay skipped, empty Disallow emits nothing,
+    # wildcard translated
+    star = {t for t in got if t[0] == "*"}
+    assert star == {("*", False, "/tmp/*x", "^/tmp/.*x")}
+
+
+def test_robots_verdicts_longest_match_and_agent_preemption(spark):
+    from pero_ocr_spark.sources import warc as W
+
+    rules = _rules(
+        spark,
+        "User-agent: *\nDisallow: /doc/\nAllow: /doc/open/\n\n"
+        "User-agent: special\nDisallow: /x/\n",
+    )
+    urls = spark.createDataFrame(
+        [(1, "h", "/doc/42"), (2, "h", "/doc/open/42"),
+         (3, "h", "/elsewhere"), (4, "h", "/x/1")],
+        "doc_id long, host string, path string",
+    )
+    star = {r["doc_id"]: r["allowed"]
+            for r in W.robots_verdicts(urls, rules).collect()}
+    # longest match wins: /doc/open/ (allow) beats /doc/ (disallow)
+    assert star == {1: False, 2: True, 3: True, 4: True}
+    # a host WITH a group for the requested agent uses ONLY that group
+    special = {r["doc_id"]: r["allowed"]
+               for r in W.robots_verdicts(urls, rules, agent="special").collect()}
+    assert special == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_robots_verdicts_no_rules_allows_everything(spark):
+    from pero_ocr_spark.sources import warc as W
+
+    rules = _rules(spark, "")
+    urls = spark.createDataFrame(
+        [(1, "h", "/a"), (2, "unknown-host", "/b")],
+        "doc_id long, host string, path string",
+    )
+    out = W.robots_verdicts(urls, rules).collect()
+    assert all(r["allowed"] for r in out) and len(out) == 2
