@@ -909,3 +909,63 @@ def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import textstats
 
     return textstats.textrank_summary(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_dataset_card",
+    """
+WITH q AS (
+  SELECT doc_id, source, text,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sc AS (
+  SELECT doc_id, source, text, n,
+         CAST(round((len(list_distinct(w)) * 1.0 / n
+              + (CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                      * 1.0 / n BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS DECIMAL(10,6)) AS q6
+  FROM q)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate,
+       round(CAST(sum(q6) AS DOUBLE) / count(*), 6) AS mean_quality,
+       round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+       CAST(sum(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM sc GROUP BY source
+""",
+)
+def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dataset card: per-source docs/tokens/exact-dup rate/mean
+    # structural quality/median length/short-doc count in ONE
+    # map-side-combinable aggregation over the scan (quality rides
+    # 6-dp DECIMAL sums so partition order can't flip the mean; the
+    # median interpolates identically in both engines on integer
+    # token counts); the output is |sources| rows — the artifact a
+    # data team publishes with every corpus release
+    from pero_ocr_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs).select(
+        "doc_id", F.col("quality").cast("decimal(10,6)").alias("q6")
+    )
+    base = docs.select(
+        "doc_id", "source", "text",
+        F.size(F.split("text", " ")).alias("n"),
+    ).join(q, "doc_id")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count_distinct("text").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("text") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum("q6").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.sum((F.col("n") < 50).cast("long")).alias("n_short"),
+    )
