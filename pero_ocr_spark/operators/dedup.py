@@ -197,6 +197,26 @@ def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}) signatures → (doc_id, bk) band buckets:
+    the LSH index rows. Shared by the corpus self-join path and the
+    incremental batch-vs-snapshot path so both bucket identically."""
+    rows_per_band = n_perm // n_bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[
+                F.col(f"m{bi * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -219,17 +239,7 @@ def minhash_lsh_pairs(
     """
     sh = shingles(docs, n)
     sig = minhash_signatures(sh, n_perm)
-    rows_per_band = n_perm // n_bands
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            *[F.col(f"m{bi * rows_per_band + r}").alias(f"r{r}") for r in range(rows_per_band)],
-        )
-        for bi in range(n_bands)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    )
+    buckets = _band_buckets(sig, n_perm, n_bands)
     if max_bucket is not None:
         w = Window.partitionBy("bk").orderBy("doc_id")
         buckets = (
@@ -1293,4 +1303,61 @@ def prefix_filter_pairs(
     )
     return _verify_pairs(sh, cands).filter(
         F.col("jaccard") >= F.lit(num) / F.lit(den)
+    )
+
+
+def incremental_near_dup(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Near-duplicate check of an ingest BATCH against the existing
+    corpus SNAPSHOT — the minhash analog of the exact-hash
+    ``incremental_dedup``: at 100 TB you never re-run the corpus
+    self-join per ingest; you keep the band-bucket table as a
+    persistent index and join only the delta against it.
+
+    Candidates come from batch-bucket ⋈ snapshot-bucket on the band
+    key (NEVER batch×snapshot — the join volume is bucket-collisions
+    only), then exact jaccard verification, so the reported duplicates
+    are EXACTLY the ≥ threshold pairs (signatures are per-document,
+    hence identical to what a full-corpus run computes; the existing
+    engine-equality pytest pins LSH = exact on this corpus, and a
+    batch-vs-snapshot restriction is a subset of those pairs).
+
+    Emits one row per batch doc: (doc_id, is_dup, dup_of,
+    best_jaccard) — dup_of is the best-matching snapshot doc
+    (max jaccard, ties to the smallest snapshot id), null when clean.
+    """
+    sh_s = shingles(snapshot, n)
+    sh_b = shingles(batch, n)
+    bk_s = _band_buckets(minhash_signatures(sh_s, n_perm), n_perm, n_bands)
+    bk_b = _band_buckets(minhash_signatures(sh_b, n_perm), n_perm, n_bands)
+    cands = (
+        bk_b.select(F.col("doc_id").alias("doc_a"), "bk")
+        .join(bk_s.select(F.col("doc_id").alias("doc_b"), "bk"), "bk")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _verify_pairs(sh_b.unionByName(sh_s), cands).filter(
+        F.col("jaccard") >= threshold
+    )
+    best = verified.groupBy("doc_a").agg(
+        F.max("jaccard").alias("best_jaccard"),
+        F.max_by(
+            F.col("doc_b"), F.struct(F.col("jaccard"), (-F.col("doc_b")))
+        ).alias("dup_of"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(best.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "best_jaccard",
+        )
     )

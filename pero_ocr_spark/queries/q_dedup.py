@@ -783,3 +783,44 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pero_ocr_spark.operators import dedup
 
     return dedup.prefix_filter_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental_near_dup",
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT b.doc_id AS db, s.doc_id AS ds, count(*) AS c
+  FROM sh b JOIN sh s ON b.s = s.s
+  WHERE b.doc_id % 4 = 0 AND s.doc_id % 4 <> 0
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT db, ds, round(c * 1.0 / (x.n + y.n - c), 6) AS j
+  FROM common JOIN sizes x ON db = x.doc_id JOIN sizes y ON ds = y.doc_id
+  WHERE round(c * 1.0 / (x.n + y.n - c), 6) >= 0.8),
+best AS (SELECT db, max(j) AS best_jaccard FROM pairs GROUP BY db),
+pick AS (
+  SELECT p.db, min(p.ds) AS dup_of
+  FROM pairs p JOIN best b ON p.db = b.db AND p.j = b.best_jaccard
+  GROUP BY 1)
+SELECT d.doc_id,
+       b.best_jaccard IS NOT NULL AS is_dup,
+       pick.dup_of, b.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN best b ON d.doc_id = b.db
+LEFT JOIN pick ON d.doc_id = pick.db
+""",
+)
+def q_dedup_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental minhash dedup: the ingest batch (doc_id % 4 = 0)
+    # joins the SNAPSHOT's band-bucket index — never a corpus
+    # self-join — then exact-jaccard verification; at 100 TB the
+    # bucket table is the persisted dedup index and every ingest pays
+    # O(batch + collisions)
+    from pero_ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    snapshot = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.incremental_near_dup(snapshot, batch, threshold=0.8)

@@ -305,3 +305,26 @@ class TestPrefixFilter:
         )
         # the indexed volume is ~(1-t) of the full posting volume
         assert pref < 0.35 * full
+
+
+def test_incremental_near_dup_flags_batch_against_snapshot(spark):
+    from pero_ocr_spark.operators.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    snapshot = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different snapshot content with many unique words here"),
+         (3, base)],  # snapshot-internal dup must not affect batch verdicts
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " tail"),            # near-dup of 1 and 3
+         (101, "fresh batch document sharing no phrasing with the corpus at all")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           incremental_near_dup(snapshot, batch, threshold=0.5).collect()}
+    assert set(out) == {100, 101}
+    assert out[100]["is_dup"] and out[100]["dup_of"] == 1  # ties -> smallest id
+    assert out[100]["best_jaccard"] >= 0.5
+    assert not out[101]["is_dup"] and out[101]["dup_of"] is None
