@@ -1591,3 +1591,71 @@ def q_crawl_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
     )
     return W.robots_verdicts(urls, rules)
+
+
+@register(
+    "extract_spans_markdown",
+    _EXTRACTED_CTE
+    + """
+, g AS (
+  SELECT doc_id, kind, text, media_ref, ord,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY ord) AS grp
+  FROM extracted),
+tb AS (
+  SELECT doc_id, min(ord) AS bo, string_agg(text, ' ' ORDER BY ord) AS blk
+  FROM g WHERE kind = 'text' GROUP BY doc_id, grp),
+mb AS (
+  SELECT doc_id, ord AS bo, '![](' || media_ref || ')' AS blk
+  FROM g WHERE kind = 'media'),
+ub AS (SELECT * FROM tb UNION ALL SELECT * FROM mb)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       string_agg(blk, chr(10) || chr(10) ORDER BY bo) AS markdown
+FROM ub GROUP BY doc_id
+""",
+)
+def q_extract_spans_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bridge between the two worlds: the OCR pipeline's extracted
+    # span table renders to the SAME markdown document format the web
+    # tier produces — media spans break paragraphs (gaps-and-islands
+    # on a running media count), text runs join as paragraphs, blocks
+    # interleave by reading order. One doc_id exchange shared by the
+    # window and both aggregations.
+    from pero_ocr_spark import corpus
+
+    sp = corpus.extracted_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    g = sp.withColumn(
+        "grp", F.sum((F.col("kind") == "media").cast("int")).over(w)
+    )
+    tb = (
+        g.filter(F.col("kind") == "text")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("ord").alias("bo"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("blk"),
+        )
+        .drop("grp")
+    )
+    mb = g.filter(F.col("kind") == "media").select(
+        "doc_id",
+        F.col("ord").alias("bo"),
+        F.concat(F.lit("![]("), F.col("media_ref"), F.lit(")")).alias("blk"),
+    )
+    ub = tb.unionByName(mb)
+    return ub.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bo", "blk"))),
+                lambda s: s["blk"],
+            ),
+            "\n\n",
+        ).alias("markdown"),
+    )
