@@ -1313,6 +1313,7 @@ def incremental_near_dup(
     threshold: float = 0.8,
     n_perm: int = N_PERM,
     n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate check of an ingest BATCH against the existing
     corpus SNAPSHOT — the minhash analog of the exact-hash
@@ -1336,6 +1337,17 @@ def incremental_near_dup(
     sh_b = shingles(batch, n)
     bk_s = _band_buckets(minhash_signatures(sh_s, n_perm), n_perm, n_bands)
     bk_b = _band_buckets(minhash_signatures(sh_b, n_perm), n_perm, n_bands)
+    if max_bucket is not None:
+        # same degenerate-bucket guard as minhash_lsh_pairs: a
+        # boilerplate bucket of B snapshot docs joined by b batch docs
+        # costs b*B candidates — cap the SNAPSHOT side (the unbounded
+        # one; the batch is ingest-sized by definition)
+        w = Window.partitionBy("bk").orderBy("doc_id")
+        bk_s = (
+            bk_s.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     cands = (
         bk_b.select(F.col("doc_id").alias("doc_a"), "bk")
         .join(bk_s.select(F.col("doc_id").alias("doc_b"), "bk"), "bk")

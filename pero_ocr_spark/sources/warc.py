@@ -473,15 +473,21 @@ def robots_filter(captures: DataFrame, robots: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ sitemaps
 
+SITEMAP_MAX_URLS = 50_000  # the sitemap spec's per-file URL cap
+
+
 def synth_sitemaps(docs: DataFrame) -> DataFrame:
-    """Deterministic per-host sitemap XML: one ``<urlset>`` per host
-    listing every doc URL with ``<lastmod>`` (day = doc_id % 28 + 1)
-    and ``<priority>`` (0.9 for doc_id % 10 == 0 landing pages, 0.5
-    otherwise). ONE host shuffle with sorted-struct assembly — the
-    same page-bounded reassembly shape as every exporter in the
-    engine; hosts are the natural unit because that is how sitemaps
-    ship (``https://host/sitemap.xml``)."""
+    """Deterministic sitemap XML: one ``<urlset>`` per (host, shard)
+    listing up to :data:`SITEMAP_MAX_URLS` doc URLs with ``<lastmod>``
+    (day = doc_id % 28 + 1) and ``<priority>`` (0.9 for
+    doc_id % 10 == 0 landing pages, 0.5 otherwise). ONE (host, shard)
+    shuffle with sorted-struct assembly; the shard key is
+    ``doc_id // 50k``, the sitemap SPEC's own per-file cap — which is
+    also exactly what bounds the reassembled row at scale: a 10^7-page
+    host produces ~200 spec-compliant shard files (the
+    ``<sitemapindex>`` pattern), never one giant row."""
     host = F.concat(F.col("source"), F.lit(".example.com"))
+    shard = F.floor(F.col("doc_id") / SITEMAP_MAX_URLS).cast("int")
     url = F.concat(
         F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
     )
@@ -493,8 +499,9 @@ def synth_sitemaps(docs: DataFrame) -> DataFrame:
         F.lit("</priority></url>"),
     )
     per_host = docs.select(
-        host.alias("host"), F.struct(F.col("doc_id"), entry.alias("e")).alias("s")
-    ).groupBy("host").agg(
+        host.alias("host"), shard.alias("shard"),
+        F.struct(F.col("doc_id"), entry.alias("e")).alias("s"),
+    ).groupBy("host", "shard").agg(
         F.concat(
             F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
             F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
@@ -507,7 +514,7 @@ def synth_sitemaps(docs: DataFrame) -> DataFrame:
             F.lit("</urlset>"),
         ).alias("xml")
     )
-    return per_host
+    return per_host.drop("shard")
 
 
 _SITEMAP_SCHEMA = (

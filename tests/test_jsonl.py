@@ -148,3 +148,17 @@ def test_robots_verdicts_no_rules_allows_everything(spark):
     )
     out = W.robots_verdicts(urls, rules).collect()
     assert all(r["allowed"] for r in out) and len(out) == 2
+
+
+def test_sitemap_shards_at_spec_cap(spark, monkeypatch):
+    from pero_ocr_spark.sources import warc as W
+
+    monkeypatch.setattr(W, "SITEMAP_MAX_URLS", 10)
+    docs = spark.createDataFrame(
+        [(i, "t", "s0") for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    sm = W.synth_sitemaps(docs).collect()
+    assert len(sm) == 3  # 25 urls / cap 10 -> 3 shard files, one host
+    entries = W.parse_sitemaps(W.synth_sitemaps(docs))
+    assert entries.count() == 25  # sharding loses nothing
