@@ -108,22 +108,34 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(sh: DataFrame, cands: DataFrame) -> DataFrame:
+def _verify_pairs(
+    sh: DataFrame, cands: DataFrame, sh_b: DataFrame | None = None
+) -> DataFrame:
     """Exact jaccard for candidate pairs ONLY: join each side of the
     pair list to the per-doc shingle SET (one collect_set groupBy) and
     intersect the two arrays. Cost ∝ |candidates|, never ∝ co-shingled
     pairs — the full inverted-index self-join is never built, so the
     LSH pruning actually prunes. Two shuffles on doc id; per-doc
-    shingle arrays are bounded by document length."""
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
-    )
-    a = doc_sets.select(
+    shingle arrays are bounded by document length.
+
+    ``sh_b``: optional SEPARATE shingle frame for the ``doc_b`` side.
+    When the two pair sides come from different corpora (incremental
+    batch vs snapshot), each side MUST resolve its shingles in its own
+    frame — unioning them double-counts any doc_id present in both
+    (a recrawled page under its stable id), inflating n and deflating
+    jaccard for every pair that doc touches."""
+
+    def doc_sets(frame):
+        return frame.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
+        )
+
+    a = doc_sets(sh).select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),
         F.col("n").alias("na"),
     )
-    b = doc_sets.select(
+    b = doc_sets(sh if sh_b is None else sh_b).select(
         F.col("doc_id").alias("doc_b"),
         F.col("sset").alias("set_b"),
         F.col("n").alias("nb"),
@@ -1332,6 +1344,13 @@ def incremental_near_dup(
     Emits one row per batch doc: (doc_id, is_dup, dup_of,
     best_jaccard) — dup_of is the best-matching snapshot doc
     (max jaccard, ties to the smallest snapshot id), null when clean.
+
+    ``max_bucket`` (default None = exact) truncates SNAPSHOT bucket
+    membership: a batch doc whose only near-dup ranks past the cap in
+    EVERY shared band is silently reported clean — the same bounded
+    trade minhash_lsh_pairs documents, acceptable only because a true
+    pair has 32 bands to meet in. Leave None unless a boilerplate
+    bucket measurably dominates the join.
     """
     sh_s = shingles(snapshot, n)
     sh_b = shingles(batch, n)
@@ -1354,7 +1373,11 @@ def incremental_near_dup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    verified = _verify_pairs(sh_b.unionByName(sh_s), cands).filter(
+    # two-sided verify: a doc_id present in BOTH frames (stable-id
+    # recrawl) resolves each pair side in its own corpus — the union
+    # would double-count its shingles and a true dup could fall below
+    # threshold (jaccard 1.0 computed as 0.33)
+    verified = _verify_pairs(sh_b, cands, sh_b=sh_s).filter(
         F.col("jaccard") >= threshold
     )
     best = verified.groupBy("doc_a").agg(

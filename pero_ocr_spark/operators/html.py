@@ -177,6 +177,8 @@ def parse_html_blocks(
             for row in zip(pdf["doc_id"], pdf[html_col],
                            *(pdf[c] for c in carry)):
                 doc_id, html, extras = row[0], row[1], row[2:]
+                if html is None:
+                    continue  # a null page yields no blocks, not a crash
                 parser = _BlockParser()
                 parser.feed(html)
                 for i, (tag, nw, lw, text) in enumerate(parser.finish()):
@@ -406,6 +408,8 @@ def parse_html_outlinks(
             for row in zip(pdf["doc_id"], pdf[html_col],
                            *(pdf[c] for c in carry)):
                 doc_id, html, extras = row[0], row[1], row[2:]
+                if html is None:
+                    continue  # a null page yields no blocks, not a crash
                 parser = _BlockParser()
                 parser.feed(html)
                 parser.finish()
@@ -742,6 +746,8 @@ def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
                 "is_header": [], "text": [],
             }
             for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                if html is None:
+                    continue  # null page -> no tables, not a crash
                 parser = _TableParser()
                 parser.feed(html)
                 for tid, rows in parser.finish():
@@ -940,7 +946,11 @@ class _MarkdownParser(HTMLParser):
     def _flush(self) -> None:
         while self._open_links:  # unclosed <a>: wrap what it captured
             self._wrap_link(*self._open_links.pop())
+        prefix, self._prefix = self._prefix, ""
         if not self._words:
+            # the prefix is consumed either way: an EMPTY heading or
+            # blockquote (icon-only <h1>, say) must not promote the
+            # next unrelated block
             return
         text = " ".join(self._words)
         self._words = []
@@ -952,8 +962,7 @@ class _MarkdownParser(HTMLParser):
         elif self._pre_depth:
             self.blocks.append("```\n" + text + "\n```")
         else:
-            self.blocks.append(self._prefix + text)
-        self._prefix = ""
+            self.blocks.append(prefix + text)
 
     def _flush_list(self) -> None:
         if self._items and not self._lists:
@@ -982,6 +991,9 @@ class _MarkdownParser(HTMLParser):
             return
         if tag == "table":
             self._flush()
+            if self._items:  # table interrupts an open list: emit the
+                self.blocks.append("\n".join(self._items))  # items so far
+                self._items = []
             self._flush_list()
             self._table = _TableParser()
             self._table.handle_starttag(tag, attrs)
@@ -989,9 +1001,15 @@ class _MarkdownParser(HTMLParser):
         elif tag == "a":
             self._open_links.append((dict(attrs).get("href") or "", len(self._words)))
         elif tag == "img":
-            self._flush()
-            self._flush_list()
-            self.blocks.append(f"![]({dict(attrs).get('src') or ''})")
+            src = dict(attrs).get("src") or ""
+            if self._lists:
+                # inline image inside the open list item — a separate
+                # block would be emitted BEFORE the buffered items and
+                # invert reading order
+                self._words.append(f"![]({src})")
+            else:
+                self._flush()
+                self.blocks.append(f"![]({src})")
         elif tag in ("ul", "ol"):
             self._flush()
             self._lists.append({"ordered": tag == "ol", "n": 0})
@@ -1103,6 +1121,9 @@ def html_to_markdown(
         for pdf in batches:
             md = []
             for html in pdf[html_col]:
+                if html is None:
+                    md.append("")  # total function: null page -> empty doc
+                    continue
                 parser = _MarkdownParser(drop_furniture=drop_furniture)
                 parser.feed(html)
                 md.append(parser.finish())
@@ -1168,9 +1189,9 @@ def synthesize_html_rich(docs: DataFrame) -> DataFrame:
         F.lit('<div class="content">'),
         F.array_join(F.transform(idx, para), ""),
         F.lit("</div>"),
-        F.lit("<ul><li>"), F.element_at(words, 1),
-        F.lit("</li><li>"), F.element_at(words, 2),
-        F.lit("</li><li>"), F.element_at(words, 3),
+        F.lit("<ul><li>"), F.coalesce(F.element_at(words, 1), F.lit("")),
+        F.lit("</li><li>"), F.coalesce(F.element_at(words, 2), F.lit("")),
+        F.lit("</li><li>"), F.coalesce(F.element_at(words, 3), F.lit("")),
         F.lit("</li></ul>"),
         F.lit("<table><tr><th>name</th><th>value</th><th>note</th></tr>"),
         F.when(nd > 0, F.array_join(F.transform(tidx, trow), "")).otherwise(
@@ -1281,7 +1302,8 @@ def extract_page_metadata(df: DataFrame, html_col: str = "html") -> DataFrame:
             }
             for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
                 p = _MetaParser()
-                p.feed(html)
+                if html is not None:
+                    p.feed(html)  # null page -> all-null metadata row
                 out["doc_id"].append(doc_id)
                 out["og_title"].append(p.meta.get("og:title"))
                 out["og_type"].append(p.meta.get("og:type"))

@@ -1176,10 +1176,13 @@ def nb_quality_classifier(docs: DataFrame, labels: DataFrame) -> DataFrame:
     )
     lab_tr = labels.filter(F.col("doc_id") % 2 == 0)
     tr = tok.join(lab_tr, "doc_id")
+    # the vocab count table feeds THREE consumers (class-scalar agg
+    # here, the context and the backoff of the scoring join below) —
+    # persist it so the corpus token explode + label join runs once
     cnt = tr.groupBy("t").agg(
         F.sum(F.col("label").cast("long")).alias("cp"),
         F.sum((~F.col("label")).cast("long")).alias("cn"),
-    )
+    ).persist()
     np_, nn_, v_ = cnt.agg(
         F.sum("cp"), F.sum("cn"), F.count(F.lit(1))
     ).first()
@@ -1236,15 +1239,24 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
     into 2-3 latin-1 chars.
 
     ENTIRELY inside Catalyst: detection is a marker scan (the latin-1
-    images of UTF-8 lead bytes 0xC2-0xC3/0xE2/0xD0-0xD1 — 'Ã', 'Â',
-    'â', 'Ð', 'Ñ' — virtually never occur in legitimate text runs),
-    and repair is the exact inverse transcode
-    ``decode(encode(s, latin-1), utf-8)`` via the JVM's charset
-    builtins. Zero Python, zero shuffle — a 100 TB fix pass is one
-    narrow codegen map. The repair is applied only on detection, so
-    clean text (including REAL 'é'/'№') passes through byte-identical;
-    undetected exotic corruptions stay as-is rather than being
-    double-mangled (fix-what-you-can, the ftfy contract).
+    images of UTF-8 lead bytes — 'Ã', 'Â', 'â', 'Ð', 'Ñ'), and a
+    repair is ACCEPTED only when the whole string matches the
+    UTF-8-read-as-latin-1 SHAPE (one regex: every char ≥ U+0080 sits
+    in a correctly-formed lead/continuation sequence, overlongs and
+    surrogates excluded, and no char exceeds U+00FF). That proof
+    matters twice over: Spark 4's ``encode``/``decode`` THROW
+    [MALFORMED_CHARACTER_CODING] on unmappable or invalid input — so
+    legitimate French 'château' (real 'â' followed by ASCII: invalid
+    as UTF-8 bytes) or a doc mixing mojibake with a raw '€'
+    (> U+00FF: unencodable in latin-1) would otherwise KILL the job,
+    not just mangle the row. The regex gate guarantees the inverse
+    transcode ``decode(encode(s, latin-1), utf-8)`` is total and
+    bijective on accepted rows (each char ≤ U+00FF is exactly its
+    latin-1 byte), so accepted repairs are provably lossless and
+    everything else passes through byte-identical.
+    Fix-what-you-can-PROVE — the ftfy contract with a proof
+    obligation. Zero Python, zero shuffle — a 100 TB fix pass is one
+    narrow codegen map.
 
     Emits (all original columns, ``text_fixed``, ``was_mojibake``).
     """
@@ -1252,11 +1264,25 @@ def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
     detected = F.lit(False)
     for m in MOJIBAKE_MARKERS:
         detected = detected | col.contains(m)
+    # chars-as-bytes UTF-8 validity: the string decodes as latin-1 ->
+    # valid UTF-8 iff it matches this shape (RFC 3629 table)
+    utf8_shape = (
+        "^(?:[\\x00-\\x7F]"
+        "|[\\xC2-\\xDF][\\x80-\\xBF]"
+        "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]"
+        "|[\\xE1-\\xEC][\\x80-\\xBF]{2}"
+        "|\\xED[\\x80-\\x9F][\\x80-\\xBF]"
+        "|[\\xEE-\\xEF][\\x80-\\xBF]{2}"
+        "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}"
+        "|[\\xF1-\\xF3][\\x80-\\xBF]{3}"
+        "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{3})*$"
+    )
+    accept = detected & col.rlike(utf8_shape)
     repaired = F.decode(F.encode(col, "ISO-8859-1"), "UTF-8")
     return docs.select(
         "*",
-        F.when(detected, repaired).otherwise(col).alias("text_fixed"),
-        detected.alias("was_mojibake"),
+        F.when(accept, repaired).otherwise(col).alias("text_fixed"),
+        accept.alias("was_mojibake"),
     )
 
 

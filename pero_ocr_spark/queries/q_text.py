@@ -785,7 +785,9 @@ def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trainable quality tier: multinomial NB trained on the even half
     # against the heuristic gate (the CCNet/fastText bootstrap), odd
     # half scored held-out; training is ONE token-count agg, scoring
-    # ONE doc_id shuffle; 9-dp DECIMAL term sums for ulp-exact parity
+    # ONE doc_id shuffle; per-term LLRs quantized at 6 dp (NOT 9 —
+    # JVM/libm ln() ulp flipped a 9-dp round on this corpus) and
+    # DECIMAL-summed, the sum IS the score
     from pero_ocr_spark.operators import textstats
 
     docs = _t(spark, sf_dir, "documents")

@@ -539,19 +539,24 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
                 "host": [], "url": [], "lastmod": [], "priority": [],
             }
             for host_val, xml in zip(pdf["host"], pdf["xml"]):
-                root = ElementTree.fromstring(xml)
+                try:
+                    root = ElementTree.fromstring(xml)
+                except ElementTree.ParseError:
+                    continue  # one torn sitemap degrades, never kills
                 for u in root.iter(f"{NS}url"):
                     loc = u.find(f"{NS}loc")
                     lastmod = u.find(f"{NS}lastmod")
                     prio = u.find(f"{NS}priority")
+                    try:
+                        pv = float(prio.text) if prio is not None else None
+                    except (TypeError, ValueError):
+                        pv = None  # '<priority>high</priority>' -> null
                     out["host"].append(host_val)
                     out["url"].append(loc.text if loc is not None else None)
                     out["lastmod"].append(
                         lastmod.text if lastmod is not None else None
                     )
-                    out["priority"].append(
-                        float(prio.text) if prio is not None else None
-                    )
+                    out["priority"].append(pv)
             yield pd.DataFrame(out)
 
     return sitemaps.select("host", "xml").mapInPandas(gen, schema=_SITEMAP_SCHEMA)

@@ -328,3 +328,18 @@ def test_incremental_near_dup_flags_batch_against_snapshot(spark):
     assert out[100]["is_dup"] and out[100]["dup_of"] == 1  # ties -> smallest id
     assert out[100]["best_jaccard"] >= 0.5
     assert not out[101]["is_dup"] and out[101]["dup_of"] is None
+
+
+def test_incremental_near_dup_stable_id_recrawl(spark):
+    from pero_ocr_spark.operators.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    snapshot = spark.createDataFrame(
+        [(5, base), (6, "other snapshot words entirely different here today")],
+        "doc_id long, text string",
+    )
+    # the recrawled page arrives under its STABLE id with identical text
+    batch = spark.createDataFrame([(5, base)], "doc_id long, text string")
+    out = incremental_near_dup(snapshot, batch, threshold=0.9).collect()[0]
+    assert out["is_dup"] and out["dup_of"] == 5
+    assert out["best_jaccard"] == 1.0  # union-verify would report 0.333

@@ -252,3 +252,18 @@ def test_textrank_summary_degenerate_docs(spark):
     assert out[1]["summary"] == "only one short sentence here"
     # no shared words: uniform ranks, tie goes to the first sentence
     assert out[2]["n_sents"] == 2 and out[2]["top_ord"] == 0
+
+
+def test_fix_mojibake_rejects_false_positives_and_unmappable(spark):
+    from pero_ocr_spark.operators.textstats import fix_mojibake
+
+    clean_fr = "le château de la Loire"          # real 'â', NOT mojibake
+    mixed = "naïve café €99".encode("utf-8").decode("latin-1")[:-1] + "€"
+    df = spark.createDataFrame(
+        [(1, clean_fr), (2, mixed)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(df).collect()}
+    # marker present but roundtrip fails -> untouched, unflagged
+    assert not out[1]["was_mojibake"] and out[1]["text_fixed"] == clean_fr
+    # raw '€' is unmappable in latin-1 -> repair refused, text intact
+    assert not out[2]["was_mojibake"] and out[2]["text_fixed"] == mixed
