@@ -1392,3 +1392,39 @@ def textrank_summary(
             F.slice("ws", (F.col("pos") - 1) * k + 1, k), " "
         ).alias("summary"),
     )
+
+
+def readability_scores(docs: DataFrame, sent_words: int = 12) -> DataFrame:
+    """Flesch Reading Ease over the engine's 12-word pseudo-sentence
+    model (the corpus carries no punctuation; the chunk grain matches
+    the TextRank/HTML sentence model): syllables per word by the
+    classic vowel-group heuristic (``[aeiouy]+`` runs, min 1 per
+    word), then 206.835 − 1.015·(W/S) − 84.6·(syl/W). The education-
+    level signal real quality filters bin on.
+
+    Pure Catalyst: one narrow map (regexp_count in codegen), zero
+    shuffles. Counts are integers, the two divisions and the final
+    round are the only float ops — identically parenthesized in the
+    SQL oracle, so the 6-dp score is exact cross-engine.
+    """
+    w = _words()
+    n = F.size(w)
+    syl = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.greatest(F.regexp_count(x, F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    n_sent = F.ceil(n / F.lit(sent_words)).cast("long")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n / n_sent)
+        - F.lit(84.6) * (syl / n),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

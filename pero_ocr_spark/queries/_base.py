@@ -143,6 +143,7 @@ _CHECK_FIRST = (
     "embedding_outlier_scores", "text_textrank_summary",  # NEW r5 session 3
     "crawl_robots_eval", "corpus_dataset_card",  # NEW round 5 session 3
     "dedup_incremental_near_dup", "extract_spans_markdown",  # NEW r5 s3
+    "text_readability",  # NEW round 5 session 3
     "corpus_bucketed_join", "lm_stupid_backoff",  # NEW round 5 session 2
     "events_stream_left_outer", "error_chrf_corpus",  # NEW round 5 session 2
     "ocr_select_embed_id",  # NEW in round 5 — closes the last missing row

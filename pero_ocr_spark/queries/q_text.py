@@ -971,3 +971,32 @@ def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50_tokens"),
         F.sum((F.col("n") < 50).cast("long")).alias("n_short"),
     )
+
+
+@register(
+    "text_readability",
+    """
+WITH q AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, n,
+         CAST(ceil(n / 12.0) AS BIGINT) AS n_sent,
+         CAST(list_sum(list_transform(w,
+           x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+           AS BIGINT) AS syl
+  FROM q)
+SELECT doc_id, n AS n_words, n_sent AS n_sentences, syl AS n_syllables,
+       round(206.835 - 1.015 * (n * 1.0 / n_sent) - 84.6 * (syl * 1.0 / n), 6)
+         AS flesch
+FROM s
+""",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch Reading Ease on the 12-word pseudo-sentence model:
+    # integer counts, two identically-parenthesized divisions, one
+    # 6-dp round — zero shuffles, codegen only
+    from pero_ocr_spark.operators import textstats
+
+    return textstats.readability_scores(_t(spark, sf_dir, "documents"))
