@@ -229,6 +229,18 @@ def _band_buckets(
     return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """Keep each band bucket's ``max_bucket`` smallest doc ids — the
+    shared degenerate-bucket guard (one policy; both LSH paths must
+    truncate identically or they silently diverge)."""
+    w = Window.partitionBy("bk").orderBy("doc_id")
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -253,12 +265,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(sh, n_perm)
     buckets = _band_buckets(sig, n_perm, n_bands)
     if max_bucket is not None:
-        w = Window.partitionBy("bk").orderBy("doc_id")
-        buckets = (
-            buckets.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket)
-            .drop("_rn")
-        )
+        buckets = _cap_buckets(buckets, max_bucket)
     left = buckets.select(F.col("doc_id").alias("doc_a"), "bk")
     right = buckets.select(F.col("doc_id").alias("doc_b"), "bk")
     cands = (
@@ -1361,12 +1368,7 @@ def incremental_near_dup(
         # boilerplate bucket of B snapshot docs joined by b batch docs
         # costs b*B candidates — cap the SNAPSHOT side (the unbounded
         # one; the batch is ingest-sized by definition)
-        w = Window.partitionBy("bk").orderBy("doc_id")
-        bk_s = (
-            bk_s.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket)
-            .drop("_rn")
-        )
+        bk_s = _cap_buckets(bk_s, max_bucket)
     cands = (
         bk_b.select(F.col("doc_id").alias("doc_a"), "bk")
         .join(bk_s.select(F.col("doc_id").alias("doc_b"), "bk"), "bk")

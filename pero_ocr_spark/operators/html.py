@@ -938,6 +938,7 @@ class _MarkdownParser(HTMLParser):
         self._open_links: list[tuple[str, int]] = []  # (href, word start)
         self._lists: list[dict] = []  # {'ordered': bool, 'n': int}
         self._items: list[str] = []  # rendered items of the open list run
+        self._in_li = False
         self._pre_depth = 0
         self._table: _TableParser | None = None
         self._table_depth = 0
@@ -946,11 +947,11 @@ class _MarkdownParser(HTMLParser):
     def _flush(self) -> None:
         while self._open_links:  # unclosed <a>: wrap what it captured
             self._wrap_link(*self._open_links.pop())
-        prefix, self._prefix = self._prefix, ""
         if not self._words:
-            # the prefix is consumed either way: an EMPTY heading or
-            # blockquote (icon-only <h1>, say) must not promote the
-            # next unrelated block
+            # keep the prefix: a NESTED block start inside the owning
+            # element (<blockquote><p>x</p>...) flushes empty here and
+            # the '>' still belongs to x; the owning element's END tag
+            # clears a never-consumed prefix (empty/icon-only heading)
             return
         text = " ".join(self._words)
         self._words = []
@@ -962,10 +963,18 @@ class _MarkdownParser(HTMLParser):
         elif self._pre_depth:
             self.blocks.append("```\n" + text + "\n```")
         else:
-            self.blocks.append(prefix + text)
+            self.blocks.append(self._prefix + text)
+            self._prefix = ""
 
     def _flush_list(self) -> None:
         if self._items and not self._lists:
+            self.blocks.append("\n".join(self._items))
+            self._items = []
+
+    def _emit_pending_items(self) -> None:
+        # forced flush for a block element interrupting an open list:
+        # buffered items must land BEFORE the interrupting block
+        if self._items:
             self.blocks.append("\n".join(self._items))
             self._items = []
 
@@ -991,10 +1000,7 @@ class _MarkdownParser(HTMLParser):
             return
         if tag == "table":
             self._flush()
-            if self._items:  # table interrupts an open list: emit the
-                self.blocks.append("\n".join(self._items))  # items so far
-                self._items = []
-            self._flush_list()
+            self._emit_pending_items()
             self._table = _TableParser()
             self._table.handle_starttag(tag, attrs)
             self._table_depth = 1
@@ -1002,13 +1008,17 @@ class _MarkdownParser(HTMLParser):
             self._open_links.append((dict(attrs).get("href") or "", len(self._words)))
         elif tag == "img":
             src = dict(attrs).get("src") or ""
-            if self._lists:
+            if self._lists and self._in_li:
                 # inline image inside the open list item — a separate
                 # block would be emitted BEFORE the buffered items and
                 # invert reading order
                 self._words.append(f"![]({src})")
             else:
+                # between items (or outside lists): pending items land
+                # first so block order follows the source; never a
+                # phantom <li>
                 self._flush()
+                self._emit_pending_items()
                 self.blocks.append(f"![]({src})")
         elif tag in ("ul", "ol"):
             self._flush()
@@ -1017,6 +1027,7 @@ class _MarkdownParser(HTMLParser):
             self._flush()
             if self._lists:
                 self._lists[-1]["n"] += 1
+                self._in_li = True
         elif tag in _HEADINGS:
             self._flush()
             self._flush_list()
@@ -1057,14 +1068,20 @@ class _MarkdownParser(HTMLParser):
             self._flush()
             if self._lists:
                 self._lists.pop()
+            self._in_li = False
             self._flush_list()
         elif tag == "li":
             self._flush()
+            self._in_li = False
         elif tag == "pre":
             self._flush()
             self._pre_depth = max(0, self._pre_depth - 1)
         elif tag in BLOCK_TAGS or tag in _HEADINGS:
             self._flush()
+            if tag in _HEADINGS or tag == "blockquote":
+                # an empty/icon-only heading or quote must not promote
+                # the next unrelated block
+                self._prefix = ""
 
     def handle_data(self, data: str) -> None:
         if self._table is not None:

@@ -1176,9 +1176,11 @@ def nb_quality_classifier(docs: DataFrame, labels: DataFrame) -> DataFrame:
     )
     lab_tr = labels.filter(F.col("doc_id") % 2 == 0)
     tr = tok.join(lab_tr, "doc_id")
-    # the vocab count table feeds THREE consumers (class-scalar agg
-    # here, the context and the backoff of the scoring join below) —
-    # persist it so the corpus token explode + label join runs once
+    # the vocab count table feeds TWO consumers (the class-scalar
+    # collect here and the scoring join below) — persist it so the
+    # corpus token explode + label join materializes once; the small
+    # cached table is left to Spark's LRU like the session's other
+    # derived-table caches
     cnt = tr.groupBy("t").agg(
         F.sum(F.col("label").cast("long")).alias("cp"),
         F.sum((~F.col("label")).cast("long")).alias("cn"),

@@ -487,7 +487,14 @@ def synth_sitemaps(docs: DataFrame) -> DataFrame:
     host produces ~200 spec-compliant shard files (the
     ``<sitemapindex>`` pattern), never one giant row."""
     host = F.concat(F.col("source"), F.lit(".example.com"))
-    shard = F.floor(F.col("doc_id") / SITEMAP_MAX_URLS).cast("int")
+    # shard by the host's OWN url position, not the global id range: a
+    # 40k-page host gets ONE spec-compliant file however its ids
+    # scatter across the corpus id space; a global doc_id // 50k key
+    # would shard by id-range and emit near-empty files
+    shard = F.floor(
+        (F.row_number().over(Window.partitionBy(host).orderBy("doc_id")) - 1)
+        / SITEMAP_MAX_URLS
+    ).cast("int")
     url = F.concat(
         F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
     )
@@ -526,8 +533,10 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
     """(host, xml) → one row per ``<url>`` entry, REAL XML parse
     (stdlib ElementTree, namespace-aware) in one narrow mapInPandas
     stage — no shuffle; the XML never leaves the stage. Missing
-    optional elements surface as nulls the way a fetcher must
-    tolerate them."""
+    optional elements surface as nulls, a torn or invalid sitemap
+    contributes ONE (host, null-url) quarantine marker row (observable
+    loss, filtered by verdicts), and a junk ``<priority>`` nulls out —
+    fetched input degrades, it never kills the job."""
     from collections.abc import Iterator
     from xml.etree import ElementTree
 
@@ -542,7 +551,14 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
                 try:
                     root = ElementTree.fromstring(xml)
                 except ElementTree.ParseError:
-                    continue  # one torn sitemap degrades, never kills
+                    # degrade observably: a (host, null-url) marker row
+                    # records that this shard was torn — downstream
+                    # verdicts filter null urls, monitors count them
+                    out["host"].append(host_val)
+                    out["url"].append(None)
+                    out["lastmod"].append(None)
+                    out["priority"].append(None)
+                    continue
                 for u in root.iter(f"{NS}url"):
                     loc = u.find(f"{NS}loc")
                     lastmod = u.find(f"{NS}lastmod")
@@ -575,8 +591,10 @@ def sitemap_recrawl_verdicts(
     This is what makes sitemap ingest the cheap half of recrawl at
     100 TB: the fetch queue becomes O(new + changed), not O(known
     URLs) — the crawler re-fetches what sites DECLARE changed and
-    discovers additions without a single speculative fetch."""
-    j = entries.join(seen, "url", "left")
+    discovers additions without a single speculative fetch. Torn-shard
+    quarantine markers (null url) are dropped here — they are loss
+    accounting, not fetch work."""
+    j = entries.filter(F.col("url").isNotNull()).join(seen, "url", "left")
     status = (
         F.when(F.col("fetched_at").isNull(), F.lit("new"))
         .when(F.col("lastmod") > F.col("fetched_at"), F.lit("changed"))

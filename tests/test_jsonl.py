@@ -162,3 +162,25 @@ def test_sitemap_shards_at_spec_cap(spark, monkeypatch):
     assert len(sm) == 3  # 25 urls / cap 10 -> 3 shard files, one host
     entries = W.parse_sitemaps(W.synth_sitemaps(docs))
     assert entries.count() == 25  # sharding loses nothing
+
+
+def test_sitemap_torn_shard_leaves_quarantine_marker(spark):
+    from pero_ocr_spark.sources import warc as W
+
+    df = spark.createDataFrame(
+        [("h", "<urlset><url><loc>https://h/a</loc></url></urlset"),  # torn
+         ("h2", '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                "<url><loc>https://h2/b</loc>"
+                "<priority>high</priority></url></urlset>")],
+        "host string, xml string",
+    )
+    rows = W.parse_sitemaps(df).collect()
+    marker = [r for r in rows if r["url"] is None]
+    assert len(marker) == 1 and marker[0]["host"] == "h"
+    ok = [r for r in rows if r["url"] == "https://h2/b"]
+    assert len(ok) == 1 and ok[0]["priority"] is None  # junk priority nulls
+    # verdicts drop the marker instead of inventing a 'new' null URL
+    seen = spark.createDataFrame([("https://h2/b", "2024-01-01")],
+                                 "url string, fetched_at string")
+    v = W.sitemap_recrawl_verdicts(W.parse_sitemaps(df), seen).collect()
+    assert all(r["url"] is not None for r in v) and len(v) == 1
