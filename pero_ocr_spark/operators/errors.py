@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +94,131 @@ def power_mean_quality(
     )
 
 
+_PACK_LIMIT = 2**63
+
+
+def _gram_unique_counts(codes: np.ndarray, n: int, base: int):
+    """Exact ``(unique grams, counts)`` over the n-gram windows of an
+    integer code sequence (dtype uint64, every code < ``base``).
+
+    Each fixed-length window packs into ONE uint64 by base-``base``
+    positional encoding — injective for a fixed n, so this is the gram
+    multiset itself, never a hash. When ``base**n`` would overflow
+    (huge per-document alphabet — only reachable for char grams on a
+    >1600-distinct-codepoint document), each gram splits into two
+    packed halves sorted as a structured key: still collision-free.
+    Returns None when the sequence is shorter than n (no grams).
+    """
+    m = codes.size - n + 1
+    if m <= 0:
+        return None
+    if base**n < _PACK_LIMIT:
+        b = np.uint64(base)
+        g = codes[:m].copy()
+        for i in range(1, n):
+            g *= b
+            g += codes[i : m + i]
+        return np.unique(g, return_counts=True)
+    hi_n = (n + 1) // 2
+    lo_n = n - hi_n
+    b = np.uint64(base)
+    hi = codes[:m].copy()
+    for i in range(1, hi_n):
+        hi *= b
+        hi += codes[i : m + i]
+    lo = codes[hi_n : m + hi_n].copy()
+    for i in range(1, lo_n):
+        lo *= b
+        lo += codes[hi_n + i : m + hi_n + i]
+    pair = np.empty(m, dtype=[("a", "u8"), ("b", "u8")])
+    pair["a"] = hi
+    pair["b"] = lo
+    return np.unique(pair, return_counts=True)
+
+
+def _clip_sum(uh, ur) -> int:
+    """Σ_g min(hyp_count_g, ref_count_g) from two unique+counts pairs —
+    the clipped n-gram match count (0 when either side has no grams)."""
+    if uh is None or ur is None:
+        return 0
+    _, ih, ir = np.intersect1d(
+        uh[0], ur[0], assume_unique=True, return_indices=True
+    )
+    return int(np.minimum(uh[1][ih], ur[1][ir]).sum())
+
+
+def _char_gram_clips(h: str, r: str, max_n: int) -> list[int]:
+    """clip_1..clip_max_n for character n-grams of two strings.
+
+    UTF-32 views make codes == Unicode code points (the same
+    code-point grain as both engines' length/substring), then the
+    per-document alphabet is compressed so every order packs into
+    uint64; the raw-code-point split-pack path covers the rare
+    >1600-symbol document. Exact multiset counts, vectorized end to
+    end (one C sort per side per order) — no hashing anywhere.
+    """
+    hc = np.frombuffer(h.encode("utf-32-le"), dtype=np.uint32)
+    rc = np.frombuffer(r.encode("utf-32-le"), dtype=np.uint32)
+    uniq = np.unique(np.concatenate([hc, rc]))
+    if (len(uniq) + 1) ** max_n < _PACK_LIMIT:
+        base = len(uniq) + 1
+        hc = (np.searchsorted(uniq, hc) + 1).astype(np.uint64)
+        rc = (np.searchsorted(uniq, rc) + 1).astype(np.uint64)
+    else:
+        base = 0x110000
+        hc = hc.astype(np.uint64)
+        rc = rc.astype(np.uint64)
+    return [
+        _clip_sum(
+            _gram_unique_counts(hc, n, base), _gram_unique_counts(rc, n, base)
+        )
+        for n in range(1, max_n + 1)
+    ]
+
+
+def _token_gram_clips(ht, rt, max_n: int) -> list[int]:
+    """clip_1..clip_max_n for token n-grams of two token sequences.
+
+    Tokens map to dense integer codes through one shared dict (exact
+    string identity — a token is atomic, so unlike the join-on-
+    ``concat_ws`` formulation no separator ambiguity exists; the
+    corpus tokenizer splits on the separator character anyway), then
+    the same packed-window counting as the char kernel.
+    """
+    vocab: dict = {}
+    setd = vocab.setdefault
+
+    def enc(ts):
+        a = np.empty(len(ts), dtype=np.uint64)
+        for i, t in enumerate(ts):
+            a[i] = setd(t, len(vocab) + 1)
+        return a
+
+    hc = enc(ht)
+    rc = enc(rt)
+    base = len(vocab) + 1
+    return [
+        _clip_sum(
+            _gram_unique_counts(hc, n, base), _gram_unique_counts(rc, n, base)
+        )
+        for n in range(1, max_n + 1)
+    ]
+
+
+def _spread_docs(docs: DataFrame, *cols: str) -> DataFrame:
+    """Project the per-document frame to the kernel's columns and
+    spread it across the session's shuffle width. The explicit
+    numbered repartition is load-bearing: a doc-level aggregate is
+    tiny in BYTES, so AQE's coalescing would hand the whole frame to
+    one or two tasks and serialize the CPU-bound Python stage behind
+    it; repartition(n) pins the width (AQE honors user-numbered
+    repartitions). The frame is at most corpus-text-sized, so this one
+    narrow exchange is far cheaper than the 2·max_n·corpus gram
+    explode + shuffle it replaces."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.select(*cols).repartition(n)
+
+
 def corpus_bleu(
     docs: DataFrame,
     hyp_col: str = "hyp_toks",
@@ -112,80 +238,51 @@ def corpus_bleu(
     clipped n-gram match counts, BIGINT) and ``bleu`` — geometric mean
     of the n-gram precisions with the brevity penalty, 6-dp rounded.
 
-    Shuffle shape: one explode per side emits (doc, n, gram) rows —
-    at most ``2 * max_n * tokens`` per document, counted with
-    map-side partial aggregation; the clip sum min(hyp_count,
-    ref_count) is a second doc-keyed aggregate; the only join is
-    doc-level frame ↔ doc-level frame on doc_id. Nothing is
-    broadcast, nothing is quadratic in document length, and no key is
-    hotter than the longest single document — the same bound the
-    extraction pipeline already lives with.
+    Plan shape: BLEU is a per-document scalar, so the clip counts are
+    computed IN-ROW by a vectorized Arrow kernel
+    (:func:`_token_gram_clips`) — no gram explode, no gram shuffle, no
+    clips join (the r5 formulation exploded 2·max_n·tokens (doc, n,
+    gram) rows per document and shuffled the gram strings twice; the
+    kernel removes every one of those exchanges and computes the same
+    integer counts exactly). The only movement is one narrow
+    repartition of the doc-level frame that keeps the Python stage as
+    wide as the cluster (:func:`_spread_docs`).
 
-    Exactness discipline: every count is integer-exact; the total
-    n-gram count per level is ``max(hyp_len - n + 1, 0)`` (derived,
-    not summed, so no float enters until the final expression); the
-    four log terms are rounded to 9 dp before a fixed-order sum
-    (((t1+t2)+t3)+t4), the brevity-penalty exponent min(0, 1 - r/h)
-    is a single IEEE division, and only the final exp is rounded to
-    6 dp — the identical op sequence a serial oracle performs.
+    Exactness discipline: every count is integer-exact (packed-window
+    multiset counting, no hashing); the total n-gram count per level
+    is ``max(hyp_len - n + 1, 0)`` (derived, not summed, so no float
+    enters until the final expression); the four log terms are rounded
+    to 9 dp before a fixed-order sum (((t1+t2)+t3)+t4), the
+    brevity-penalty exponent min(0, 1 - r/h) is a single IEEE
+    division, and only the final exp is rounded to 6 dp — the
+    identical op sequence a serial oracle performs, evaluated in the
+    same Catalyst expressions as before.
     """
     ks = list(range(1, max_n + 1))
-
-    def grams(col, n):
-        return F.when(
-            F.size(col) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(col) - n),
-                lambda i: F.concat_ws(" ", F.slice(col, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    sides = None
-    for side, col in (("h", hyp_col), ("r", ref_col)):
-        arr = F.array(
-            *[
-                F.struct(F.lit(n).alias("n"), grams(F.col(col), n).alias("g"))
-                for n in ks
-            ]
-        )
-        part = docs.select(
-            "doc_id", F.lit(side).alias("side"), F.explode(arr).alias("ng")
-        ).select(
-            "doc_id", "side", F.col("ng.n").alias("n"), F.explode("ng.g").alias("gram")
-        )
-        sides = part if sides is None else sides.unionByName(part)
-
-    gcounts = sides.groupBy("doc_id", "n", "gram").agg(
-        F.sum(F.when(F.col("side") == "h", 1).otherwise(0)).alias("hc"),
-        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, hyp_len long, ref_len long, " + ", ".join(
+        f"clip{k} long" for k in ks
     )
-    clips = (
-        gcounts.filter(F.col("hc") > 0)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == k, F.least("hc", "rc")).otherwise(0))
-                .cast("long")
-                .alias(f"clip{k}")
-                for k in ks
-            ]
-        )
-    )
-    lengths = docs.select(
-        "doc_id",
-        F.size(hyp_col).cast("long").alias("hyp_len"),
-        F.size(ref_col).cast("long").alias("ref_len"),
-    )
-    # docs whose hypothesis is empty emit no gram rows — left join,
-    # clips coalesce to 0 and the bleu guard sends them to 0.0
-    joined = lengths.join(clips, "doc_id", "left").select(
-        "doc_id",
-        "hyp_len",
-        "ref_len",
-        *[
-            F.coalesce(F.col(f"clip{k}"), F.lit(0)).cast("long").alias(f"clip{k}")
-            for k in ks
-        ],
+    clip_cols = [f"clip{k}" for k in ks]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, ht, rt in zip(pdf["doc_id"], pdf[hyp_col], pdf[ref_col]):
+                hn = None if ht is None else len(ht)
+                rn = None if rt is None else len(rt)
+                clips = _token_gram_clips(
+                    [] if ht is None else list(ht),
+                    [] if rt is None else list(rt),
+                    max_n,
+                )
+                rows.append((did, hn, rn, *clips))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "hyp_len", "ref_len", *clip_cols]
+            )
+
+    joined = _spread_docs(docs, "doc_id", hyp_col, ref_col).mapInPandas(
+        gen, schema=out_schema
     )
 
     hl = F.col("hyp_len").cast("double")
@@ -250,80 +347,48 @@ def corpus_chrf(
     contributes a 0 term (not skipped), so N is constant and the
     arithmetic is closed-form from the counts.
 
-    Shuffle shape (identical to :func:`corpus_bleu`): one in-row gram
-    explode per side → ≤ 2·max_n·chars rows per doc, reduced by a
-    map-side-combinable (doc, n, gram) count agg; clips are a second
-    doc-keyed agg; the single join is doc-frame ↔ doc-frame. No
-    broadcast, nothing quadratic, hottest key = longest document.
+    Plan shape: chrF is a per-document scalar, so the clip counts are
+    computed IN-ROW by the vectorized char-gram kernel
+    (:func:`_char_gram_clips`) — no gram explode, no gram shuffle, no
+    clips join. The r5 formulation exploded ≤ 2·max_n·chars (doc, n,
+    gram) rows per document (≈12× the corpus characters) and shuffled
+    the gram STRINGS through a (doc, n, gram) aggregation — the
+    heaviest suite row of round 5 at 22 s isolated; the kernel removes
+    every one of those exchanges and computes the same integer counts
+    exactly. The only movement is one narrow repartition of the
+    doc-level frame that keeps the Python stage as wide as the cluster
+    (:func:`_spread_docs`).
 
-    Exactness: counts integer-exact; gram totals DERIVED from string
+    Exactness: counts integer-exact (packed-window multiset counting
+    at Unicode-code-point grain — the same grain as both engines'
+    length/substring — never hashed); gram totals DERIVED from string
     length (max(len − n + 1, 0)); each precision/recall term is one
     IEEE division rounded to 9 dp, summed in fixed order; the final
     F-ratio is one identically-parenthesized expression rounded to
-    6 dp — a serial oracle reproduces it bit-for-bit.
+    6 dp — a serial oracle reproduces it bit-for-bit, evaluated in the
+    same Catalyst expressions as before.
     """
     ks = list(range(1, max_n + 1))
-
-    # substring with a COLUMN start index: SQL expr is the clean route
-    # (pyspark's F.substring takes literal ints only)
-    def grams_expr(colname, n):
-        return (
-            f"CASE WHEN length({colname}) >= {n} THEN "
-            f"transform(sequence(1, length({colname}) - {n - 1}), "
-            f"i -> substring({colname}, i, {n})) "
-            f"ELSE array() END"
-        )
-
-    sides = None
-    for side, col in (("h", hyp_col), ("r", ref_col)):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(n).alias("n"),
-                    F.expr(grams_expr(col, n)).alias("g"),
-                )
-                for n in ks
-            ]
-        )
-        part = docs.select(
-            "doc_id", F.lit(side).alias("side"), F.explode(arr).alias("ng")
-        ).select(
-            "doc_id",
-            "side",
-            F.col("ng.n").alias("n"),
-            F.explode("ng.g").alias("gram"),
-        )
-        sides = part if sides is None else sides.unionByName(part)
-
-    gcounts = sides.groupBy("doc_id", "n", "gram").agg(
-        F.sum(F.when(F.col("side") == "h", 1).otherwise(0)).alias("hc"),
-        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("rc"),
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, hyp_len long, ref_len long, " + ", ".join(
+        f"clip{k} long" for k in ks
     )
-    clips = (
-        gcounts.filter((F.col("hc") > 0) & (F.col("rc") > 0))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == k, F.least("hc", "rc")).otherwise(0))
-                .cast("long")
-                .alias(f"clip{k}")
-                for k in ks
-            ]
-        )
-    )
-    lengths = docs.select(
-        "doc_id",
-        F.length(hyp_col).cast("long").alias("hyp_len"),
-        F.length(ref_col).cast("long").alias("ref_len"),
-    )
-    joined = lengths.join(clips, "doc_id", "left").select(
-        "doc_id",
-        "hyp_len",
-        "ref_len",
-        *[
-            F.coalesce(F.col(f"clip{k}"), F.lit(0)).cast("long").alias(f"clip{k}")
-            for k in ks
-        ],
+    clip_cols = [f"clip{k}" for k in ks]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, h, r in zip(pdf["doc_id"], pdf[hyp_col], pdf[ref_col]):
+                hn = None if h is None else len(h)
+                rn = None if r is None else len(r)
+                clips = _char_gram_clips(h or "", r or "", max_n)
+                rows.append((did, hn, rn, *clips))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "hyp_len", "ref_len", *clip_cols]
+            )
+
+    joined = _spread_docs(docs, "doc_id", hyp_col, ref_col).mapInPandas(
+        gen, schema=out_schema
     )
 
     def avg_terms(len_col):
