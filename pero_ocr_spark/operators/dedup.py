@@ -1132,10 +1132,19 @@ def _doc_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
     ONE bounded row per document."""
     hs = F.col("__hs")
     n_win = F.greatest(F.size(hs) - w + 1, F.lit(1))
+    # per-window minima hoisted into a BOUND column: referencing the
+    # min expression inline inside the per-probe lambda re-evaluates
+    # the O(w) slice-min for every probe (O(w²) interpreted work per
+    # window — the lambda re-inlining trap documented on
+    # char_bigrams); bound here, each probe is an O(1) element_at
+    wmin = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda j: F.array_min(F.slice(hs, j + 1, w)),
+    )
     # rightmost position (0-based, window-relative) achieving the
     # window minimum; windows past the tail truncate naturally
     sel = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
+        F.sequence(F.lit(0), F.size(F.col("__wmin")) - 1),
         lambda j: F.element_at(
             hs,
             j
@@ -1145,15 +1154,22 @@ def _doc_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
                     # try_: windows past the tail probe out of bounds
                     # (ANSI element_at throws); NULL != min drops them
                     lambda p: F.try_element_at(hs, j + p + 1)
-                    == F.array_min(F.slice(hs, j + 1, w)),
+                    == F.element_at(F.col("__wmin"), j + 1),
                 )
             )
             + 1,
         ),
     )
+    from pero_ocr_spark.operators import spread_scan
+
+    # the gram hashing + window minima are the expensive in-row part
+    # (per-character interpreted fold); spread a starved single-split
+    # local scan BEFORE them or the whole corpus hashes on one core
     return (
-        docs.select("doc_id", _word_gram_hashes(F.col("text"), k).alias("__hs"))
+        spread_scan(docs)
+        .select("doc_id", _word_gram_hashes(F.col("text"), k).alias("__hs"))
         .filter(F.size("__hs") > 0)
+        .select("doc_id", hs, wmin.alias("__wmin"))
         .select("doc_id", F.array_distinct(sel).alias("fps"))
     )
 
