@@ -30,10 +30,15 @@ def get_crop_inputs(
     alfa = math.atan2(
         coords[-1, 1] - coords[0, 1], coords[-1, 0] - coords[0, 0]
     )
+    # alfa == 0 (horizontal baseline, the dominant case): rot is the
+    # exact identity — both rotations are exact no-ops (g·1 + g'·0 ==
+    # g bit-for-bit), so skip the two full-grid matmuls and the inv
+    straight = alfa == 0.0
     rot = np.array(
         [[np.cos(alfa), np.sin(alfa)], [-np.sin(alfa), np.cos(alfa)]]
     )
-    coords = coords @ np.linalg.inv(rot)
+    if not straight:
+        coords = coords @ np.linalg.inv(rot)
     order = np.argsort(coords[:, 0])
     cx, cy = coords[order, 0], coords[order, 1]
 
@@ -60,7 +65,9 @@ def get_crop_inputs(
     grid_x = nx.reshape(1, -1) * v + out_x.reshape(1, -1)
     grid_y = ny.reshape(1, -1) * v + out_y.reshape(1, -1)
     grid = np.stack([grid_x, grid_y], axis=2)
-    return (grid @ rot).astype(np.float64)
+    if straight:
+        return grid.astype(np.float64, copy=False)
+    return (grid @ rot).astype(np.float64, copy=False)
 
 
 def bilinear_remap(
@@ -89,12 +96,45 @@ def bilinear_remap_float(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
     y1 = np.minimum(y0 + 1, h - 1)
     fx, fy = x - x0, y - y0
     img_f = img if img.dtype == np.float64 else img.astype(np.float64)
-    return (
-        img_f[y0, x0] * (1 - fy) * (1 - fx)
-        + img_f[y0, x1] * (1 - fy) * fx
-        + img_f[y1, x0] * fy * (1 - fx)
-        + img_f[y1, x1] * fy * fx
-    )
+    if not img_f.flags.c_contiguous:
+        # a channel-slice view would COPY the whole raster on reshape;
+        # plain fancy indexing gathers only the crop's pixels
+        return (
+            img_f[y0, x0] * (1 - fy) * (1 - fx)
+            + img_f[y0, x1] * (1 - fy) * fx
+            + img_f[y1, x0] * fy * (1 - fx)
+            + img_f[y1, x1] * fy * fx
+        )
+    # flat-index takes gather the identical samples as 2-D fancy
+    # indexing but skip its per-call index broadcasting/checking; the
+    # in-place products evaluate the SAME left-associated expression
+    # v·a·b per corner, in the same order, without a dozen full-size
+    # temporaries (the remap is bandwidth-bound at crop sizes)
+    flat = img_f.reshape(-1)
+    one_m_fy = 1.0 - fy
+    one_m_fx = 1.0 - fx
+    b0 = y0 * w
+    b1 = y1 * w
+    i00 = b0 + x0
+    b0 += x1  # b0 is now the (y0, x1) flat index
+    i10 = b1 + x0
+    b1 += x1  # b1 is now the (y1, x1) flat index
+    acc = flat.take(i00)
+    acc *= one_m_fy
+    acc *= one_m_fx
+    t = flat.take(b0)
+    t *= one_m_fy
+    t *= fx
+    acc += t
+    t = flat.take(i10)
+    t *= fy
+    t *= one_m_fx
+    acc += t
+    t = flat.take(b1)
+    t *= fy
+    t *= fx
+    acc += t
+    return acc
 
 
 def crop_line(

@@ -37,6 +37,27 @@ def _window_sum(a: np.ndarray, radius: int, axis: int) -> np.ndarray:
     sl = [slice(None)] * a.ndim
     sl[axis] = slice(1, None)
     np.cumsum(a, axis=axis, out=p[tuple(sl)])
+
+    def S(i0, i1):
+        s = [slice(None)] * a.ndim
+        s[axis] = slice(i0, i1)
+        return p[tuple(s)]
+
+    r = radius
+    if n > 2 * r:
+        # out_i = p[min(i+r+1, n)] - p[max(i-r, 0)], assembled from
+        # sliced VIEWS (head / interior / tail) instead of two full
+        # fancy-index gathers — same subtraction, same values
+        out_shape = list(a.shape)
+        out = np.empty(out_shape, dtype=dtype)
+        o = [slice(None)] * a.ndim
+        o[axis] = slice(0, r)
+        out[tuple(o)] = S(r + 1, 2 * r + 1) - S(0, 1)
+        o[axis] = slice(r, n - r)
+        out[tuple(o)] = S(2 * r + 1, n + 1) - S(0, n - 2 * r)
+        o[axis] = slice(n - r, n)
+        out[tuple(o)] = S(n, n + 1) - S(n - 2 * r, n - r)
+        return out
     hi = np.minimum(np.arange(n) + radius + 1, n)
     lo = np.maximum(np.arange(n) - radius, 0)
     return np.take(p, hi, axis=axis) - np.take(p, lo, axis=axis)
@@ -63,23 +84,18 @@ def adaptive_threshold_mask(img: np.ndarray, block: int = 21, c: int = 91) -> np
 def rolling_max(a: np.ndarray, win: int, axis: int = 0) -> np.ndarray:
     """Greyscale dilation with a 1D ones window (ndimage grey_dilation
     size=(win,1) semantics, centered with the extra cell toward the
-    start for even win). Shift-max loop — fine for the small windows
-    (3-5) the layout engines use."""
+    start for even win). One -inf-padded sliding-window max — a single
+    vectorized pass instead of the former win-fold of full-array
+    np.roll copies (same values bit-for-bit: max over the identical
+    window with out-of-bounds cells excluded via -inf)."""
     lo = -(win // 2)
     hi = win - 1 + lo
-    out = None
-    for k in range(lo, hi + 1):
-        shifted = np.roll(a, -k, axis=axis)
-        if axis != 0:
-            shifted = np.swapaxes(shifted, 0, axis)
-        if k > 0:
-            shifted[-k:] = -np.inf
-        elif k < 0:
-            shifted[:-k] = -np.inf
-        if axis != 0:
-            shifted = np.swapaxes(shifted, 0, axis)
-        out = shifted if out is None else np.maximum(out, shifted)
-    return out
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (-lo, hi)
+    p = np.pad(a, pad, mode="constant", constant_values=-np.inf)
+    return np.lib.stride_tricks.sliding_window_view(p, win, axis=axis).max(
+        axis=-1
+    )
 
 
 def _union_find_runs(mask: np.ndarray, slack: int):

@@ -162,6 +162,23 @@ def refine_baseline(
         return bl_in
 
 
+def _median50(a: np.ndarray) -> float:
+    """Exactly np.percentile(a, 50, method='linear') — a[lo] +
+    0.5*(a[hi]-a[lo]) on the sorted values — without the generic
+    percentile machinery, whose per-call overhead dominates when it
+    runs twice per connected component on a page. The even case
+    replicates numpy's _lerp branch for t >= 0.5 — b - (b-a)·0.5, NOT
+    a + (b-a)·0.5 — which is what np.percentile actually evaluates at
+    the midpoint (fuzz-pinned bit-equal on float32 and float64)."""
+    a = np.sort(a)
+    n = a.size
+    lo = (n - 1) // 2
+    if n % 2:
+        return float(a[lo])
+    b_, a_ = a[lo + 1], a[lo]
+    return float(b_ - (b_ - a_) * 0.5)
+
+
 def nonmaxima_suppression(x: np.ndarray, win: int = 5) -> np.ndarray:
     """Vertical NMS (cnn_layout_engine.py:374-386): keep values equal
     to their windowed column max."""
@@ -237,10 +254,7 @@ def parse_baseline_map(
         pos[0, 0] -= 2  # endpoint-detection compensation
         pos[-1, 0] += 2
         hp = heights_map[cy, cx, :]
-        h = [
-            float(np.percentile(hp[:, 0], 50)),
-            float(np.percentile(hp[:, 1], 50)),
-        ]
+        h = [_median50(hp[:, 0]), _median50(hp[:, 1])]
         b_list.append(downsample * pos)
         h_list.append([downsample * h[0], downsample * h[1]])
     return b_list, h_list

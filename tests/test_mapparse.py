@@ -182,3 +182,85 @@ class TestRefineBaseline:
         # refined ys trend downward following the stepped detections
         assert out[0, 1] < out[-1, 1]
         assert 36.0 - 3 < out[:, 1].min() and out[:, 1].max() < 44.0 + 3
+
+
+class TestVectorizedKernelEquivalence:
+    """r6 optimization guards: the vectorized rewrites of the shared
+    image kernels must stay BITWISE equal to the formulations they
+    replaced (the oracle pins only the synthetic corpus; these fuzz
+    general inputs)."""
+
+    def test_median50_matches_np_percentile(self):
+        rng = np.random.default_rng(11)
+        for trial in range(400):
+            n = int(rng.integers(1, 60))
+            dt = np.float32 if trial % 2 else np.float64
+            a = (rng.standard_normal(n) * 7).astype(dt)
+            assert mapparse._median50(a) == float(np.percentile(a, 50))
+
+    def test_rolling_max_matches_shift_fold(self):
+        from pero_ocr_spark.functions import imageproc
+
+        def old(a, win, axis=0):
+            lo = -(win // 2)
+            hi = win - 1 + lo
+            out = None
+            for k in range(lo, hi + 1):
+                sh = np.roll(a, -k, axis=axis)
+                if axis != 0:
+                    sh = np.swapaxes(sh, 0, axis)
+                if k > 0:
+                    sh[-k:] = -np.inf
+                elif k < 0:
+                    sh[:-k] = -np.inf
+                if axis != 0:
+                    sh = np.swapaxes(sh, 0, axis)
+                out = sh if out is None else np.maximum(out, sh)
+            return out
+
+        rng = np.random.default_rng(12)
+        for trial in range(300):
+            h, w = rng.integers(1, 30, 2)
+            win = int(rng.integers(1, 8))
+            axis = int(rng.integers(0, 2))
+            dt = np.float32 if trial % 2 else np.float64
+            a = (rng.standard_normal((h, w)) * 3).astype(dt)
+            got = imageproc.rolling_max(a, win, axis)
+            exp = old(a, win, axis)
+            assert got.dtype == exp.dtype
+            assert np.array_equal(got, exp)
+
+    def test_window_sum_matches_clipped_gather(self):
+        from pero_ocr_spark.functions import imageproc
+
+        def old(a, radius, axis):
+            n = a.shape[axis]
+            shape = list(a.shape)
+            shape[axis] = n + 1
+            dtype = (
+                np.float64
+                if np.issubdtype(a.dtype, np.floating)
+                else np.int32
+            )
+            p = np.zeros(shape, dtype=dtype)
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(1, None)
+            np.cumsum(a, axis=axis, out=p[tuple(sl)])
+            hi = np.minimum(np.arange(n) + radius + 1, n)
+            lo = np.maximum(np.arange(n) - radius, 0)
+            return np.take(p, hi, axis=axis) - np.take(p, lo, axis=axis)
+
+        rng = np.random.default_rng(13)
+        for trial in range(400):
+            h, w = rng.integers(1, 28, 2)
+            r = int(rng.integers(1, 13))
+            axis = int(rng.integers(0, 2))
+            a = (
+                rng.standard_normal((h, w)) * 5
+                if trial % 2
+                else rng.integers(0, 3, (h, w)).astype(bool)
+            )
+            got = imageproc._window_sum(a, r, axis)
+            exp = old(a, r, axis)
+            assert got.dtype == exp.dtype
+            assert np.array_equal(got, exp)
