@@ -27,20 +27,26 @@ def element_schema(tag: str) -> str:
 
 def points_string_to_array(coords: str) -> np.ndarray:
     """PAGE 'x1,y1 x2,y2 ...' points attr -> int (n,2) array
-    (core/layout.py:885-889 — float-tolerant, rounds to int)."""
-    pairs = [t.split(",") for t in coords.split(" ") if t]
-    return np.asarray(
-        [[int(round(float(x))), int(round(float(y)))] for x, y in pairs],
-        dtype=np.int64,
-    )
+    (core/layout.py:885-889 — float-tolerant, rounds to int).
+    Vectorized: one split + one array round (np.round is the same
+    half-to-even rule as Python's round on floats)."""
+    flat = coords.replace(",", " ").split()
+    if not flat:
+        return np.asarray([], dtype=np.int64)  # (0,) like the old path
+    a = np.array(flat, dtype=np.float64).reshape(-1, 2)
+    return np.round(a).astype(np.int64)
 
 
 def points_array_to_string(arr) -> str:
     """(n,2) coords -> PAGE points attr, int-rounded like the
-    reference's export (core/layout.py:362-366)."""
-    return " ".join(
-        f"{int(np.round(p[0]))},{int(np.round(p[1]))}" for p in np.asarray(arr)
-    )
+    reference's export (core/layout.py:362-366). One vectorized round
+    instead of two numpy-scalar rounds per point — same half-to-even
+    integers, same string."""
+    a = np.asarray(arr)
+    if a.dtype == object:  # Arrow object array of per-point arrays
+        a = np.array([np.asarray(q, dtype=np.float64) for q in a])
+    r = np.round(a.astype(np.float64, copy=False)).astype(np.int64)
+    return " ".join("%d,%d" % (p[0], p[1]) for p in r.tolist())
 
 
 def export_id(eid: str, validate_change_id: bool) -> str:

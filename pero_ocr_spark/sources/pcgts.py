@@ -75,7 +75,34 @@ def _empty_lines_pdf() -> pd.DataFrame:
 def _pts(p) -> np.ndarray:
     """Arrow array<array<double>> cells arrive as object-dtype arrays
     of per-point arrays; coerce to a dense (n,2) float matrix."""
-    return np.asarray([np.asarray(q, dtype=np.float64) for q in p])
+    a = np.asarray(p)
+    if a.dtype != object:
+        return a.astype(np.float64, copy=False)
+    return np.array([np.asarray(q, dtype=np.float64) for q in a])
+
+
+def _doc_order(pdf: pd.DataFrame):
+    """(regions, line_order) replicating the exporters' pandas
+    ordering — regions sorted by (region_order, region_id), lines
+    within a region by (idx, line_id), both stable — as plain python
+    over column arrays (the groupby/sort_values/itertuples machinery
+    costs more than the XML build itself; ordering is identical
+    because the python tuple sort compares ints and strings exactly
+    like the pandas lexsort it replaces)."""
+    rids = pdf["region_id"].to_numpy()
+    orders = pdf["region_order"].to_numpy()
+    idxs = pdf["idx"].to_numpy()
+    lids = pdf["line_id"].to_numpy()
+    by_region: dict = {}
+    for i, rid in enumerate(rids):
+        by_region.setdefault(rid, []).append(i)
+    regions = sorted(
+        by_region.items(), key=lambda kv: (int(orders[kv[1][0]]), kv[0])
+    )
+    return [
+        (rid, rows, sorted(rows, key=lambda i: (idxs[i], lids[i])))
+        for rid, rows in regions
+    ]
 
 
 # ------------------------------------------------------------- export
@@ -108,21 +135,28 @@ def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame
             f'<Page imageFilename={quoteattr(page_id)} '
             f'imageWidth="{page_w}" imageHeight="{page_h}">',
         ]
-        regions = sorted(
-            pdf.groupby("region_id", sort=False),
-            key=lambda kv: (int(kv[1]["region_order"].iloc[0]), kv[0]),
-        )
+        c_order = pdf["region_order"].to_numpy()
+        c_rtype = pdf["region_type"].to_numpy()
+        c_poly = pdf["polygon"].to_numpy()
+        c_base = pdf["baseline"].to_numpy()
+        c_lid = pdf["line_id"].to_numpy()
+        c_idx = pdf["idx"].to_numpy()
+        c_hu = pdf["height_up"].to_numpy()
+        c_hd = pdf["height_down"].to_numpy()
+        c_conf = pdf["confidence"].to_numpy()
+        c_text = pdf["transcription"].to_numpy()
+        regions = _doc_order(pdf)
         parts.append('<ReadingOrder><OrderedGroup id="reading_order">')
-        for rid, rpdf in regions:
+        for rid, rows, _ in regions:
             parts.append(
                 f'<RegionRefIndexed regionRef={quoteattr(rid)} '
-                f'index="{int(rpdf["region_order"].iloc[0])}"/>'
+                f'index="{int(c_order[rows[0]])}"/>'
             )
         parts.append("</OrderedGroup></ReadingOrder>")
-        for rid, rpdf in regions:
-            rtype = rpdf["region_type"].iloc[0]
+        for rid, rows, line_rows in regions:
+            rtype = c_rtype[rows[0]]
             type_attr = f" type={quoteattr(rtype)}" if rtype else ""
-            polys = np.vstack([_pts(p) for p in rpdf["polygon"]])
+            polys = np.vstack([_pts(c_poly[i]) for i in rows])
             x0, y0 = polys[:, 0].min(), polys[:, 1].min()
             x1, y1 = polys[:, 0].max(), polys[:, 1].max()
             rcoords = U.points_array_to_string(
@@ -132,22 +166,23 @@ def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame
                 f"<TextRegion id={quoteattr(rid)}{type_attr}>"
                 f'<Coords points="{rcoords}"/>'
             )
-            for r in rpdf.sort_values(["idx", "line_id"]).itertuples(index=False):
+            for i in line_rows:
                 # omit conf when absent — the reference only writes it
                 # for lines that have one (core/layout.py:390-392);
                 # formatting a null would emit conf="nan"
+                conf = c_conf[i]
                 conf_attr = (
-                    f' conf="{r.confidence:.3f}"'
-                    if r.confidence is not None and not np.isnan(r.confidence)
+                    f' conf="{conf:.3f}"'
+                    if conf is not None and not np.isnan(conf)
                     else ""
                 )
                 parts.append(
-                    f"<TextLine id={quoteattr(r.line_id)} index=\"{int(r.idx)}\" "
-                    f'custom="heights_v2:[{r.height_up:.1f},{r.height_down:.1f}]">'
-                    f'<Coords points="{U.points_array_to_string(r.polygon)}"/>'
-                    f'<Baseline points="{U.points_array_to_string(r.baseline)}"/>'
+                    f"<TextLine id={quoteattr(c_lid[i])} index=\"{int(c_idx[i])}\" "
+                    f'custom="heights_v2:[{c_hu[i]:.1f},{c_hd[i]:.1f}]">'
+                    f'<Coords points="{U.points_array_to_string(c_poly[i])}"/>'
+                    f'<Baseline points="{U.points_array_to_string(c_base[i])}"/>'
                     f"<TextEquiv{conf_attr}>"
-                    f"<Unicode>{escape(r.transcription)}</Unicode>"
+                    f"<Unicode>{escape(c_text[i])}</Unicode>"
                     "</TextEquiv></TextLine>"
                 )
             parts.append("</TextRegion>")
@@ -278,12 +313,11 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
             f'<Page ID="xml{escape(str(doc_id))}" HEIGHT="{page_h}" '
             f'WIDTH="{page_w}" PHYSICAL_IMG_NR="1"><PrintSpace>',
         ]
-        regions = sorted(
-            pdf.groupby("region_id", sort=False),
-            key=lambda kv: (int(kv[1]["region_order"].iloc[0]), kv[0]),
-        )
-        for rid, rpdf in regions:
-            polys = np.vstack([_pts(p) for p in rpdf["polygon"]])
+        c_poly = pdf["polygon"].to_numpy()
+        c_base = pdf["baseline"].to_numpy()
+        c_text = pdf["transcription"].to_numpy()
+        for rid, rows, line_rows in _doc_order(pdf):
+            polys = np.vstack([_pts(c_poly[i]) for i in rows])
             bx0, by0 = int(polys[:, 0].min()), int(polys[:, 1].min())
             bw = int(polys[:, 0].max()) - bx0
             bh = int(polys[:, 1].max()) - by0
@@ -291,9 +325,9 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
                 f"<TextBlock ID={quoteattr(rid)} HPOS=\"{bx0}\" VPOS=\"{by0}\" "
                 f'WIDTH="{bw}" HEIGHT="{bh}">'
             )
-            for r in rpdf.sort_values(["idx", "line_id"]).itertuples(index=False):
-                bl = _pts(r.baseline)
-                poly = _pts(r.polygon)
+            for i in line_rows:
+                bl = _pts(c_base[i])
+                poly = _pts(c_poly[i])
                 hpos = int(poly[:, 0].min())
                 vpos = int(poly[:, 1].min())
                 width = int(poly[:, 0].max()) - hpos
@@ -302,7 +336,7 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
                     f'<TextLine HPOS="{hpos}" VPOS="{vpos}" WIDTH="{width}" '
                     f'HEIGHT="{height}" BASELINE="{int(bl[0][1])}">'
                 )
-                for b in word_boxes(r.transcription):
+                for b in word_boxes(c_text[i]):
                     parts.append(
                         f"<String CONTENT={quoteattr(b['content'])} "
                         f"HPOS=\"{hpos + b['hpos']}\" VPOS=\"{vpos}\" "
