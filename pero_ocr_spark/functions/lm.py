@@ -27,12 +27,16 @@ from pyspark.sql import functions as F
 def train_char_bigrams(docs: DataFrame, col: str = "text") -> dict[str, int]:
     """Corpus char-bigram counts via one exploded aggregation.
     Returns {2-char string: count} — O(charset²) rows collected."""
+    from pero_ocr_spark.operators import spread_scan
+
     grams = F.expr(
         f"transform(sequence(1, length({col}) - 1), "
         f"i -> substring({col}, i, 2))"
     )
     rows = (
-        docs.filter(F.length(col) >= 2)
+        # the per-char gram fold is the expensive in-row part; spread a
+        # starved single-split local scan first (no-op at corpus scale)
+        spread_scan(docs).filter(F.length(col) >= 2)
         .select(F.explode(grams).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("n"))
