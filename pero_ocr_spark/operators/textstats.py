@@ -1177,14 +1177,17 @@ def nb_quality_classifier(docs: DataFrame, labels: DataFrame) -> DataFrame:
     lab_tr = labels.filter(F.col("doc_id") % 2 == 0)
     tr = tok.join(lab_tr, "doc_id")
     # the vocab count table feeds TWO consumers (the class-scalar
-    # collect here and the scoring join below) — persist it so the
-    # corpus token explode + label join materializes once; the small
-    # cached table is left to Spark's LRU like the session's other
-    # derived-table caches
+    # collect here and the scoring join below) — pin it so the corpus
+    # token explode + label join materializes once. localCheckpoint
+    # (not persist): checkpoint blocks are released by the context
+    # cleaner when the frame goes out of scope, whereas a persist
+    # registered in the CacheManager outlives the query and
+    # accumulates across bench sweeps (208 queries/run) until LRU
+    # eviction pressure — the r5 ADVICE leak
     cnt = tr.groupBy("t").agg(
         F.sum(F.col("label").cast("long")).alias("cp"),
         F.sum((~F.col("label")).cast("long")).alias("cn"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     np_, nn_, v_ = cnt.agg(
         F.sum("cp"), F.sum("cn"), F.count(F.lit(1))
     ).first()

@@ -724,7 +724,12 @@ def robots_verdicts(
         )
         .drop("_hs")
     )
-    j = urls.join(F.broadcast(sel), "host", "left")
+    # no forced broadcast: at the 10^7-host scale this docstring
+    # targets the parsed-rules table is ~10^8 rows — far past any
+    # broadcast threshold. The host-keyed hash join is the safe
+    # default; the planner still broadcasts automatically whenever the
+    # rules frame is actually small (as at every local scale factor).
+    j = urls.join(sel, "host", "left")
     score = F.when(
         F.col("pattern_re").isNotNull()
         & F.expr("path rlike pattern_re"),
