@@ -31,6 +31,7 @@ would be capped with a per-bucket limit + salting, noted inline.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1125,11 +1126,95 @@ def _word_gram_hashes(text, k: int):
     )
 
 
+def _winnow_doc_kernel(text: str, k: int, w: int):
+    """numpy twin of the Catalyst winnowing row expression
+    (:func:`_doc_fingerprints_catalyst`) — same word k-gram polynomial
+    hashes (fold (a·31 + codepoint) mod p over the gram's characters,
+    grams taken as exact substrings of the text since a split-on-space
+    rejoin reconstructs it), same window minima with rightmost
+    tie-break, same first-occurrence dedup. Vectorized: gram hashes
+    advance one character position per step across ALL grams at once;
+    the window min/rightmost-argmin is one sliding-window pass.
+    Returns None when the doc has no grams (caller drops the row, like
+    the size>0 filter). Fuzz-pinned equal to the Catalyst path by
+    tests/test_dedup.py."""
+    import pandas as pd
+
+    words = text.split(" ")
+    ng = len(words) - k + 1
+    if ng <= 0:
+        return None
+    lens = np.fromiter(
+        (len(wd) for wd in words), dtype=np.int64, count=len(words)
+    )
+    starts = np.zeros(len(words), dtype=np.int64)
+    if len(words) > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    g_start = starts[:ng]
+    g_len = (starts[k - 1 : k - 1 + ng] + lens[k - 1 : k - 1 + ng]) - g_start
+    h = np.zeros(ng, dtype=np.uint64)
+    p_ = np.uint64(HASH_P)
+    t31 = np.uint64(31)
+    for t in range(int(g_len.max())):
+        m = g_len > t
+        hm = h[m]
+        hm *= t31
+        hm += cps[g_start[m] + t]
+        hm %= p_
+        h[m] = hm
+    n_win = max(ng - w + 1, 1)
+    if ng >= w:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)[:n_win]
+    else:
+        win = h.reshape(1, ng)
+    rev = win[:, ::-1]
+    j = win.shape[1] - 1 - np.argmin(rev, axis=1)
+    return pd.unique(h[np.arange(n_win) + j]).astype(np.int64)
+
+
 def _doc_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
     """(doc_id, fps array) — the per-doc distinct winnowing
     fingerprint ARRAY; see :func:`winnow_fingerprints` for semantics.
     Kept un-exploded so callers with several consumers can materialize
-    ONE bounded row per document."""
+    ONE bounded row per document.
+
+    The selection runs in the vectorized Arrow kernel
+    (:func:`_winnow_doc_kernel`): the per-character interpreted hash
+    fold was the dominant cost of every winnowing consumer (guide
+    §4.2 — hand whole batches to vectorized native code). The original
+    Catalyst formulation is kept below as the fuzz-pinned semantics
+    twin."""
+    import pandas as pd
+
+    from pero_ocr_spark.operators import spread_scan
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                out = _winnow_doc_kernel(text, k, w)
+                if out is None:
+                    continue
+                ids.append(did)
+                fps.append(out)
+            yield pd.DataFrame({"doc_id": ids, "fps": fps})
+
+    return spread_scan(docs.select("doc_id", "text")).mapInPandas(
+        gen, schema=f"doc_id {id_type}, fps array<bigint>"
+    )
+
+
+def _doc_fingerprints_catalyst(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """The original all-Catalyst winnowing selection — retained as the
+    semantics reference the kernel is fuzz-tested against (and the
+    shape the DuckDB oracle replicates)."""
     hs = F.col("__hs")
     n_win = F.greatest(F.size(hs) - w + 1, F.lit(1))
     # per-window minima hoisted into a BOUND column: referencing the

@@ -343,3 +343,32 @@ def test_incremental_near_dup_stable_id_recrawl(spark):
     out = incremental_near_dup(snapshot, batch, threshold=0.9).collect()[0]
     assert out["is_dup"] and out["dup_of"] == 5
     assert out["best_jaccard"] == 1.0  # union-verify would report 0.333
+
+
+class TestWinnowKernelEquivalence:
+    """r6 guard: the vectorized winnowing fingerprint kernel must stay
+    row-for-row equal to the original Catalyst selection it replaced
+    (kept as dedup._doc_fingerprints_catalyst)."""
+
+    def test_kernel_matches_catalyst_on_fuzz_docs(self, spark):
+        import random
+
+        random.seed(31)
+        vocab = ["alpha", "beta", "gamma", "dd", "e", "ffff", "", "x" * 40]
+        rows = []
+        for i in range(120):
+            nw = random.randint(0, 15)
+            rows.append((i, " ".join(random.choice(vocab) for _ in range(nw))))
+        rows.append((900, ""))       # no grams -> dropped by both paths
+        rows.append((901, "one two"))  # fewer words than k
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for (k, w) in ((3, 4), (2, 3)):
+            new = {
+                r["doc_id"]: list(r["fps"])
+                for r in dedup._doc_fingerprints(docs, k, w).collect()
+            }
+            old = {
+                r["doc_id"]: list(r["fps"])
+                for r in dedup._doc_fingerprints_catalyst(docs, k, w).collect()
+            }
+            assert new == old
