@@ -66,6 +66,39 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shs array<string>) — each document's DISTINCT word
+    n-gram set as one bounded row, lazily localCheckpointed.
+
+    The shared substrate of the pair pipelines: every one of them
+    consumes the shingle stream in 2-4 plan subtrees (signature pass +
+    verification sides, frequency pass + join-backs), and Spark 4.1
+    finalized plans do not reuse identical exchanges, so without
+    materialization the split + gram fold re-runs once PER SUBTREE.
+    Materializing the un-exploded per-doc arrays (one row per doc,
+    array bounded by document length — the same bound the winnowing
+    fingerprint arrays already use) runs the fold once; downstream
+    explodes are cheap. The exploded stream itself is never persisted
+    (that would be ~n_words × corpus rows).
+    """
+    from pero_ocr_spark.operators import spread_scan, word_gram_array
+
+    d = (
+        spread_scan(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+    )
+    return d.select(
+        "doc_id",
+        F.array_distinct(word_gram_array(F.col("ws"), n)).alias("shs"),
+    ).localCheckpoint(eager=False)
+
+
+def _explode_shingles(arr: DataFrame) -> DataFrame:
+    """(doc_id, shs) → the (doc_id, shingle) stream of :func:`shingles`."""
+    return arr.select("doc_id", F.explode("shs").alias("shingle"))
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup: one row per distinct text with canonical doc and
     multiplicity. A plain hash aggregation — Catalyst does map-side
@@ -77,12 +110,16 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
+def _pair_jaccard(sh: DataFrame, sizes: DataFrame | None = None) -> DataFrame:
     """Exact jaccard for ALL doc pairs sharing ≥1 shingle — the
     inverted-index self-join. This is the exact baseline's engine; the
     LSH path verifies candidates pair-wise instead (``_verify_pairs``)
-    so non-candidate pairs never enter a shuffle."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    so non-candidate pairs never enter a shuffle. ``sizes``: optional
+    precomputed (doc_id, n) frame (derived in-row from the shingle
+    arrays by callers on the :func:`doc_shingle_arrays` substrate —
+    skips one corpus groupBy)."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -110,16 +147,18 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 
 
 def _verify_pairs(
-    sh: DataFrame, cands: DataFrame, sh_b: DataFrame | None = None
+    arr: DataFrame, cands: DataFrame, arr_b: DataFrame | None = None
 ) -> DataFrame:
     """Exact jaccard for candidate pairs ONLY: join each side of the
-    pair list to the per-doc shingle SET (one collect_set groupBy) and
-    intersect the two arrays. Cost ∝ |candidates|, never ∝ co-shingled
-    pairs — the full inverted-index self-join is never built, so the
-    LSH pruning actually prunes. Two shuffles on doc id; per-doc
-    shingle arrays are bounded by document length.
+    pair list to the per-doc shingle SET and intersect the two arrays.
+    Cost ∝ |candidates|, never ∝ co-shingled pairs — the full
+    inverted-index self-join is never built, so the LSH pruning
+    actually prunes. Inputs are the (doc_id, shs) ARRAY frames from
+    :func:`doc_shingle_arrays` — the set and its size are already
+    in-row (the arrays are distinct by construction), so the former
+    per-side collect_set groupBy shuffles are gone entirely.
 
-    ``sh_b``: optional SEPARATE shingle frame for the ``doc_b`` side.
+    ``arr_b``: optional SEPARATE array frame for the ``doc_b`` side.
     When the two pair sides come from different corpora (incremental
     batch vs snapshot), each side MUST resolve its shingles in its own
     frame — unioning them double-counts any doc_id present in both
@@ -127,16 +166,18 @@ def _verify_pairs(
     jaccard for every pair that doc touches."""
 
     def doc_sets(frame):
-        return frame.groupBy("doc_id").agg(
-            F.collect_set("shingle").alias("sset"), F.count("*").alias("n")
+        return frame.select(
+            "doc_id",
+            F.col("shs").alias("sset"),
+            F.size("shs").cast("long").alias("n"),
         )
 
-    a = doc_sets(sh).select(
+    a = doc_sets(arr).select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),
         F.col("n").alias("na"),
     )
-    b = doc_sets(sh if sh_b is None else sh_b).select(
+    b = doc_sets(arr if arr_b is None else arr_b).select(
         F.col("doc_id").alias("doc_b"),
         F.col("sset").alias("set_b"),
         F.col("n").alias("nb"),
@@ -159,9 +200,14 @@ def _verify_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """EXACT near-duplicate pairs by word-n-gram jaccard ≥ threshold."""
-    sh = shingles(docs, n)
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    """EXACT near-duplicate pairs by word-n-gram jaccard ≥ threshold.
+    Runs on the checkpointed array substrate: the gram fold runs once,
+    not once per self-join side, and sizes come in-row."""
+    arr = doc_shingle_arrays(docs, n)
+    sizes = arr.select("doc_id", F.size("shs").cast("long").alias("n"))
+    return _pair_jaccard(_explode_shingles(arr), sizes).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def common_passages(docs: DataFrame, n: int = 3, min_docs: int = 3) -> DataFrame:
@@ -174,13 +220,13 @@ def common_passages(docs: DataFrame, n: int = 3, min_docs: int = 3) -> DataFrame
     ``groupBy(shingle).count()`` IS the distinct-document frequency; the
     surviving common-gram set is the frequency tail (tiny relative to
     the corpus) and broadcasts back onto the per-doc shingle stream —
-    no self-join, no pair blowup, two key-shuffles total. The documents
-    scan runs twice (frequency branch + join-back branch) by design:
-    re-scanning parquet is cheaper than persisting the exploded
-    shingle stream (~n_words × corpus) that a single-scan plan would
-    have to materialize.
+    no self-join, no pair blowup, two key-shuffles total. Both branches
+    (frequency + join-back) explode the SAME checkpointed per-doc
+    array substrate (:func:`doc_shingle_arrays`), so the split + gram
+    fold runs once; the exploded stream itself is still never
+    materialized (that would be ~n_words × corpus rows).
     """
-    sh = shingles(docs, n)
+    sh = _explode_shingles(doc_shingle_arrays(docs, n))
     common = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("nd"))
@@ -262,8 +308,12 @@ def minhash_lsh_pairs(
     ONLY co-bucket in oversized buckets (each true near-dup pair still
     has 31 other bands to meet in). Default None = exact candidates.
     """
-    sh = shingles(docs, n)
-    sig = minhash_signatures(sh, n_perm)
+    arr = doc_shingle_arrays(docs, n)
+    # the signature frame feeds BOTH self-join sides of the band join;
+    # one bounded row per doc — materialize it once like the substrate
+    sig = minhash_signatures(_explode_shingles(arr), n_perm).localCheckpoint(
+        eager=False
+    )
     buckets = _band_buckets(sig, n_perm, n_bands)
     if max_bucket is not None:
         buckets = _cap_buckets(buckets, max_bucket)
@@ -275,7 +325,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+    return _verify_pairs(arr, cands).filter(F.col("jaccard") >= threshold)
 
 
 def duplicate_clusters(
@@ -1053,8 +1103,9 @@ def containment_pairs(
     ``minhash_lsh_pairs`` — containment is just a different final
     expression over the same (common, na, nb) triple.
     """
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    arr = doc_shingle_arrays(docs, n)
+    sh = _explode_shingles(arr)
+    sizes = arr.select("doc_id", F.size("shs").cast("long").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -1383,7 +1434,8 @@ def prefix_filter_pairs(
     and a candidate equi-join over ~(1−t) of the posting volume with
     its heaviest lists removed by construction. Nothing is
     probabilistic and nothing is all-pairs."""
-    sh = shingles(docs, n)
+    arr = doc_shingle_arrays(docs, n)
+    sh = _explode_shingles(arr)
     df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     per_doc = (
         sh.join(df_tab, "shingle")
@@ -1421,7 +1473,7 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs(sh, cands).filter(
+    return _verify_pairs(arr, cands).filter(
         F.col("jaccard") >= F.lit(num) / F.lit(den)
     )
 
@@ -1460,10 +1512,14 @@ def incremental_near_dup(
     pair has 32 bands to meet in. Leave None unless a boilerplate
     bucket measurably dominates the join.
     """
-    sh_s = shingles(snapshot, n)
-    sh_b = shingles(batch, n)
-    bk_s = _band_buckets(minhash_signatures(sh_s, n_perm), n_perm, n_bands)
-    bk_b = _band_buckets(minhash_signatures(sh_b, n_perm), n_perm, n_bands)
+    arr_s = doc_shingle_arrays(snapshot, n)
+    arr_b = doc_shingle_arrays(batch, n)
+    bk_s = _band_buckets(
+        minhash_signatures(_explode_shingles(arr_s), n_perm), n_perm, n_bands
+    )
+    bk_b = _band_buckets(
+        minhash_signatures(_explode_shingles(arr_b), n_perm), n_perm, n_bands
+    )
     if max_bucket is not None:
         # same degenerate-bucket guard as minhash_lsh_pairs: a
         # boilerplate bucket of B snapshot docs joined by b batch docs
@@ -1480,7 +1536,7 @@ def incremental_near_dup(
     # recrawl) resolves each pair side in its own corpus — the union
     # would double-count its shingles and a true dup could fall below
     # threshold (jaccard 1.0 computed as 0.33)
-    verified = _verify_pairs(sh_b, cands, sh_b=sh_s).filter(
+    verified = _verify_pairs(arr_b, cands, arr_b=arr_s).filter(
         F.col("jaccard") >= threshold
     )
     best = verified.groupBy("doc_a").agg(
