@@ -83,7 +83,7 @@ def train_bpe(
     spark = docs.sparkSession
     # loop-invariant base table persisted; the per-iteration encodings
     # are a (cheap) literal-replace chain layered on top of it
-    vocab = word_vocabulary(docs).persist()
+    vocab = word_vocabulary(docs).localCheckpoint(eager=False)
     rows: list[tuple] = []
     for rank in range(1, n_merges + 1):
         syms = _symbols(F.col("enc"))

@@ -123,7 +123,7 @@ def pagerank(
     edges = synth_edges(docs, n_docs)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # loop-invariant: each edge carries its source's out-degree
-    weighted = edges.join(outdeg, "src").persist()
+    weighted = edges.join(outdeg, "src").localCheckpoint(eager=False)
 
     teleport = (1.0 - damping) / n_docs
     ranks = nodes.select("doc_id", F.lit(1.0 / n_docs).alias("rank"))
@@ -294,7 +294,7 @@ def hits(docs: DataFrame, n_docs: int, iterations: int = 3) -> DataFrame:
     cost of iterated graph algorithms.
     """
     nodes = docs.select("doc_id")
-    edges = synth_edges(docs, n_docs).persist()
+    edges = synth_edges(docs, n_docs).localCheckpoint(eager=False)
     hub = nodes.select("doc_id", F.lit(1.0).alias("hub"))
     auth = None
     for _ in range(iterations):
@@ -526,7 +526,7 @@ def label_propagation(
             edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("community"))
     for _ in range(iterations):
@@ -635,7 +635,7 @@ def trustrank(
     n_seeds = (n_docs + seed_mod - 1) // seed_mod
     edges = synth_edges(docs, n_docs)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    weighted = edges.join(outdeg, "src").persist()
+    weighted = edges.join(outdeg, "src").localCheckpoint(eager=False)
 
     teleport = F.when(is_seed, F.lit((1.0 - damping) / n_seeds)).otherwise(
         F.lit(0.0)
@@ -697,7 +697,7 @@ def bfs_depth(
             edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     dist = nodes.select("doc_id").join(
         seeds.select("doc_id", F.lit(0).alias("depth")), "doc_id", "left"

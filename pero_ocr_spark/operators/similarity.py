@@ -331,7 +331,7 @@ def kmeans_assign(
     # dominates re-reads (classic k-means "cache the points")
     base = _spread(
         emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     # round init centroids ENGINE-side: SQL round is half-away-from-zero
     # in both Spark and DuckDB, while Python's round is half-even — a
     # float32 multiple of 1/128 lands exactly on a 5e-7 boundary and
@@ -633,7 +633,7 @@ def top_component(
     # so the parquet read + array cast don't repeat per iteration
     base = _spread(
         emb.select(id_col, _to_double(F.col("embedding")).alias("d"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     n_dims = len(base.select("d").first()["d"])
     v = [1.0] * n_dims
     for _ in range(iterations):
@@ -856,7 +856,7 @@ def pq_topk(
             ).alias("s"),
         )
         .select(id_col, F.col("s.j").alias("j"), F.col("s.e").alias("e"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     assign, cents = _lloyd_multi(subs, ksub, iters, id_col)
