@@ -81,12 +81,14 @@ _EXTRACTED_CTE = f"""
 )
 """
 
-# Queries with a green external-driver correctness row across rounds 1-4
-# (union of CORRECTNESS_r01..r04 keys = 104 names). The driver walks
-# `queries()` in dict order with a ~50-per-round cap, so the
-# not-yet-driver-checked entries yield FIRST — a green external row is
-# worth ten self-checks. Remove names from this set only if a later
-# round's CORRECTNESS file drops them.
+# Queries with a green external-driver correctness row across rounds 1-5
+# (union of CORRECTNESS_r01..r05 keys = 154 names; the 50 r5 names were
+# folded in at the start of round 6 per the r5 verdict so the remaining
+# 54 never-checked queries yield first). The driver walks `queries()`
+# in dict order with a ~50-per-round cap, so the not-yet-driver-checked
+# entries yield FIRST — a green external row is worth ten self-checks.
+# Remove names from this set only if a later round's CORRECTNESS file
+# drops them.
 _DRIVER_CHECKED = frozenset({
     "alto_roundtrip", "alto_word_roundtrip", "cer_aggregate", "cn_best_path",
     "confidence_filter_agg", "corpus_balanced_shards",
@@ -126,6 +128,27 @@ _DRIVER_CHECKED = frozenset({
     "warc_charset_decode", "warc_gzip_ingest", "warc_html_spans",
     "warc_ingest", "warc_redirect_resolution", "warc_robots_filter",
     "warc_stream_ingest", "web_anchor_text", "web_pagerank",
+    # --- round 5 driver rows (CORRECTNESS_r05) ---
+    "corpus_bucketed_join", "corpus_dataset_card", "crawl_robots_eval",
+    "crawl_sitemap_discovery", "dedup_incremental_near_dup",
+    "dedup_prefix_filter", "embedding_outlier_scores",
+    "error_bleu_corpus", "error_chrf_corpus", "events_anomaly_mad",
+    "events_asof_join", "events_cusum", "events_ewma", "events_holt",
+    "events_holt_winters", "events_range_join",
+    "events_stream_hll_users", "events_stream_left_outer",
+    "extract_spans_markdown", "html_extract_metadata",
+    "html_render_markdown", "html_table_markdown",
+    "icetable_changelog_cdc", "icetable_incremental_view",
+    "jsonl_ingest", "lm_stupid_backoff", "merge_engine_agreement",
+    "ocr_select_embed_id", "quality_calibration_bins",
+    "quality_classifier_auc", "quality_classifier_nb",
+    "similarity_ann_binary", "similarity_recall_eval",
+    "sketch_cms_heavy_hitters", "sketch_histogram_quantiles",
+    "sketch_hll_shingles", "sketch_kmv_snapshot_overlap",
+    "text_fix_mojibake", "text_readability", "text_textrank_summary",
+    "training_fim_transform", "web_bfs_depth", "web_communities_lpa",
+    "web_components", "web_hits", "web_host_graph", "web_kcore",
+    "web_random_walks", "web_triangles", "web_trustrank",
 })
 
 # Within the unchecked block, the highest-value queries go first — the
