@@ -1254,8 +1254,18 @@ def _doc_fingerprints(docs: DataFrame, k: int, w: int) -> DataFrame:
                 if out is None:
                     continue
                 ids.append(did)
-                fps.append(out)
-            yield pd.DataFrame({"doc_id": ids, "fps": fps})
+                fps.append(out.tolist())
+            # explicit object dtype: an EMPTY batch (tiny input spread
+            # over more partitions than docs) would otherwise build
+            # float64 columns, which Arrow refuses to cast to
+            # list<bigint> (NumPyConverter); object columns convert on
+            # every shape, empty included
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "fps": pd.Series(fps, dtype="object"),
+                }
+            )
 
     return spread_scan(docs.select("doc_id", "text")).mapInPandas(
         gen, schema=f"doc_id {id_type}, fps array<bigint>"
