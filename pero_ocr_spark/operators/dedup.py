@@ -1008,31 +1008,106 @@ def duplicated_passage_spans(
     )
 
 
-def cdc_chunk_dedup(
-    docs: DataFrame, k: int = 8, mask: int = 32
-) -> DataFrame:
-    """Content-defined-chunking dedup (the Rabin-fingerprint family,
-    cf. LBFS/restic/storage dedup and shift-resistant corpus dedup):
-    a chunk boundary falls AFTER every position whose rolling ``k``-
-    char hash ≡ 0 (mod ``mask``), so boundaries move WITH the content
-    — an insertion early in a document shifts every fixed-window
-    passage but leaves all downstream CDC chunks (and their dedup
-    hits) intact, the property fixed-stride chunking
-    (``duplicated_passage_spans``) lacks.
+def _cdc_doc_kernel(
+    text: str, k: int, mask: int, pows: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """numpy twin of the Catalyst CDC chunker row expression
+    (:func:`_cdc_stream_catalyst`) — same boundary rule (cut after
+    every 1-based position ``i`` in ``[k, n)`` whose k-char window
+    polynomial hash ≡ 0 mod ``mask``), same per-chunk polynomial hash
+    (fold (a·31 + codepoint) mod p). Vectorized: window hashes are one
+    sliding-window matmul; chunk hashes are one weighted segment sum
+    (codepoint · 31^(r−1−t) mod p, ``np.add.reduceat`` over the chunk
+    bounds — congruent to the serial Horner fold because every partial
+    product is reduced mod p before summing, and a 4·10^9-char chunk
+    still fits the int64 accumulator). ``pows`` is the caller's
+    31^e mod p table, at least len(text)+1 long. Returns (clen, chash)
+    int64 arrays, one entry per chunk; the empty text yields the single
+    empty chunk (len 0, hash 0) like the expression form."""
+    if not text:
+        z = np.zeros(1, dtype=np.int64)
+        return z, z.copy()
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    n = len(cps)
+    if n >= k:
+        sw = np.lib.stride_tricks.sliding_window_view(cps, k)
+        # direct dot with un-reduced 31^(k-1)..31^0 weights: max term
+        # 0x10FFFF·31^7 ≈ 3e16, k of them ≈ 2.4e17 — no int64 overflow,
+        # and one mod at the end is congruent to the per-step fold
+        kp = 31 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        h = (sw @ kp) % HASH_P
+        ends = np.arange(k, n + 1, dtype=np.int64)
+        cuts = ends[(h % mask == 0) & (ends < n)]
+    else:
+        cuts = np.empty(0, dtype=np.int64)
+    bounds = np.concatenate(
+        (np.zeros(1, dtype=np.int64), cuts, np.array([n], dtype=np.int64))
+    )
+    lo, hi = bounds[:-1], bounds[1:]
+    clen = hi - lo
+    r_end = np.repeat(hi, clen)
+    w_ = pows[r_end - 1 - np.arange(n, dtype=np.int64)]
+    prod = (cps * w_) % HASH_P
+    chash = np.add.reduceat(prod, lo) % HASH_P
+    return clen, chash
 
-    Per doc: split into CDC chunks, hash each, flag chunks whose hash
-    occurs in ≥2 docs (min≠max window on the chunk hash — no join, no
-    count-distinct), report per-doc chunk totals and the duplicated
-    char fraction.
 
-    Plan shape: chunking + hashing are fully IN-ROW (the rolling hash
-    re-slices a projected char array — O(n·k) per row inside codegen,
-    nothing inline re-evaluates); then exactly two fixed-width
-    shuffles, (chash) for the cross-doc flag and (doc_id) for the
-    re-agg, both map-side combinable. Chunk texts never shuffle — only
-    64-bit hashes and lengths. The rolling-hash fold is the dominant
-    cost and runs in the SCAN stage, so a single-file local input is
-    spread first (no-op on a real multi-split corpus scan)."""
+def _cdc_stream(docs: DataFrame, k: int, mask: int) -> DataFrame:
+    """(doc_id, clen, chash) — one row per CDC chunk, computed in the
+    vectorized Arrow kernel (:func:`_cdc_doc_kernel`): the per-window
+    interpreted Catalyst hash fold (O(n·k) lambda steps per document)
+    was the dominant cost of ``dedup_cdc_chunks``; the original
+    expression formulation is kept as the fuzz-pinned semantics twin
+    (:func:`_cdc_stream_catalyst`)."""
+    import pandas as pd
+
+    from pero_ocr_spark.operators import spread_scan
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        pows = [1]
+        pows_np = np.array(pows, dtype=np.int64)
+        for pdf in batches:
+            need = max((len(t) for t in pdf["text"] if t), default=0) + 1
+            if need > len(pows):
+                while len(pows) < need:
+                    pows.append(pows[-1] * 31 % HASH_P)
+                pows_np = np.array(pows, dtype=np.int64)
+            ids, lens, hashes = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                clen, chash = _cdc_doc_kernel(text, k, mask, pows_np)
+                ids.extend([did] * len(clen))
+                lens.append(clen)
+                hashes.append(chash)
+            # object dtype so EMPTY batches (input spread over more
+            # partitions than docs) still convert to the Arrow schema
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "clen": pd.Series(
+                        np.concatenate(lens) if lens else [], dtype="object"
+                    ),
+                    "chash": pd.Series(
+                        np.concatenate(hashes) if hashes else [],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return spread_scan(docs.select("doc_id", "text")).mapInPandas(
+        gen, schema=f"doc_id {id_type}, clen long, chash long"
+    )
+
+
+def _cdc_stream_catalyst(docs: DataFrame, k: int, mask: int) -> DataFrame:
+    """The original all-Catalyst CDC chunk stream — retained as the
+    semantics reference the kernel is fuzz-tested against (and the
+    shape the DuckDB oracle replicates). The rolling-hash fold runs in
+    the SCAN stage, so a single-file local input is spread first
+    (no-op on a real multi-split corpus scan)."""
     from pero_ocr_spark.operators import spread_scan
 
     docs = spread_scan(docs)
@@ -1061,13 +1136,42 @@ def cdc_chunk_dedup(
         F.slice(bounds, 2, F.size(bounds) - 1),
         lambda lo, hi: F.concat_ws("", F.slice(F.col("cs"), lo + 1, hi - lo)),
     )
-    stream = d.select(
+    return d.select(
         "doc_id", F.explode(chunks).alias("chunk")
     ).select(
         "doc_id",
-        F.length("chunk").alias("clen"),
+        F.length("chunk").cast("long").alias("clen"),
         _portable_word_hash(F.col("chunk")).alias("chash"),
     )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, k: int = 8, mask: int = 32
+) -> DataFrame:
+    """Content-defined-chunking dedup (the Rabin-fingerprint family,
+    cf. LBFS/restic/storage dedup and shift-resistant corpus dedup):
+    a chunk boundary falls AFTER every position whose rolling ``k``-
+    char hash ≡ 0 (mod ``mask``), so boundaries move WITH the content
+    — an insertion early in a document shifts every fixed-window
+    passage but leaves all downstream CDC chunks (and their dedup
+    hits) intact, the property fixed-stride chunking
+    (``duplicated_passage_spans``) lacks.
+
+    Per doc: split into CDC chunks, hash each, flag chunks whose hash
+    occurs in ≥2 docs (min≠max window on the chunk hash — no join, no
+    count-distinct), report per-doc chunk totals and the duplicated
+    char fraction.
+
+    Plan shape: chunking + hashing are fully IN-ROW — one vectorized
+    per-document Arrow stage (:func:`_cdc_doc_kernel`; the interpreted
+    Catalyst fold it replaced is retained as the fuzz-pinned twin
+    :func:`_cdc_stream_catalyst`); then exactly two fixed-width
+    shuffles, (chash) for the cross-doc flag and (doc_id) for the
+    re-agg, both map-side combinable. Chunk texts never shuffle — only
+    64-bit hashes and lengths. The rolling-hash kernel runs in the
+    SCAN stage, so a single-file local input is spread first (no-op on
+    a real multi-split corpus scan)."""
+    stream = _cdc_stream(docs, k, mask)
     w = Window.partitionBy("chash")
     flagged = stream.withColumn(
         "dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)

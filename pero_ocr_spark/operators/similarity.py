@@ -829,7 +829,11 @@ def pq_topk(
     rounded to 9 (matching the oracle's sequential list_sum), and the
     final ADC sum is a FIXED-ORDER 4-term addition rounded to 6.
     """
-    base = _spread(emb.select(id_col, _to_double(F.col("embedding")).alias("e")))
+    # base feeds three consumers (the dim probe, the query collect, the
+    # subspace explode) — checkpoint so the array cast parses once
+    base = _spread(
+        emb.select(id_col, _to_double(F.col("embedding")).alias("e"))
+    ).localCheckpoint(eager=False)
     dims = len(base.select("e").first()["e"])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
@@ -1066,7 +1070,12 @@ def kmeans_outlier_scores(
     cell) broadcast back onto the assignment — nothing corpus-sized
     moves.
     """
-    assign = kmeans_assign(emb, k=k, iters=iters, with_dist=True)
+    # the final-assignment subtree (crossJoin + min_by argmin over the
+    # corpus) is consumed TWICE — the per-cell moment aggregate and the
+    # score join — and finalized plans do not share it; materialize once
+    assign = kmeans_assign(emb, k=k, iters=iters, with_dist=True).localCheckpoint(
+        eager=False
+    )
     d6 = F.col("dist").cast("decimal(18,6)")
     stats = assign.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),

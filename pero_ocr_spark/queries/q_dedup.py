@@ -258,10 +258,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus) fans out into both pair sides, the CC iteration, and
     # the final join — materialize it once
     assign = similarity.kmeans_assign(emb, k=8, iters=3).localCheckpoint()
+    # the norm+join frame feeds BOTH self-join sides — finalized plans
+    # do not share the subtree, so without a checkpoint the embedding
+    # parse + norm + join run once per side
     v = (
         similarity.with_norm(emb)
         .join(assign, "vec_id")
         .select("vec_id", "cell", "embedding", "nrm")
+        .localCheckpoint(eager=False)
     )
     a = v.select(
         "cell",

@@ -372,3 +372,31 @@ class TestWinnowKernelEquivalence:
                 for r in dedup._doc_fingerprints_catalyst(docs, k, w).collect()
             }
             assert new == old
+
+
+class TestCdcKernelEquivalence:
+    """r6 guard: the vectorized CDC chunk kernel must stay
+    row-for-row equal to the original Catalyst chunk stream it
+    replaced (kept as dedup._cdc_stream_catalyst)."""
+
+    def test_kernel_matches_catalyst_on_fuzz_docs(self, spark):
+        import random
+
+        random.seed(137)
+        alphabet = "abcdefgh XYZ.,é世\U0001F600"
+        rows = []
+        for i in range(120):
+            n = random.randint(0, 60)
+            rows.append((i, "".join(random.choice(alphabet) for _ in range(n))))
+        rows.append((900, ""))            # empty text -> one empty chunk
+        rows.append((901, "short"))       # shorter than the window
+        rows.append((902, "a" * 500))     # long repetitive run
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for (k, mask) in ((8, 32), (4, 8)):
+            new = sorted(
+                map(tuple, dedup._cdc_stream(docs, k, mask).collect())
+            )
+            old = sorted(
+                map(tuple, dedup._cdc_stream_catalyst(docs, k, mask).collect())
+            )
+            assert new == old
