@@ -21,12 +21,72 @@ import math
 import numpy as np
 
 
+_V_CACHE: dict = {}
+
+
+def _height_steps(heights: tuple[float, float], target_height: int) -> np.ndarray:
+    """Memoized np.linspace(-asc, desc, target_height) column — constant
+    per (heights, target_height), rebuilt per line otherwise (a measured
+    ~10% of the refine kernel). Read-only so sharing is safe."""
+    key = (float(heights[0]), float(heights[1]), target_height)
+    v = _V_CACHE.get(key)
+    if v is None:
+        v = np.linspace(-heights[0], heights[1], target_height).reshape(-1, 1)
+        v.flags.writeable = False
+        if len(_V_CACHE) < 4096:
+            _V_CACHE[key] = v
+    return v
+
+
 def get_crop_inputs(
     baseline: np.ndarray, heights: tuple[float, float], target_height: int
 ) -> np.ndarray:
     """(target_height, W, 2) source-pixel coordinate grid
-    (crop_engine.py:54-101 semantics, linear interpolation)."""
+    (crop_engine.py:54-101 semantics, linear interpolation).
+
+    Straight 2-point baselines on dyadic half-integer coordinates (the
+    dominant case everywhere in the engine: page coords are integers,
+    the refiner divides by downsample 2) take a closed-form fast path
+    that is BIT-IDENTICAL to the general pipeline: with alfa == 0 the
+    interpolated line is exactly horizontal (zero slope makes every
+    np.interp result the exact endpoint value), every arc segment is
+    exactly 1.0, the tangent is exactly (0.1, 0) so nx == -0.0 and
+    ny == 1.0, and out_x == left + t bit-for-bit BECAUSE left + j is
+    exact for half-integer left (np.interp computes (left+j) + (t-j),
+    both addends exact — Sterbenz for t−j — so both forms round the
+    same exact sum once). Fuzz-pinned against the retained general
+    path (:func:`_crop_grid_general`) by tests/test_cropper.py."""
     coords = np.asarray(baseline).copy().astype(float)
+    if coords.shape[0] == 2:
+        x0, y0 = coords[0, 0], coords[0, 1]
+        x1, y1 = coords[1, 0], coords[1, 1]
+        span = x1 - x0
+        if (
+            y0 == y1
+            and span >= 2
+            and float(2 * x0).is_integer()
+            and float(2 * span).is_integer()
+            and float(2 * y0).is_integer()
+        ):
+            n_line = int(math.ceil(span))  # len(np.arange(x0, x1))
+            scale = target_height / (heights[0] + heights[1])
+            n_cols = int(float(n_line - 1) * scale)
+            if n_cols < 1:
+                n_cols = 1
+            t = np.linspace(0, float(n_line - 1), n_cols)
+            out_x = x0 + t
+            v = _height_steps(heights, target_height)
+            grid_x = np.broadcast_to(out_x, (target_height, n_cols))
+            grid_y = np.broadcast_to(v + y0, (target_height, n_cols))
+            return np.stack([grid_x, grid_y], axis=2)
+    return _crop_grid_general(coords, heights, target_height)
+
+
+def _crop_grid_general(
+    coords: np.ndarray, heights: tuple[float, float], target_height: int
+) -> np.ndarray:
+    """The general rectification-grid pipeline — the semantics
+    reference the straight-line fast path is fuzz-pinned against."""
     alfa = math.atan2(
         coords[-1, 1] - coords[0, 1], coords[-1, 0] - coords[0, 0]
     )
@@ -61,7 +121,7 @@ def get_crop_inputs(
     d_x = np.full_like(out_x, 0.1)
     norm = np.hypot(d_x, d_y)
     nx, ny = -d_y / norm, d_x / norm
-    v = np.linspace(-heights[0], heights[1], target_height).reshape(-1, 1)
+    v = _height_steps(heights, target_height)
     grid_x = nx.reshape(1, -1) * v + out_x.reshape(1, -1)
     grid_y = ny.reshape(1, -1) * v + out_y.reshape(1, -1)
     grid = np.stack([grid_x, grid_y], axis=2)

@@ -77,6 +77,28 @@ def get_maps_with_optimal_resolution(
     return out_map, first
 
 
+_POSITIONAL_CACHE: dict = {}
+
+
+def _positional_prior(bs_pos: int, target_height: int) -> np.ndarray:
+    """Memoized triangular positional prior (up-ramp to the expected
+    baseline row, down-ramp after) — constant per (bs_pos,
+    target_height), rebuilt per line otherwise. Read-only."""
+    key = (bs_pos, target_height)
+    p = _POSITIONAL_CACHE.get(key)
+    if p is None:
+        p = np.concatenate(
+            [
+                np.linspace(0, 1.0, bs_pos),
+                np.linspace(1.0, 0, target_height - bs_pos),
+            ]
+        )
+        p.flags.writeable = False
+        if len(_POSITIONAL_CACHE) < 4096:
+            _POSITIONAL_CACHE[key] = p
+    return p
+
+
 def refine_baseline(
     baseline: np.ndarray,
     heights: tuple[float, float],
@@ -120,12 +142,7 @@ def refine_baseline(
         bs_pos = int(
             np.round(target_height * heights[0] / (heights[0] + heights[1]))
         )
-        positional = np.concatenate(
-            [
-                np.linspace(0, 1.0, bs_pos),
-                np.linspace(1.0, 0, target_height - bs_pos),
-            ]
-        )
+        positional = _positional_prior(bs_pos, target_height)
         weights = line_crop[rows, cols] * positional[rows]
         fit = np.poly1d(np.polyfit(cols, rows, 3, w=weights))
 

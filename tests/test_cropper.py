@@ -98,3 +98,45 @@ class TestDegenerateBaseline:
         )
         assert crop.shape == (32, 32)
         assert (crop == 0).all()
+
+
+class TestStraightFastPathEquivalence:
+    """r6 guard: the closed-form grid for straight 2-point dyadic
+    baselines must stay BIT-identical to the general rectification
+    pipeline it bypasses (kept as cropper._crop_grid_general)."""
+
+    def test_fast_path_matches_general_bitwise(self):
+        import random
+
+        random.seed(97)
+        heights_pool = [(10.0, 4.0), (3.5, 3.5), (7.0, 2.0)]
+        for _ in range(400):
+            x0 = random.randrange(0, 4000) / 2.0     # half-integer grain
+            span = random.randrange(4, 1600) / 2.0
+            y = random.randrange(0, 3000) / 2.0
+            heights = random.choice(heights_pool)
+            th = random.choice([32, 17])
+            bl = np.array([[x0, y], [x0 + span, y]])
+            fast = cropper.get_crop_inputs(bl, heights, th)
+            gen = cropper._crop_grid_general(
+                np.asarray(bl).copy().astype(float), heights, th
+            )
+            assert fast.shape == gen.shape
+            assert np.array_equal(fast, gen), (x0, span, y, heights, th)
+
+    def test_non_dyadic_and_tilted_take_general_path(self):
+        # fractional tenths (left + j not exact) must NOT use the fast
+        # path; equality with the general pipeline is trivially true
+        # because get_crop_inputs falls through to it
+        bl = np.array([[10.3, 50.0], [200.3, 50.0]])
+        out = cropper.get_crop_inputs(bl, (10.0, 4.0), 32)
+        gen = cropper._crop_grid_general(
+            np.asarray(bl).copy().astype(float), (10.0, 4.0), 32
+        )
+        assert np.array_equal(out, gen)
+        tilted = np.array([[10.0, 50.0], [200.0, 80.0]])
+        out_t = cropper.get_crop_inputs(tilted, (10.0, 4.0), 32)
+        gen_t = cropper._crop_grid_general(
+            np.asarray(tilted).copy().astype(float), (10.0, 4.0), 32
+        )
+        assert np.array_equal(out_t, gen_t)
