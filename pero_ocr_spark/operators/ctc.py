@@ -392,8 +392,11 @@ def decode_beam_lm_carry(
             }
         )
 
-    return logits_df.groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, line_id string, transcription string, score double"
+    from pero_ocr_spark.operators import grouped_map_in_pandas
+
+    return grouped_map_in_pandas(
+        logits_df, "doc_id", per_doc,
+        schema="doc_id long, line_id string, transcription string, score double",
     )
 
 

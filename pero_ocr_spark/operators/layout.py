@@ -377,8 +377,11 @@ def region_reading_order(
 
     schema = "doc_id long, region_id string, reading_order long"
     if lines is None or mode == "band":
-        return regions_with_bbox.groupBy("doc_id").applyInPandas(
-            lambda pdf: order_regions(pdf, 0.0), schema=schema
+        from pero_ocr_spark.operators import grouped_map_in_pandas
+
+        return grouped_map_in_pandas(
+            regions_with_bbox, "doc_id",
+            lambda pdf: order_regions(pdf, 0.0), schema=schema,
         )
 
     chords = (
@@ -554,14 +557,12 @@ def retrace_regions(lines: DataFrame, concave: bool = True) -> DataFrame:
             }
         )
 
-    return (
-        lines.repartition(32, "doc_id", "region_id")
-        .groupBy("doc_id", "region_id")
-        .applyInPandas(
-            per_region,
-            schema=(
-                "doc_id long, region_id string, n_lines long, "
-                "x0 double, y0 double, x1 double, y1 double"
-            ),
-        )
+    from pero_ocr_spark.operators import grouped_map_in_pandas
+
+    return grouped_map_in_pandas(
+        lines, ["doc_id", "region_id"], per_region,
+        schema=(
+            "doc_id long, region_id string, n_lines long, "
+            "x0 double, y0 double, x1 double, y1 double"
+        ),
     )

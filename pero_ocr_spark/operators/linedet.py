@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from pero_ocr_spark.functions import imageproc
+from pero_ocr_spark.operators import grouped_map_in_pandas
 from pero_ocr_spark.operators.layout import PAGE_W
 
 ASC_INK = 10  # ink band rows above (and including) the baseline row
@@ -81,8 +82,8 @@ def render_page_bitmaps(lines: DataFrame) -> DataFrame:
             }
         )
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, height int, width int, img binary"
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, height int, width int, img binary"
     )
 
 
@@ -139,7 +140,8 @@ def parse_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
         ]
         return pd.DataFrame(rows, columns=cols)
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=PARSE_DDL)
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema=PARSE_DDL)
 
 
 SEGMENT_DDL = (
@@ -320,8 +322,8 @@ def render_mixed_bitmaps(segments: DataFrame) -> DataFrame:
             }
         )
 
-    return _pin(segments).groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, height int, width int, img binary"
+    return grouped_map_in_pandas(
+        segments, "doc_id", per_doc, schema="doc_id long, height int, width int, img binary"
     )
 
 
@@ -445,9 +447,8 @@ def cluster_lines_graph(lines: DataFrame, threshold: float = 0.5) -> DataFrame:
             }
         )
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc,
-        schema="doc_id long, line_id string, cluster_y0 double, cluster_size long",
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, line_id string, cluster_y0 double, cluster_size long",
     )
 
 
@@ -541,9 +542,8 @@ def refine_lines_from_maps(lines: DataFrame, downsample: int = 2) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=cols)
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc,
-        schema="doc_id long, line_id string, x_first double, x_last double, "
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, line_id string, x_first double, x_last double, "
         "y_refined double, n_points long",
     )
 
@@ -598,7 +598,8 @@ def render_segment_regions(
             columns=cols,
         )
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=SEGMENT_DDL)
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema=SEGMENT_DDL)
 
 
 def render_detect_lines(
@@ -640,7 +641,8 @@ def render_detect_lines(
                 )
         return pd.DataFrame(rows, columns=cols)
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(per_doc, schema=DETECT_DDL)
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema=DETECT_DDL)
 
 
 def render_crop_lines(
@@ -695,9 +697,8 @@ def render_crop_lines(
             columns=["doc_id", "line_id", "crop_h", "crop_w", "ink_frac", "crop"],
         )
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc,
-        schema="doc_id long, line_id string, crop_h long, crop_w long, "
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, line_id string, crop_h long, crop_w long, "
         "ink_frac double, crop binary",
     )
 
@@ -725,8 +726,8 @@ def render_snap_baselines(lines: DataFrame, tolerance: int = 5) -> DataFrame:
             }
         )
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, line_id string, y_snapped double"
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, line_id string, y_snapped double"
     )
 
 
@@ -797,9 +798,8 @@ def render_detect_multi_orientation(
                 )
         return pd.DataFrame(rows, columns=cols)
 
-    return _pin(segments).groupBy("doc_id").applyInPandas(
-        per_doc,
-        schema="doc_id long, region_id string, orientation long, "
+    return grouped_map_in_pandas(
+        segments, "doc_id", per_doc, schema="doc_id long, region_id string, orientation long, "
         "bx0 double, by0 double, bx1 double, by1 double, "
         "height_up double, height_down double",
     )

@@ -55,8 +55,10 @@ def export_page_xml(extracted: DataFrame) -> DataFrame:
         parts.extend(["</TextRegion>", "</Page>", "</PcGts>"])
         return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
 
-    return extracted.groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, xml string"
+    from pero_ocr_spark.operators import grouped_map_in_pandas
+
+    return grouped_map_in_pandas(
+        extracted, "doc_id", per_doc, schema="doc_id long, xml string"
     )
 
 

@@ -189,8 +189,10 @@ def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame
         parts.extend(["</Page>", "</PcGts>"])
         return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, xml string"
+    from pero_ocr_spark.operators import grouped_map_in_pandas
+
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, xml string"
     )
 
 
@@ -348,8 +350,10 @@ def export_alto_layout(lines: DataFrame) -> DataFrame:
         parts.extend(["</PrintSpace></Page></Layout></alto>"])
         return pd.DataFrame({"doc_id": [doc_id], "xml": ["".join(parts)]})
 
-    return _pin(lines).groupBy("doc_id").applyInPandas(
-        per_doc, schema="doc_id long, xml string"
+    from pero_ocr_spark.operators import grouped_map_in_pandas
+
+    return grouped_map_in_pandas(
+        lines, "doc_id", per_doc, schema="doc_id long, xml string"
     )
 
 
