@@ -51,26 +51,60 @@ def grouped_map_in_pandas(df: DataFrame, key: str, per_group, schema):
     keys = list(key) if isinstance(key, (list, tuple)) else [key]
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
+    def _eq(col: "np.ndarray", v) -> "np.ndarray":
+        # null-aware key equality: groupBy().applyInPandas treats the
+        # null key as a group of its own, so the run detection must
+        # not break a null run (NaN == NaN is False)
+        if pd.isna(v):
+            return pd.isna(col)
+        return col == v
+
     def gen(batches):
-        pending = None
+        # `parts` accumulates the frames of ONE partial trailing group
+        # (appended per batch, concatenated once when the run closes —
+        # linear even when a skewed group spans many Arrow batches)
+        parts: list = []
+
+        def close_run():
+            g = parts[0] if len(parts) == 1 else pd.concat(
+                parts, ignore_index=True
+            )
+            parts.clear()
+            return per_group(g)
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            if pending is not None and len(pending):
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-            pending = None
+            outs = []
+            if parts:
+                cont = np.ones(len(pdf), dtype=bool)
+                for k in keys:
+                    cont &= _eq(pdf[k].to_numpy(), parts[-1][k].iloc[-1])
+                head = int(cont.cumprod().sum())
+                if head:
+                    parts.append(pdf.iloc[:head])
+                    if head == len(pdf):
+                        continue  # run still open
+                    pdf = pdf.iloc[head:]
+                outs.append(close_run())
             # the last key's run may continue in the next batch — defer
             run = np.ones(len(pdf), dtype=bool)
             for k in keys:
                 col = pdf[k].to_numpy()
-                run &= col == col[-1]
+                run &= _eq(col, col[len(col) - 1])
             cut = len(pdf) - int(run[::-1].cumprod().sum())
-            pending = pdf.iloc[cut:]
-            for _, g in pdf.iloc[:cut].groupby(keys, sort=False):
-                yield per_group(g)
-        if pending is not None and len(pending):
-            for _, g in pending.groupby(keys, sort=False):
-                yield per_group(g)
+            parts.append(pdf.iloc[cut:])
+            for _, g in pdf.iloc[:cut].groupby(
+                keys, sort=False, dropna=False
+            ):
+                outs.append(per_group(g))
+            # one output Arrow batch per input batch, not per group
+            if outs:
+                yield outs[0] if len(outs) == 1 else pd.concat(
+                    outs, ignore_index=True
+                )
+        if parts and sum(len(p) for p in parts):
+            yield close_run()
 
     return (
         df.repartition(n, *keys)

@@ -1033,11 +1033,20 @@ def _cdc_doc_kernel(
     n = len(cps)
     if n >= k:
         sw = np.lib.stride_tricks.sliding_window_view(cps, k)
-        # direct dot with un-reduced 31^(k-1)..31^0 weights: max term
-        # 0x10FFFF·31^7 ≈ 3e16, k of them ≈ 2.4e17 — no int64 overflow,
-        # and one mod at the end is congruent to the per-step fold
-        kp = 31 ** np.arange(k - 1, -1, -1, dtype=np.int64)
-        h = (sw @ kp) % HASH_P
+        if k <= 9:
+            # direct dot with un-reduced 31^(k-1)..31^0 weights: the
+            # geometric sum of 0x10FFFF·31^j terms stays < 2^63 up to
+            # k = 9 (k = 9 peaks ≈ 9.8e17), and one mod at the end is
+            # congruent to the per-step fold
+            kp = 31 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+            h = (sw @ kp) % HASH_P
+        else:
+            # larger windows would overflow the direct dot (31^9 ·
+            # 0x10FFFF ≈ 3e19 > 2^63): run the exact Horner fold, one
+            # vectorized mod-reduced step per window column
+            h = np.zeros(sw.shape[0], dtype=np.int64)
+            for j in range(k):
+                h = (h * 31 + sw[:, j]) % HASH_P
         ends = np.arange(k, n + 1, dtype=np.int64)
         cuts = ends[(h % mask == 0) & (ends < n)]
     else:

@@ -107,15 +107,6 @@ def _doc_order(pdf: pd.DataFrame):
 
 # ------------------------------------------------------------- export
 
-def _pin(df: DataFrame) -> DataFrame:
-    """Explicit hash repartition on doc_id before the per-document
-    Arrow group: a user repartition is exempt from AQE small-partition
-    coalescing, which otherwise collapses the group exchange to a few
-    partitions and SERIALIZES the XML-building python stage."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n, "doc_id")
-
-
 def export_pcgts(lines: DataFrame, creator: str = "pero-ocr-spark") -> DataFrame:
     """Lines table (LINES_DDL columns) → one PcGts 2019 XML string per
     document. Region order: region_order then region_id; line order:

@@ -392,7 +392,9 @@ class TestCdcKernelEquivalence:
         rows.append((901, "short"))       # shorter than the window
         rows.append((902, "a" * 500))     # long repetitive run
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        for (k, mask) in ((8, 32), (4, 8)):
+        # k = 10 exercises the mod-per-step Horner fallback (the direct
+        # sliding-window dot would overflow int64 past k = 9)
+        for (k, mask) in ((8, 32), (4, 8), (10, 16)):
             new = sorted(
                 map(tuple, dedup._cdc_stream(docs, k, mask).collect())
             )
