@@ -865,52 +865,37 @@ def pq_topk(
 
     assign, cents = _lloyd_multi(subs, ksub, iters, id_col)
 
-    # pivot (id, j, cell) -> (id, k0..k{m-1}): one shuffle
-    enc = (
-        assign.groupBy(id_col)
-        .pivot("j", list(range(m)))
-        .agg(F.first("cell"))
-        .select(id_col, *[F.col(str(j)).alias(f"k{j}") for j in range(m)])
+    # ONE combined (query_id, j, code, l) LUT instead of m per-subspace
+    # frames: a single broadcast join onto the (id, j, cell) assignment
+    # attaches every subdistance, and ONE pivot rebuilds the m-wide row
+    # (the former shape — m broadcast joins after a codes pivot —
+    # computed the identical l values but paid m join subtrees of plan
+    # + codegen, the dominant cold cost of this query's suite row)
+    lut_rows = []
+    for qid, qv in q_rows.items():
+        for cj, cell, cent in cents:
+            qs = qv[cj * w : (cj + 1) * w]
+            d = 0.0
+            for i in range(w):
+                d += (qs[i] - cent[i]) * (qs[i] - cent[i])
+            lut_rows.append((qid, cj, cell, _round_half_away(d, 9)))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, j long, code long, l double"
     )
-
-    luts = []  # per subspace: DataFrame(query_id, code, l)
-    for j in range(m):
-        lut_rows = []
-        for qid, qv in q_rows.items():
-            qs = qv[j * w : (j + 1) * w]
-            for cj, cell, cent in cents:
-                if cj != j:
-                    continue
-                d = 0.0
-                for i in range(w):
-                    d += (qs[i] - cent[i]) * (qs[i] - cent[i])
-                lut_rows.append((qid, cell, _round_half_away(d, 9)))
-        luts.append(
-            spark.createDataFrame(
-                lut_rows, "query_id long, code long, l double"
-            )
+    per = assign.join(
+        F.broadcast(lut),
+        (assign["j"] == lut["j"]) & (assign["cell"] == lut["code"]),
+    ).select(id_col, "query_id", assign["j"].alias("j"), "l")
+    # exactly one l per (id, query_id, j), so first() is deterministic
+    out = (
+        per.groupBy(id_col, "query_id")
+        .pivot("j", list(range(m)))
+        .agg(F.first("l"))
+        .select(
+            id_col, "query_id",
+            *[F.col(str(j)).alias(f"l{j}") for j in range(m)],
         )
-
-    out = enc
-    for j in range(m):
-        if j == 0:
-            lj = luts[j].select(
-                "query_id",
-                F.col("code").alias("k0"),
-                F.col("l").alias("l0"),
-            )
-            out = out.join(F.broadcast(lj), "k0")
-        else:
-            lj = luts[j].select(
-                F.col("query_id").alias("_q"),
-                F.col("code").alias(f"_c{j}"),
-                F.col("l").alias(f"l{j}"),
-            )
-            out = out.join(
-                F.broadcast(lj),
-                (F.col("_q") == F.col("query_id"))
-                & (F.col(f"k{j}") == F.col(f"_c{j}")),
-            ).drop("_q", f"_c{j}")
+    )
     adc = F.round(
         F.col("l0") + F.col("l1") + F.col("l2") + F.col("l3"), 6
     ) if m == 4 else F.round(
