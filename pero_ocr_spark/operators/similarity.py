@@ -366,16 +366,22 @@ def kmeans_assign(
         )
         if it == iters - 1:
             break  # the final assignment IS the result; no means needed
+        # per-dim avg expressions instead of posexplode + a second
+        # (cell, pos) shuffle + the collect_list rebuild: the SAME
+        # Average aggregate over the same values (partial-agg order is
+        # nondeterministic in both forms; the 6-dp round is the
+        # established order-robust fixed point), two fewer shuffles
+        # per Lloyd barrier job
+        dims_n = len(cent_pairs[0][1])
         means = (
             assign.join(base, id_col)
-            .select("cell", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("v"))
             .groupBy("cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda x: x["v"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("e", i + 1)), 6)
+                        for i in range(dims_n)
+                    ]
                 ).alias("cent")
             )
             .collect()
@@ -776,16 +782,18 @@ def _lloyd_multi(
         )
         if it == iters - 1:
             break
+        # same per-dim avg shape as kmeans_assign's means job (two
+        # fewer shuffles per barrier; identical Average aggregates)
+        w_n = len(cent_pairs[0][2])
         means = (
             assign.join(subs, [id_col, "j"])
-            .select("j", "cell", F.posexplode("e").alias("pos", "val"))
-            .groupBy("j", "cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("v"))
             .groupBy("j", "cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda x: x["v"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("e", i + 1)), 6)
+                        for i in range(w_n)
+                    ]
                 ).alias("cent")
             )
             .collect()
